@@ -1,0 +1,419 @@
+"""Triangle meshes as flat arrays, DEC forms, and the mesher front-end.
+
+Architectural departure from the reference: where padne builds an object
+half-edge graph in Python (mesh.py:72-378) and walks it in hot loops, this
+framework keeps meshes as flat numpy arrays (vertices (V,2), triangles
+(F,3)) so that cotangent weights, stiffness assembly and field
+post-processing are single vectorized expressions that move straight onto
+the TPU (see padne_tpu.ops).  Adjacency (unique edges, boundary masks)
+is derived once with numpy and cached.
+
+Discrete-exterior-calculus forms (ZeroForm on vertices / OneForm on edges
+/ TwoForm on faces, reference mesh.py:381-639) are thin array wrappers
+with the same arithmetic semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Optional
+
+import numpy as np
+
+from . import geom, native
+
+
+class MeshingException(RuntimeError):
+    """Raised when mesh generation fails due to invalid geometry
+    (self-intersecting rings, degenerate edges, ...).  Parity with the
+    reference's MeshingException (mesh.py:646-659)."""
+
+
+@dataclass(frozen=True)
+class TriMesh:
+    """An immutable triangle mesh in flat-array form.
+
+    vertices: (V, 2) float64, mm.
+    triangles: (F, 3) int32, CCW.
+    """
+
+    vertices: np.ndarray
+    triangles: np.ndarray
+
+    def __post_init__(self):
+        v = np.ascontiguousarray(np.asarray(self.vertices, dtype=np.float64))
+        t = np.ascontiguousarray(np.asarray(self.triangles, dtype=np.int32))
+        if v.ndim != 2 or v.shape[1] != 2:
+            raise ValueError("vertices must have shape (V, 2)")
+        if t.ndim != 2 or t.shape[1] != 3:
+            raise ValueError("triangles must have shape (F, 3)")
+        object.__setattr__(self, "vertices", v)
+        object.__setattr__(self, "triangles", t)
+
+    # -- basic counts -------------------------------------------------------
+    @property
+    def num_vertices(self) -> int:
+        return len(self.vertices)
+
+    @property
+    def num_faces(self) -> int:
+        return len(self.triangles)
+
+    # -- derived topology ---------------------------------------------------
+    @cached_property
+    def edges(self) -> np.ndarray:
+        """Unique undirected edges as (E, 2) int32 with e[0] < e[1]."""
+        t = self.triangles
+        raw = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+        raw = np.sort(raw, axis=1)
+        return np.unique(raw, axis=0)
+
+    @cached_property
+    def _edge_index(self) -> dict:
+        return {(int(a), int(b)): i for i, (a, b) in enumerate(self.edges)}
+
+    @cached_property
+    def edge_face_count(self) -> np.ndarray:
+        """Number of incident faces per unique edge (1 = boundary edge)."""
+        t = self.triangles
+        raw = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+        raw = np.sort(raw, axis=1)
+        # Map each raw edge to its unique index.
+        uniq, counts = np.unique(raw, axis=0, return_counts=True)
+        # self.edges is exactly uniq (same sort order in np.unique)
+        return counts
+
+    @cached_property
+    def boundary_edge_mask(self) -> np.ndarray:
+        return self.edge_face_count == 1
+
+    @cached_property
+    def boundary_vertex_mask(self) -> np.ndarray:
+        mask = np.zeros(self.num_vertices, dtype=bool)
+        be = self.edges[self.boundary_edge_mask]
+        mask[be.reshape(-1)] = True
+        return mask
+
+    @cached_property
+    def face_areas(self) -> np.ndarray:
+        p = self.vertices[self.triangles]  # (F, 3, 2)
+        d1 = p[:, 1] - p[:, 0]
+        d2 = p[:, 2] - p[:, 0]
+        return 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+
+    @cached_property
+    def face_centroids(self) -> np.ndarray:
+        return self.vertices[self.triangles].mean(axis=1)
+
+    @cached_property
+    def total_area(self) -> float:
+        return float(self.face_areas.sum())
+
+    # -- cotangent weights ---------------------------------------------------
+    @cached_property
+    def cotan_edge_weights(self) -> np.ndarray:
+        """Per-unique-edge weight w_ij = sum over adjacent faces of
+        |cot(angle opposite the edge)| / 2.
+
+        The absolute value matches the reference's HalfEdge.cotan()
+        (mesh.py:124-139), which takes |dot/cross| per face — guaranteeing
+        nonnegative weights (and hence an SPD stiffness core) even for
+        obtuse triangles.
+        """
+        t = self.triangles
+        p = self.vertices[t]  # (F, 3, 2)
+        w = np.zeros(len(self.edges), dtype=np.float64)
+        # For corner k of each face, the opposite edge is (k+1, k+2).
+        for k in range(3):
+            a = p[:, k]
+            b = p[:, (k + 1) % 3]
+            c = p[:, (k + 2) % 3]
+            u = b - a
+            v = c - a
+            cross = u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
+            dot = (u * v).sum(axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cot = np.where(cross != 0.0, np.abs(dot / cross), 0.0)
+            eid = self._edge_ids_for(t[:, (k + 1) % 3], t[:, (k + 2) % 3])
+            np.add.at(w, eid, cot / 2.0)
+        return w
+
+    def _edge_ids_for(self, va: np.ndarray, vb: np.ndarray) -> np.ndarray:
+        lo = np.minimum(va, vb).astype(np.int64)
+        hi = np.maximum(va, vb).astype(np.int64)
+        key = lo << 32 | hi
+        ekey = (self.edges[:, 0].astype(np.int64) << 32) | self.edges[:, 1].astype(
+            np.int64
+        )
+        order = np.argsort(ekey)
+        pos = np.searchsorted(ekey, key, sorter=order)
+        return order[pos]
+
+    def laplacian_coo(self, scale: float = 1.0):
+        """Reference-convention cotan Laplacian as scipy COO:
+        L[i,j] += w_ij, L[i,i] -= sum_j w_ij (negative semidefinite),
+        matching solver.py:171-213.  Used for host-side verification."""
+        import scipy.sparse
+
+        e = self.edges
+        w = self.cotan_edge_weights * scale
+        n = self.num_vertices
+        diag = np.zeros(n)
+        np.add.at(diag, e[:, 0], -w)
+        np.add.at(diag, e[:, 1], -w)
+        rows = np.concatenate([e[:, 0], e[:, 1], np.arange(n)])
+        cols = np.concatenate([e[:, 1], e[:, 0], np.arange(n)])
+        vals = np.concatenate([w, w, diag])
+        return scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n))
+
+    def euler_characteristic(self) -> int:
+        return self.num_vertices - len(self.edges) + self.num_faces
+
+    # -- serialization -------------------------------------------------------
+    def to_arrays(self) -> dict:
+        return {"vertices": self.vertices, "triangles": self.triangles}
+
+    @classmethod
+    def from_arrays(cls, data) -> "TriMesh":
+        return cls(vertices=data["vertices"], triangles=data["triangles"])
+
+
+# ---------------------------------------------------------------------------
+# DEC forms
+# ---------------------------------------------------------------------------
+class _FormBase:
+    mesh: TriMesh
+    values: np.ndarray
+
+    def _check(self, other):
+        if self.mesh is not other.mesh:
+            raise ValueError(
+                f"Cannot combine {type(self).__name__}s on different meshes"
+            )
+
+    def _new(self, values):
+        obj = type(self)(self.mesh)
+        obj.values = values
+        return obj
+
+    def __add__(self, other):
+        self._check(other)
+        return self._new(self.values + other.values)
+
+    def __sub__(self, other):
+        self._check(other)
+        return self._new(self.values - other.values)
+
+    def __mul__(self, scalar: float):
+        return self._new(self.values * scalar)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, scalar: float):
+        if scalar == 0:
+            raise ZeroDivisionError(f"Cannot divide {type(self).__name__} by zero")
+        return self._new(self.values / scalar)
+
+    def __neg__(self):
+        return self._new(-self.values)
+
+
+class ZeroForm(_FormBase):
+    """Scalar field on vertices."""
+
+    def __init__(self, mesh: TriMesh, values: Optional[np.ndarray] = None):
+        self.mesh = mesh
+        if values is None:
+            values = np.zeros(mesh.num_vertices, dtype=np.float64)
+        else:
+            values = np.asarray(values, dtype=np.float64)
+            if values.shape != (mesh.num_vertices,):
+                raise ValueError("ZeroForm values must have shape (V,)")
+        self.values = values
+
+    def _new(self, values):
+        return ZeroForm(self.mesh, values)
+
+    def __getitem__(self, vertex: int) -> float:
+        return float(self.values[vertex])
+
+    def __setitem__(self, vertex: int, value: float) -> None:
+        self.values[vertex] = value
+
+    def d(self) -> "OneForm":
+        """Exterior derivative: (df)[(u, v)] = f[v] - f[u] for each unique
+        edge in canonical (u < v) orientation."""
+        e = self.mesh.edges
+        return OneForm(self.mesh, self.values[e[:, 1]] - self.values[e[:, 0]])
+
+
+class OneForm(_FormBase):
+    """Field on unique edges, stored for the canonical (min, max) direction;
+    the opposite direction is implied by antisymmetry."""
+
+    def __init__(self, mesh: TriMesh, values: Optional[np.ndarray] = None):
+        self.mesh = mesh
+        if values is None:
+            values = np.zeros(len(mesh.edges), dtype=np.float64)
+        else:
+            values = np.asarray(values, dtype=np.float64)
+            if values.shape != (len(mesh.edges),):
+                raise ValueError("OneForm values must have shape (E,)")
+        self.values = values
+
+    def _new(self, values):
+        return OneForm(self.mesh, values)
+
+    def on_edge(self, u: int, v: int) -> float:
+        """Value for the directed edge u -> v (antisymmetric lookup)."""
+        key = (min(u, v), max(u, v))
+        idx = self.mesh._edge_index[key]
+        val = float(self.values[idx])
+        return val if u < v else -val
+
+
+class TwoForm(_FormBase):
+    """Field on faces."""
+
+    def __init__(self, mesh: TriMesh, values: Optional[np.ndarray] = None):
+        self.mesh = mesh
+        if values is None:
+            values = np.zeros(mesh.num_faces, dtype=np.float64)
+        else:
+            values = np.asarray(values, dtype=np.float64)
+            if values.shape != (mesh.num_faces,):
+                raise ValueError("TwoForm values must have shape (F,)")
+        self.values = values
+
+    def _new(self, values):
+        return TwoForm(self.mesh, values)
+
+    def __getitem__(self, face: int) -> float:
+        return float(self.values[face])
+
+    def __setitem__(self, face: int, value: float) -> None:
+        self.values[face] = value
+
+
+# ---------------------------------------------------------------------------
+# Mesher
+# ---------------------------------------------------------------------------
+class Mesher:
+    """Polygon -> TriMesh via the native CDT/refinement core.
+
+    Config semantics match the reference Mesher.Config (mesh.py:668-705):
+    minimum triangle angle, maximum edge length, and variable-density
+    grading driven by a quantized boundary-distance map.
+    """
+
+    @dataclass(frozen=True)
+    class Config:
+        minimum_angle: float = 20.0
+        maximum_size: float = 0.6
+        variable_density_min_distance: float = 0.5
+        variable_density_max_distance: float = 3.0
+        variable_size_maximum_factor: float = 3.0
+        distance_map_quantization: float = 1.0
+
+        RELAXED = None  # set below
+
+        @property
+        def is_variable_density(self) -> bool:
+            return self.variable_size_maximum_factor != 1.0
+
+        def __post_init__(self):
+            if not (0 <= self.minimum_angle <= 60):
+                raise ValueError(
+                    f"minimum_angle must be between 0 and 60 degrees, got {self.minimum_angle}"
+                )
+            if self.maximum_size < 0:
+                raise ValueError(
+                    f"maximum_size must be non-negative, got {self.maximum_size}"
+                )
+            if self.variable_density_min_distance < 0:
+                raise ValueError(
+                    "variable_density_min_distance must be non-negative, "
+                    f"got {self.variable_density_min_distance}"
+                )
+            if self.variable_density_max_distance <= self.variable_density_min_distance:
+                raise ValueError(
+                    f"variable_density_max_distance ({self.variable_density_max_distance}) "
+                    "must be greater than variable_density_min_distance "
+                    f"({self.variable_density_min_distance})"
+                )
+            if self.variable_size_maximum_factor < 1.0:
+                raise ValueError(
+                    f"variable_size_maximum_factor must be >= 1.0, got {self.variable_size_maximum_factor}"
+                )
+            if self.distance_map_quantization <= 0:
+                raise ValueError(
+                    f"distance_map_quantization must be positive, got {self.distance_map_quantization}"
+                )
+
+    def __init__(self, config: Optional["Mesher.Config"] = None):
+        self.config = config if config is not None else Mesher.Config()
+
+    def poly_to_mesh(
+        self,
+        poly: geom.Polygon,
+        seed_points: Optional[list[geom.Point]] = None,
+        strict: bool = True,
+    ) -> TriMesh:
+        """Triangulate a polygon (with holes).  Interior ``seed_points``
+        are forced to become mesh vertices (connection points)."""
+        seed_points = seed_points or []
+        cfg = self.config
+
+        rings = list(poly.rings)
+        xy, sizes = geom._pack_rings(rings)
+        seeds = np.ascontiguousarray(
+            np.array([[p.x, p.y] for p in seed_points], dtype=np.float64).reshape(-1)
+        )
+
+        handle = ctypes.c_void_p()
+        err = ctypes.create_string_buffer(512)
+        rc = native.lib.pg_triangulate(
+            geom._dptr(xy),
+            geom._i32ptr(sizes),
+            len(sizes),
+            geom._dptr(seeds),
+            len(seed_points),
+            float(cfg.minimum_angle),
+            float(cfg.maximum_size),
+            float(cfg.variable_density_min_distance),
+            float(cfg.variable_density_max_distance),
+            float(cfg.variable_size_maximum_factor),
+            float(cfg.distance_map_quantization),
+            1 if cfg.is_variable_density else 0,
+            1 if strict else 0,
+            ctypes.byref(handle),
+            err,
+            512,
+        )
+        if rc:
+            raise MeshingException(err.value.decode())
+        try:
+            nv = native.lib.pg_mesh_nverts(handle)
+            nt = native.lib.pg_mesh_ntris(handle)
+            verts = np.zeros((nv, 2), dtype=np.float64)
+            tris = np.zeros((nt, 3), dtype=np.int32)
+            if nv:
+                native.lib.pg_mesh_coords(handle, geom._dptr(verts))
+            if nt:
+                native.lib.pg_mesh_tris(handle, geom._i32ptr(tris))
+        finally:
+            native.lib.pg_mesh_free(handle)
+        if nt == 0:
+            raise MeshingException("Meshing produced no triangles")
+        return TriMesh(vertices=verts, triangles=tris)
+
+
+Mesher.Config.RELAXED = Mesher.Config(
+    minimum_angle=5.0, maximum_size=0, variable_size_maximum_factor=1.0
+)
+
+# Re-exports for API parity with the reference mesh module.
+Point = geom.Point
+DistanceMap = geom.DistanceMap

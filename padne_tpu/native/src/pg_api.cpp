@@ -1,0 +1,284 @@
+// C ABI for the padne_tpu native geometry/meshing core (loaded via ctypes).
+//
+// Conventions:
+//  * all coordinates cross the boundary as double mm; internally everything
+//    is snapped to the int64 nanometer grid;
+//  * ring arrays are flat [x0,y0,x1,y1,...] with a parallel ring-size array
+//    (number of points per ring, no duplicated closing point required —
+//    a duplicate closing point is tolerated and dropped);
+//  * results are returned via opaque handles + accessor functions;
+//  * every entry point returns 0 on success, nonzero on failure with a
+//    message in the provided error buffer.
+#include "pg_refine.h"
+
+#include <cstring>
+#include <memory>
+
+using namespace pg;
+
+namespace {
+
+Pt snap(double x_mm, double y_mm) {
+  double x = x_mm * UNITS_PER_MM, y = y_mm * UNITS_PER_MM;
+  if (std::abs(x) >= (double)COORD_LIMIT || std::abs(y) >= (double)COORD_LIMIT)
+    throw GeomError("coordinate out of supported range (|x| < 2.1e3 mm)");
+  return Pt{(i64)llround(x), (i64)llround(y)};
+}
+
+std::vector<Ring> read_rings(const double* xy, const int32_t* sizes,
+                             int32_t nrings) {
+  std::vector<Ring> rings;
+  rings.reserve(nrings);
+  size_t off = 0;
+  for (int32_t r = 0; r < nrings; r++) {
+    Ring ring;
+    int32_t n = sizes[r];
+    ring.pts.reserve(n);
+    for (int32_t i = 0; i < n; i++) {
+      Pt p = snap(xy[2 * (off + i)], xy[2 * (off + i) + 1]);
+      if (!ring.pts.empty() && ring.pts.back() == p) continue;  // dedupe
+      ring.pts.push_back(p);
+    }
+    off += n;
+    while (ring.pts.size() > 1 && ring.pts.front() == ring.pts.back())
+      ring.pts.pop_back();
+    if (ring.pts.size() >= 3) rings.push_back(std::move(ring));
+  }
+  return rings;
+}
+
+int fail(const std::exception& e, char* err, int errlen) {
+  if (err && errlen > 0) {
+    std::strncpy(err, e.what(), errlen - 1);
+    err[errlen - 1] = '\0';
+  }
+  return 1;
+}
+
+struct PolySetHandle {
+  PolySet ps;
+};
+
+struct MeshHandle {
+  MeshResult mr;
+};
+
+struct DistMapHandle {
+  DistanceMap dm;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Boolean operations.  op: 0=union, 1=intersection, 2=difference (A - B).
+// ---------------------------------------------------------------------------
+int pg_boolean(int op, const double* a_xy, const int32_t* a_sizes,
+               int32_t a_nrings, const double* b_xy, const int32_t* b_sizes,
+               int32_t b_nrings, void** out, char* err, int errlen) {
+  try {
+    std::vector<Ring> a = read_rings(a_xy, a_sizes, a_nrings);
+    std::vector<Ring> b = read_rings(b_xy, b_sizes, b_nrings);
+    auto h = std::make_unique<PolySetHandle>();
+    h->ps = boolean_op((BoolOp)op, a, b);
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+int32_t pg_polyset_npolys(void* h) {
+  return (int32_t)((PolySetHandle*)h)->ps.polys.size();
+}
+
+int32_t pg_polyset_nrings(void* h, int32_t poly) {
+  return (int32_t)((PolySetHandle*)h)->ps.polys[poly].rings.size();
+}
+
+int32_t pg_polyset_ring_size(void* h, int32_t poly, int32_t ring) {
+  return (int32_t)((PolySetHandle*)h)->ps.polys[poly].rings[ring].pts.size();
+}
+
+void pg_polyset_ring_coords(void* h, int32_t poly, int32_t ring, double* out) {
+  const Ring& r = ((PolySetHandle*)h)->ps.polys[poly].rings[ring];
+  for (size_t i = 0; i < r.pts.size(); i++) {
+    out[2 * i] = r.pts[i].x / UNITS_PER_MM;
+    out[2 * i + 1] = r.pts[i].y / UNITS_PER_MM;
+  }
+}
+
+void pg_polyset_free(void* h) { delete (PolySetHandle*)h; }
+
+// ---------------------------------------------------------------------------
+// Point-in-polygon classification (winding rule, exact).
+// Classifies each query point against a ring set: 0 outside, 1 on boundary,
+// 2 strictly inside.
+// ---------------------------------------------------------------------------
+int pg_classify_points(const double* xy, const int32_t* sizes, int32_t nrings,
+                       const double* pts, int32_t npts, int8_t* result,
+                       char* err, int errlen) {
+  try {
+    std::vector<Ring> rings = read_rings(xy, sizes, nrings);
+    for (int32_t k = 0; k < npts; k++) {
+      Pt p = snap(pts[2 * k], pts[2 * k + 1]);
+      int winding = 0;
+      bool boundary = false;
+      for (const Ring& r : rings) {
+        size_t n = r.pts.size();
+        for (size_t i = 0; i < n && !boundary; i++) {
+          const Pt& a = r.pts[i];
+          const Pt& b = r.pts[(i + 1) % n];
+          if (on_segment(a, b, p)) {
+            boundary = true;
+            break;
+          }
+          // Winding: count upward/downward crossings of the horizontal ray
+          // to the right of p.
+          if (a.y <= p.y) {
+            if (b.y > p.y && orient2d(a, b, p) > 0) winding++;
+          } else {
+            if (b.y <= p.y && orient2d(a, b, p) < 0) winding--;
+          }
+        }
+        if (boundary) break;
+      }
+      result[k] = boundary ? 1 : (winding != 0 ? 2 : 0);
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+// Minimum distance from each query point to the ring boundary (mm).
+int pg_distance_to_boundary(const double* xy, const int32_t* sizes,
+                            int32_t nrings, const double* pts, int32_t npts,
+                            double* result, char* err, int errlen) {
+  try {
+    std::vector<Ring> rings = read_rings(xy, sizes, nrings);
+    for (int32_t k = 0; k < npts; k++) {
+      double px = pts[2 * k], py = pts[2 * k + 1];
+      double best = 1e300;
+      for (const Ring& r : rings) {
+        size_t n = r.pts.size();
+        for (size_t i = 0; i < n; i++) {
+          double ax = r.pts[i].x / UNITS_PER_MM, ay = r.pts[i].y / UNITS_PER_MM;
+          double bx = r.pts[(i + 1) % n].x / UNITS_PER_MM,
+                 by = r.pts[(i + 1) % n].y / UNITS_PER_MM;
+          double dx = bx - ax, dy = by - ay;
+          double len2 = dx * dx + dy * dy;
+          double t = len2 > 0 ? ((px - ax) * dx + (py - ay) * dy) / len2 : 0.0;
+          t = std::clamp(t, 0.0, 1.0);
+          double qx = ax + t * dx - px, qy = ay + t * dy - py;
+          best = std::min(best, std::sqrt(qx * qx + qy * qy));
+        }
+      }
+      result[k] = best;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Distance map (reference PolyBoundaryDistanceMap parity).
+// ---------------------------------------------------------------------------
+int pg_distmap_build(const double* xy, const int32_t* sizes, int32_t nrings,
+                     double quantization_mm, void** out, char* err,
+                     int errlen) {
+  try {
+    std::vector<Ring> rings = read_rings(xy, sizes, nrings);
+    auto h = std::make_unique<DistMapHandle>();
+    h->dm = build_distance_map(rings, quantization_mm);
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+void pg_distmap_query(void* h, const double* pts, int32_t npts, double* out) {
+  const DistanceMap& dm = ((DistMapHandle*)h)->dm;
+  for (int32_t k = 0; k < npts; k++)
+    out[k] = dm.query(pts[2 * k], pts[2 * k + 1]);
+}
+
+void pg_distmap_info(void* h, double* info) {
+  const DistanceMap& dm = ((DistMapHandle*)h)->dm;
+  info[0] = dm.min_x;
+  info[1] = dm.min_y;
+  info[2] = dm.max_x;
+  info[3] = dm.max_y;
+  info[4] = dm.quantization;
+  info[5] = dm.width;
+  info[6] = dm.height;
+}
+
+void pg_distmap_free(void* h) { delete (DistMapHandle*)h; }
+
+// ---------------------------------------------------------------------------
+// Meshing.
+// ---------------------------------------------------------------------------
+int pg_triangulate(const double* xy, const int32_t* sizes, int32_t nrings,
+                   const double* seeds, int32_t nseeds, double min_angle_deg,
+                   double max_size_mm, double vd_min_dist_mm,
+                   double vd_max_dist_mm, double vd_factor,
+                   double quantization_mm, int use_distance_map, int strict,
+                   void** out, char* err, int errlen) {
+  try {
+    std::vector<Ring> rings = read_rings(xy, sizes, nrings);
+    if (rings.empty()) throw GeomError("triangulate: no valid rings");
+    std::vector<Pt> seed_pts;
+    for (int32_t i = 0; i < nseeds; i++)
+      seed_pts.push_back(snap(seeds[2 * i], seeds[2 * i + 1]));
+
+    RefineConfig cfg;
+    cfg.minimum_angle_deg = min_angle_deg;
+    cfg.maximum_size_mm = max_size_mm;
+    cfg.vd_min_distance_mm = vd_min_dist_mm;
+    cfg.vd_max_distance_mm = vd_max_dist_mm;
+    cfg.vd_size_factor = vd_factor;
+
+    DistanceMap dm;
+    const DistanceMap* dmp = nullptr;
+    if (use_distance_map && vd_factor != 1.0 && max_size_mm > 0) {
+      dm = build_distance_map(rings, quantization_mm);
+      dmp = &dm;
+    }
+
+    auto h = std::make_unique<MeshHandle>();
+    h->mr = triangulate_polygon(rings, seed_pts, cfg, dmp, strict != 0);
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+int32_t pg_mesh_nverts(void* h) {
+  return (int32_t)((MeshHandle*)h)->mr.vx_mm.size();
+}
+
+int32_t pg_mesh_ntris(void* h) {
+  return (int32_t)(((MeshHandle*)h)->mr.tri.size() / 3);
+}
+
+void pg_mesh_coords(void* h, double* out) {
+  const MeshResult& mr = ((MeshHandle*)h)->mr;
+  for (size_t i = 0; i < mr.vx_mm.size(); i++) {
+    out[2 * i] = mr.vx_mm[i];
+    out[2 * i + 1] = mr.vy_mm[i];
+  }
+}
+
+void pg_mesh_tris(void* h, int32_t* out) {
+  const MeshResult& mr = ((MeshHandle*)h)->mr;
+  std::memcpy(out, mr.tri.data(), mr.tri.size() * sizeof(int32_t));
+}
+
+void pg_mesh_free(void* h) { delete (MeshHandle*)h; }
+
+}  // extern "C"
