@@ -1,0 +1,140 @@
+"""North-star benchmark: FEM PDN solve throughput on the current device.
+
+Meshes a large copper plane (the "high-current heating-element plane"
+config, BASELINE.json configs[3]), assembles the ELL Laplacian, and
+times the Jacobi-PCG solve to 1e-6 relative residual on the default JAX
+device (the real TPU under the driver; CPU elsewhere).
+
+Prints ONE JSON line:
+  {"metric": "solve_dof_per_sec", "value": N, "unit": "DoF/s",
+   "vs_baseline": N / 1e6}
+vs_baseline normalizes against the BASELINE.md target of 1M DoF solved
+per second (1M-DoF board in <1 s).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_system(target_dof: int):
+    from padne_tpu import geom, mesh
+    from padne_tpu.ops import assembly
+
+    # Plane size fixed; mesh density chosen to hit the DoF target
+    # (vertices ~ area / (0.43 * size^2) empirically).
+    side = 100.0
+    size = max(0.08, (side * side / (0.43 * target_dof)) ** 0.5)
+    poly = geom.box(0.0, 0.0, side, side)
+    cfg = mesh.Mesher.Config(
+        maximum_size=size, variable_size_maximum_factor=1.0
+    )
+    m = mesh.Mesher(cfg).poly_to_mesh(poly)
+    ell = assembly.build_ell(
+        m.num_vertices, m.edges.astype(np.int64), m.cotan_edge_weights
+    )
+    return m, ell
+
+
+def main():
+    target_dof = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    t_mesh0 = time.time()
+    m, ell = build_system(target_dof)
+    t_mesh = time.time() - t_mesh0
+    n = m.num_vertices
+
+    import jax
+    import jax.numpy as jnp
+
+    from padne_tpu.ops.spmv import ell_matvec
+
+    dtype = jnp.float32
+    cols = jnp.asarray(ell.cols)
+    vals = jnp.asarray(ell.vals, dtype=dtype)
+    diag = jnp.asarray(ell.diag, dtype=dtype)
+
+    # Balanced multi-RHS (8 source/sink pairs), consistent for the
+    # singular Neumann operator.
+    R = 8
+    rng = np.random.default_rng(42)
+    b_np = np.zeros((n, R), dtype=np.float32)
+    for k in range(R):
+        i, j = rng.integers(0, n, 2)
+        b_np[i, k] += 1.0
+        b_np[j, k] -= 1.0
+    b = jnp.asarray(b_np)
+
+    tol = 1e-6
+    block = 200  # CG iterations per jitted block
+
+    @jax.jit
+    def cg_block(x, r, z, p, rz):
+        minv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+
+        def body(_, state):
+            x, r, z, p, rz = state
+            ap = ell_matvec(cols, vals, diag, p)
+            pap = (p * ap).sum(axis=0)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+            x = x + alpha[None, :] * p
+            r = r - alpha[None, :] * ap
+            z = minv[:, None] * r
+            rz_new = (r * z).sum(axis=0)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+            p = z + beta[None, :] * p
+            return (x, r, z, p, rz_new)
+
+        state = jax.lax.fori_loop(0, block, body, (x, r, z, p, rz))
+        rnorm = jnp.linalg.norm(state[1], axis=0)
+        return state, rnorm
+
+    minv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+    bnorm = float(jnp.linalg.norm(b))
+
+    def fresh_state():
+        x = jnp.zeros_like(b)
+        r = b
+        z = minv[:, None] * r
+        return (x, r, z, z, (r * z).sum(axis=0))
+
+    # Warmup / compile.
+    state, rnorm = cg_block(*fresh_state())
+    jax.block_until_ready(rnorm)
+
+    # Timed solve.
+    t0 = time.time()
+    state = fresh_state()
+    iters = 0
+    max_blocks = 40
+    for _ in range(max_blocks):
+        state, rnorm = cg_block(*state)
+        iters += block
+        if float(jnp.max(rnorm)) < tol * bnorm:
+            break
+    jax.block_until_ready(state[0])
+    t_solve = time.time() - t0
+
+    final_rel = float(jnp.max(rnorm)) / bnorm
+    dof_per_sec = n / t_solve
+    result = {
+        "metric": "solve_dof_per_sec",
+        "value": round(dof_per_sec, 1),
+        "unit": "DoF/s",
+        "vs_baseline": round(dof_per_sec / 1e6, 4),
+        "detail": {
+            "dof": n,
+            "solve_seconds": round(t_solve, 3),
+            "mesh_seconds": round(t_mesh, 3),
+            "cg_iterations": iters,
+            "final_rel_residual": final_rel,
+            "rhs_columns": R,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

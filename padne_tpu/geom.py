@@ -229,11 +229,28 @@ class MultiPolygon:
     def is_empty(self) -> bool:
         return len(self._geoms) == 0
 
+    def classify_points(self, pts: np.ndarray) -> np.ndarray:
+        """Batched classification against the whole polygon set in one
+        native call: 0 outside, 1 on boundary, 2 inside."""
+        xy, sizes = _pack_rings(self.all_rings())
+        q = np.ascontiguousarray(np.asarray(pts, dtype=np.float64).reshape(-1))
+        n = len(q) // 2
+        out = np.zeros(n, dtype=np.int8)
+        if len(sizes) == 0 or n == 0:
+            return out
+        err = ctypes.create_string_buffer(_ERRLEN)
+        rc = native.lib.pg_classify_points(
+            _dptr(xy), _i32ptr(sizes), len(sizes), _dptr(q), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), err, _ERRLEN)
+        if rc:
+            raise GeometryError(err.value.decode())
+        return out
+
     def intersects(self, point: Point) -> bool:
-        return any(p.intersects(point) for p in self._geoms)
+        return int(self.classify_points(np.array([[point.x, point.y]]))[0]) >= 1
 
     def contains(self, point: Point) -> bool:
-        return any(p.contains(point) for p in self._geoms)
+        return int(self.classify_points(np.array([[point.x, point.y]]))[0]) == 2
 
     def all_rings(self) -> list[np.ndarray]:
         rings: list[np.ndarray] = []
@@ -303,6 +320,63 @@ def intersection(a, b) -> MultiPolygon:
 
 def difference(a, b) -> MultiPolygon:
     return _run_boolean(2, _gather_rings(a), _gather_rings(b))
+
+
+def _simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Iteratively drop vertices whose distance to the chord between their
+    neighbors is below `tol` (plays the role of the reference's
+    shapely simplify(1e-4) cleanup, kicad.py:1384-1391, removing
+    snap-rounding noise such as nanometer-scale edges and near-collinear
+    jitter)."""
+    pts = ring
+    for _ in range(16):  # passes until stable
+        n = len(pts)
+        if n <= 3:
+            return pts
+        prev = np.roll(pts, 1, axis=0)
+        nxt = np.roll(pts, -1, axis=0)
+        chord = nxt - prev
+        rel = pts - prev
+        chord_len = np.hypot(chord[:, 0], chord[:, 1])
+        cross = np.abs(chord[:, 0] * rel[:, 1] - chord[:, 1] * rel[:, 0])
+        dev = np.where(chord_len > 0, cross / np.maximum(chord_len, 1e-30),
+                       np.hypot(rel[:, 0], rel[:, 1]))
+        removable = dev < tol
+        if not removable.any():
+            return pts
+        # Remove a maximal independent set (no two adjacent) to keep the
+        # chord test valid within one pass.
+        keep = np.ones(n, dtype=bool)
+        last_removed = -2
+        for i in range(n):
+            if removable[i] and i - 1 != last_removed and keep.sum() > 3:
+                keep[i] = False
+                last_removed = i
+        if keep.all():
+            return pts
+        pts = pts[keep]
+    return pts
+
+
+def simplify(geometry: Geometry, tolerance: float = 1e-4) -> "MultiPolygon":
+    """Simplify all rings of a geometry; drops degenerate polygons."""
+    mp = ensure_multipolygon(geometry)
+    out = []
+    for p in mp.geoms:
+        ext = _simplify_ring(p.exterior, tolerance)
+        if len(ext) < 3 or abs(_ring_signed_area(ext)) < tolerance**2:
+            continue
+        holes = []
+        for h in p.interiors:
+            hs = _simplify_ring(h, tolerance)
+            if len(hs) >= 3 and abs(_ring_signed_area(hs)) >= tolerance**2:
+                holes.append(hs)
+        poly = Polygon.__new__(Polygon)
+        poly._rings = tuple(
+            np.ascontiguousarray(r) for r in [ext] + holes
+        )
+        out.append(poly)
+    return MultiPolygon(out)
 
 
 def ensure_multipolygon(geom: Geometry) -> MultiPolygon:

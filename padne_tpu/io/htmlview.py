@@ -1,0 +1,257 @@
+"""Self-contained HTML/WebGL solution viewer export.
+
+Writes ONE .html file embedding the solution's meshes and fields
+(base64 float32 arrays) plus a small WebGL renderer: pan/zoom, layer
+and mode switching, colormap legend, hover probing.  No server, no
+dependencies — open in any browser.  This is the framework's
+display-anywhere counterpart of the reference's Qt/OpenGL GUI.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .. import solver as solver_mod
+
+
+def _b64(arr: np.ndarray, dtype) -> str:
+    return base64.b64encode(np.ascontiguousarray(arr, dtype=dtype).tobytes()).decode()
+
+
+def _solution_payload(sol: solver_mod.Solution) -> dict:
+    layers = []
+    for layer, ls in zip(sol.problem.layers, sol.layer_solutions):
+        meshes = []
+        for mi, m in enumerate(ls.meshes):
+            meshes.append({
+                "vertices": _b64(m.vertices, np.float32),
+                "triangles": _b64(m.triangles, np.uint32),
+                "nv": m.num_vertices,
+                "nt": m.num_faces,
+                "potential": _b64(ls.potentials[mi].values, np.float32),
+                "power": _b64(ls.power_densities[mi].values, np.float32)
+                if mi < len(ls.power_densities) else None,
+            })
+        disc = []
+        for m in ls.disconnected_meshes:
+            disc.append({
+                "vertices": _b64(m.vertices, np.float32),
+                "triangles": _b64(m.triangles, np.uint32),
+                "nv": m.num_vertices,
+                "nt": m.num_faces,
+            })
+        layers.append({"name": layer.name, "meshes": meshes, "disconnected": disc})
+    return {
+        "project": sol.problem.project_name or "solution",
+        "residual": sol.solver_info.residual_norm,
+        "layers": layers,
+    }
+
+
+_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>padne-tpu — __TITLE__</title>
+<style>
+ body { margin:0; font:13px system-ui, sans-serif; background:#14141a; color:#ddd; }
+ #bar { padding:6px 10px; background:#20202a; display:flex; gap:14px; align-items:center; }
+ #bar select, #bar button { background:#2e2e3a; color:#ddd; border:1px solid #444; padding:3px 8px; border-radius:4px; }
+ #c { display:block; width:100vw; height:calc(100vh - 60px); }
+ #legend { padding:2px 10px; background:#20202a; display:flex; gap:10px; align-items:center; height:22px;}
+ #grad { width:220px; height:12px; border:1px solid #555; }
+ #probe { margin-left:auto; opacity:.9 }
+</style></head><body>
+<div id="bar">
+ <b>padne-tpu</b> <span>__TITLE__</span>
+ <label>layer <select id="layer"></select></label>
+ <label>mode <select id="mode"><option>Potential</option><option>Power density</option></select></label>
+ <button id="reset">reset view</button>
+ <span style="opacity:.6">residual __RESID__</span>
+</div>
+<div id="legend"><canvas id="grad" width="220" height="12"></canvas>
+ <span id="vmin"></span><span>…</span><span id="vmax"></span>
+ <span id="probe"></span></div>
+<canvas id="c"></canvas>
+<script>
+const DATA = __DATA__;
+function decode(b64, T){ const s=atob(b64); const a=new Uint8Array(s.length);
+  for(let i=0;i<s.length;i++) a[i]=s.charCodeAt(i); return new T(a.buffer); }
+for (const L of DATA.layers){
+  for (const m of L.meshes){
+    m.v = decode(m.vertices, Float32Array); m.t = decode(m.triangles, Uint32Array);
+    m.pot = decode(m.potential, Float32Array);
+    m.pow = m.power ? decode(m.power, Float32Array) : null;
+  }
+  for (const m of L.disconnected){
+    m.v = decode(m.vertices, Float32Array); m.t = decode(m.triangles, Uint32Array);
+  }
+}
+// PLASMA / INFERNO approximations
+function plasma(t){t=Math.min(1,Math.max(0,t));return [
+  0.06+0.93*Math.pow(t,0.6)+0.1*Math.sin(3*t),
+  0.02+0.02*t+0.95*Math.pow(t,2.2),
+  0.53+1.2*t-2.9*t*t+1.5*t*t*t+0.2];}
+function inferno(t){t=Math.min(1,Math.max(0,t));return [
+  Math.pow(t,0.7)*1.1, Math.pow(t,1.8)*1.05, 0.15+2.2*t-6.4*t*t+4.6*t*t*t+0.35*t];}
+const canvas = document.getElementById('c');
+const gl = canvas.getContext('webgl');
+const vs = `attribute vec2 p; attribute vec3 col; uniform vec4 view; varying vec3 c;
+ void main(){ vec2 q=(p-view.xy)*view.zw; gl_Position=vec4(q.x*2.0-1.0, 1.0-q.y*2.0,0.,1.); c=col; }`;
+const fs = `precision mediump float; varying vec3 c; void main(){ gl_FragColor=vec4(c,1.); }`;
+function shader(type, src){ const s=gl.createShader(type); gl.shaderSource(s,src);
+ gl.compileShader(s); return s; }
+const prog = gl.createProgram();
+gl.attachShader(prog, shader(gl.VERTEX_SHADER, vs));
+gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, fs));
+gl.linkProgram(prog); gl.useProgram(prog);
+const locP = gl.getAttribLocation(prog,'p'), locC = gl.getAttribLocation(prog,'col');
+const locView = gl.getUniformLocation(prog,'view');
+let layerIdx=0, modeIdx=0, view={x:0,y:0,sx:1,sy:1};
+let bbox=null, buffers=null, range=[0,1];
+function computeBBox(){
+  let x0=1e30,y0=1e30,x1=-1e30,y1=-1e30;
+  const L=DATA.layers[layerIdx];
+  for (const group of [L.meshes, L.disconnected]) for (const m of group)
+    for(let i=0;i<m.nv;i++){ const x=m.v[2*i], y=m.v[2*i+1];
+      x0=Math.min(x0,x); y0=Math.min(y0,y); x1=Math.max(x1,x); y1=Math.max(y1,y); }
+  bbox=[x0,y0,x1,y1];
+}
+function resetView(){
+  computeBBox();
+  const w=canvas.width, h=canvas.height;
+  const dx=bbox[2]-bbox[0], dy=bbox[3]-bbox[1];
+  const s=Math.min(w/(dx*1.1), h/(dy*1.1));
+  view.sx=s/w; view.sy=s/h;
+  view.x=(bbox[0]+bbox[2])/2 - w/(2*s);
+  view.y=(bbox[1]+bbox[3])/2 - h/(2*s);
+  draw();
+}
+function buildBuffers(){
+  const L=DATA.layers[layerIdx];
+  let vals=[];
+  for (const m of L.meshes){
+    const src = modeIdx===0 ? m.pot : m.pow;
+    if (src) for (const v of src) vals.push(v);
+  }
+  let lo=Math.min(...vals), hi=Math.max(...vals);
+  if (!(hi>lo)) hi=lo+1e-12;
+  range=[lo,hi];
+  const cm = modeIdx===0 ? plasma : inferno;
+  const tris=[]; const cols=[];
+  for (const m of L.meshes){
+    for(let t=0;t<m.nt;t++){
+      for(let k=0;k<3;k++){
+        const vi=m.t[3*t+k];
+        tris.push(m.v[2*vi], m.v[2*vi+1]);
+        let val = modeIdx===0 ? m.pot[vi] : (m.pow? m.pow[t] : 0);
+        const c=cm((val-lo)/(hi-lo));
+        cols.push(c[0],c[1],c[2]);
+      }
+    }
+  }
+  for (const m of L.disconnected){
+    for(let t=0;t<m.nt;t++) for(let k=0;k<3;k++){
+      const vi=m.t[3*t+k];
+      tris.push(m.v[2*vi], m.v[2*vi+1]); cols.push(0.35,0.35,0.38);
+    }
+  }
+  buffers = { n: tris.length/2,
+    pos: gl.createBuffer(), col: gl.createBuffer() };
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.pos);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(tris), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.col);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(cols), gl.STATIC_DRAW);
+  drawLegend();
+}
+function drawLegend(){
+  const g=document.getElementById('grad').getContext('2d');
+  const cm = modeIdx===0 ? plasma : inferno;
+  for(let i=0;i<220;i++){ const c=cm(i/219);
+    g.fillStyle=`rgb(${255*c[0]|0},${255*c[1]|0},${255*c[2]|0})`;
+    g.fillRect(i,0,1,12); }
+  const unit = modeIdx===0? ' V' : ' W/mm²';
+  document.getElementById('vmin').textContent=range[0].toPrecision(5)+unit;
+  document.getElementById('vmax').textContent=range[1].toPrecision(5)+unit;
+}
+function draw(){
+  gl.viewport(0,0,canvas.width,canvas.height);
+  gl.clearColor(0.08,0.08,0.1,1); gl.clear(gl.COLOR_BUFFER_BIT);
+  if(!buffers) return;
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.pos);
+  gl.enableVertexAttribArray(locP);
+  gl.vertexAttribPointer(locP,2,gl.FLOAT,false,0,0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.col);
+  gl.enableVertexAttribArray(locC);
+  gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
+  gl.uniform4f(locView, view.x, view.y, view.sx, view.sy);
+  gl.drawArrays(gl.TRIANGLES, 0, buffers.n);
+}
+function resize(){
+  canvas.width=canvas.clientWidth; canvas.height=canvas.clientHeight; draw();
+}
+window.addEventListener('resize', resize);
+// pan/zoom
+let drag=null;
+canvas.addEventListener('mousedown', e=>{ drag=[e.clientX,e.clientY]; });
+window.addEventListener('mouseup', ()=>{ drag=null; });
+canvas.addEventListener('mousemove', e=>{
+  if(drag){
+    view.x -= (e.clientX-drag[0])/(view.sx*canvas.width);
+    view.y -= (e.clientY-drag[1])/(view.sy*canvas.height);
+    drag=[e.clientX,e.clientY]; draw();
+  } else probe(e);
+});
+canvas.addEventListener('wheel', e=>{
+  e.preventDefault();
+  const f = e.deltaY<0 ? 1.2 : 1/1.2;
+  const mx = view.x + e.offsetX/(view.sx*canvas.width);
+  const my = view.y + e.offsetY/(view.sy*canvas.height);
+  view.sx*=f; view.sy*=f;
+  view.x = mx - e.offsetX/(view.sx*canvas.width);
+  view.y = my - e.offsetY/(view.sy*canvas.height);
+  draw();
+}, {passive:false});
+function probe(e){
+  const wx = view.x + e.offsetX/(view.sx*canvas.width);
+  const wy = view.y + e.offsetY/(view.sy*canvas.height);
+  const L=DATA.layers[layerIdx];
+  let best=1e30, bestVal=null;
+  for (const m of L.meshes){
+    for(let i=0;i<m.nv;i++){
+      const dx=m.v[2*i]-wx, dy=m.v[2*i+1]-wy, d=dx*dx+dy*dy;
+      if(d<best){ best=d; bestVal = modeIdx===0 ? m.pot[i] : null; }
+    }
+    if (modeIdx===1 && m.pow){
+      for(let t=0;t<m.nt;t++){
+        const a=m.t[3*t]; const dx=m.v[2*a]-wx, dy=m.v[2*a+1]-wy, d=dx*dx+dy*dy;
+        if(d<best){ best=d; bestVal=m.pow[t]; }
+      }
+    }
+  }
+  document.getElementById('probe').textContent =
+    bestVal===null ? '' : `(${wx.toFixed(3)}, ${wy.toFixed(3)}) → ${bestVal.toPrecision(6)}${modeIdx===0?' V':' W/mm²'}`;
+}
+// UI wiring
+const sel=document.getElementById('layer');
+DATA.layers.forEach((L,i)=>{ const o=document.createElement('option');
+  o.textContent=L.name; o.value=i; sel.appendChild(o); });
+sel.addEventListener('change', ()=>{ layerIdx=+sel.value; buildBuffers(); resetView(); });
+document.getElementById('mode').addEventListener('change', e=>{
+  modeIdx=e.target.selectedIndex; buildBuffers(); draw(); });
+document.getElementById('reset').addEventListener('click', resetView);
+resize(); buildBuffers(); resetView();
+</script></body></html>
+"""
+
+
+def export_html(sol: solver_mod.Solution, output_file) -> None:
+    payload = _solution_payload(sol)
+    html = (
+        _TEMPLATE
+        .replace("__TITLE__", payload["project"])
+        .replace("__RESID__", f"{payload['residual']:.2e}")
+        .replace("__DATA__", json.dumps(payload))
+    )
+    Path(output_file).write_text(html)

@@ -121,28 +121,46 @@ int pg_classify_points(const double* xy, const int32_t* sizes, int32_t nrings,
                        char* err, int errlen) {
   try {
     std::vector<Ring> rings = read_rings(xy, sizes, nrings);
+    // Per-ring bounding boxes: a ring can affect a point's classification
+    // only when p.y is within [ymin, ymax] and p.x <= xmax (the winding
+    // ray goes toward +x).
+    struct BB {
+      i64 x0, y0, x1, y1;
+    };
+    std::vector<BB> bbs(rings.size());
+    for (size_t ri = 0; ri < rings.size(); ri++) {
+      BB bb{INT64_MAX, INT64_MAX, INT64_MIN, INT64_MIN};
+      for (const Pt& q : rings[ri].pts) {
+        bb.x0 = std::min(bb.x0, q.x);
+        bb.y0 = std::min(bb.y0, q.y);
+        bb.x1 = std::max(bb.x1, q.x);
+        bb.y1 = std::max(bb.y1, q.y);
+      }
+      bbs[ri] = bb;
+    }
     for (int32_t k = 0; k < npts; k++) {
       Pt p = snap(pts[2 * k], pts[2 * k + 1]);
       int winding = 0;
       bool boundary = false;
-      for (const Ring& r : rings) {
+      for (size_t ri = 0; ri < rings.size() && !boundary; ri++) {
+        const BB& bb = bbs[ri];
+        if (p.y < bb.y0 || p.y > bb.y1 || p.x > bb.x1) continue;
+        const Ring& r = rings[ri];
         size_t n = r.pts.size();
-        for (size_t i = 0; i < n && !boundary; i++) {
+        for (size_t i = 0; i < n; i++) {
           const Pt& a = r.pts[i];
           const Pt& b = r.pts[(i + 1) % n];
           if (on_segment(a, b, p)) {
             boundary = true;
             break;
           }
-          // Winding: count upward/downward crossings of the horizontal ray
-          // to the right of p.
+          // Winding: signed crossings of the horizontal ray toward +x.
           if (a.y <= p.y) {
             if (b.y > p.y && orient2d(a, b, p) > 0) winding++;
           } else {
             if (b.y <= p.y && orient2d(a, b, p) < 0) winding--;
           }
         }
-        if (boundary) break;
       }
       result[k] = boundary ? 1 : (winding != 0 ? 2 : 0);
     }

@@ -212,33 +212,69 @@ class CDT {
   // the winding delta.
   // -------------------------------------------------------------------------
   int insert_point(Pt p, int hint = -1) {
+    return insert_point_impl(p, hint, -1, -1);
+  }
+
+  // Split the constrained edge `sei` of triangle `sti` at point p, even
+  // when p (a snapped midpoint) is not exactly on the segment.  Both
+  // halves inherit the winding delta.  Returns the new vertex id, or the
+  // absorbed existing vertex when p coincides with one, or -1 when no
+  // clean split was possible.
+  int split_constrained_edge(int sti, int sei, Pt p) {
+    return insert_point_impl(p, sti, sti, sei);
+  }
+
+  int insert_point_impl(Pt p, int hint, int force_ti, int force_ei) {
     if (p.x < -COORD_LIMIT || p.x > COORD_LIMIT || p.y < -COORD_LIMIT ||
         p.y > COORD_LIMIT)
       throw GeomError("insert_point: coordinate out of range");
-    Loc loc = locate(p, hint);
-    if (loc.kind == 2) return tris[loc.tri].v[loc.sub];
+    Loc loc;
+    if (force_ti >= 0) {
+      loc = Loc{force_ti, 1, force_ei};
+    } else {
+      loc = locate(p, hint);
+      if (loc.kind == 2) return tris[loc.tri].v[loc.sub];
+    }
 
-    int vnew = (int)px.size();
-    px.push_back(p.x);
-    py.push_back(p.y);
-    vtri.push_back(-1);
-
-    // If the point lands on a constrained edge, remember + unmark it.
+    // If the point lands on (or force-splits) a constrained edge,
+    // remember + unmark it.
     int cons_u = -1, cons_v = -1;
     Delta cons_d;
+    bool had_delta = false;
     if (loc.kind == 1 && edge_constrained(loc.tri, loc.sub)) {
       if (!allow_splitting)
         throw GeomError("point insertion would split a constrained edge");
       const Tri& t = tris[loc.tri];
       cons_u = t.v[(loc.sub + 1) % 3];
       cons_v = t.v[(loc.sub + 2) % 3];
+      if (p == pt(cons_u) || p == pt(cons_v)) return -1;
       auto it = cons_delta.find(edge_key(cons_u, cons_v));
       if (it != cons_delta.end()) {
         cons_d = it->second;
+        had_delta = true;
         cons_delta.erase(it);
       }
       unmark_constraint(loc.tri, loc.sub);
     }
+    auto restore_constraint = [&]() {
+      if (cons_u >= 0) {
+        auto [rti, rei] = find_edge(cons_u, cons_v);
+        if (rti >= 0) {
+          tris[rti].cons |= (1 << rei);
+          int rn = tris[rti].nb[rei];
+          if (rn >= 0) {
+            int rj = eidx(tris[rn], cons_u, cons_v);
+            if (rj >= 0) tris[rn].cons |= (1 << rj);
+          }
+        }
+        if (had_delta) cons_delta[edge_key(cons_u, cons_v)] = cons_d;
+      }
+    };
+
+    int vnew = (int)px.size();
+    px.push_back(p.x);
+    py.push_back(p.y);
+    vtri.push_back(-1);
 
     // Seed cavity.
     std::vector<int> cavity;
@@ -265,6 +301,33 @@ class CDT {
       }
     }
 
+    // In forced-split mode the point may coincide with an existing vertex
+    // (e.g. a stray near-edge point from an earlier snap); absorb it into
+    // the constraint chain instead of inserting a duplicate.
+    if (force_ti >= 0) {
+      for (int ti : cavity) {
+        for (int k = 0; k < 3; k++) {
+          int w = tris[ti].v[k];
+          if (pt(w) == p && w != cons_u && w != cons_v) {
+            px.pop_back();
+            py.pop_back();
+            vtri.pop_back();
+            auto [e1, i1] = find_edge(cons_u, w);
+            auto [e2, i2] = find_edge(w, cons_v);
+            if (e1 < 0 || e2 < 0) {
+              restore_constraint();
+              return -1;
+            }
+            mark_edge(cons_u, w,
+                      split_delta(cons_u, w, cons_u, cons_v, cons_d));
+            mark_edge(w, cons_v,
+                      split_delta(w, cons_v, cons_u, cons_v, cons_d));
+            return w;
+          }
+        }
+      }
+    }
+
     // Boundary edges in CCW orientation as seen from inside the cavity.
     struct BEdge {
       int u, w, outer;
@@ -272,14 +335,49 @@ class CDT {
     };
     std::vector<BEdge> boundary;
     boundary.reserve(cavity.size() + 2);
-    for (int ti : cavity) {
-      const Tri& t = tris[ti];
-      for (int i = 0; i < 3; i++) {
-        int n = t.nb[i];
-        if (n >= 0 && in_cavity.count(n)) continue;
-        boundary.push_back(BEdge{t.v[(i + 1) % 3], t.v[(i + 2) % 3], n,
-                                 edge_constrained(ti, i)});
+    bool collect_ok = true;
+    for (int pass = 0; pass < 64; pass++) {
+      boundary.clear();
+      collect_ok = true;
+      size_t cav_size_before = cavity.size();
+      for (int ti : cavity) {
+        const Tri& t = tris[ti];
+        for (int i = 0; i < 3; i++) {
+          int n = t.nb[i];
+          if (n >= 0 && in_cavity.count(n)) continue;
+          int bu = t.v[(i + 1) % 3], bw = t.v[(i + 2) % 3];
+          // Star-shapedness: every boundary edge must be strictly visible
+          // from p.  If not, dig the cavity across it (possible when the
+          // cavity was seeded on a slightly-off-edge forced split).
+          if (orient2d(pt(bu), pt(bw), p) <= 0) {
+            if (n >= 0 && !edge_constrained(ti, i)) {
+              add_cav(n);
+              collect_ok = false;
+              continue;
+            }
+            // Unfixable degeneracy: abort the insertion.
+            px.pop_back();
+            py.pop_back();
+            vtri.pop_back();
+            restore_constraint();
+            if (force_ti < 0)
+              throw GeomError("insert_point: cavity not star-shaped");
+            return -1;
+          }
+          boundary.push_back(
+              BEdge{bu, bw, n, edge_constrained(ti, i)});
+        }
       }
+      if (collect_ok && cavity.size() == cav_size_before) break;
+    }
+    if (!collect_ok) {
+      px.pop_back();
+      py.pop_back();
+      vtri.pop_back();
+      restore_constraint();
+      if (force_ti < 0)
+        throw GeomError("insert_point: cavity not star-shaped");
+      return -1;
     }
 
     for (int ti : cavity) kill_tri(ti);

@@ -324,21 +324,55 @@ class Refiner {
     Pt pu = cdt.pt(u), pv = cdt.pt(v);
     double len = dist(pu, pv);
     if (len < MIN_SEG_LEN * 2) return;  // refuse to split further
+    if (cdt.num_vertices() >= (int)cfg.max_vertices)
+      throw GeomError("refinement exceeded maximum vertex budget");
 
     double frac = 0.5;
     bool au = acute_vertices.count(u), av = acute_vertices.count(v);
     if (au != av) {
       // Shell split: distance from the acute endpoint rounded to a power
-      // of two (in units).
+      // of two (in units) — Shewchuk's concentric-shell rule.
       double half = len / 2;
       double shell = std::pow(2.0, std::round(std::log2(half)));
       shell = std::clamp(shell, MIN_SEG_LEN, len - MIN_SEG_LEN);
       frac = au ? shell / len : 1.0 - shell / len;
     }
-    Pt mid{(i64)llround(pu.x + frac * (pv.x - pu.x)),
-           (i64)llround(pu.y + frac * (pv.y - pu.y))};
-    if (mid == pu || mid == pv) return;
-    insert_and_requeue(mid, ti);
+    // The snapped point usually lies a hair off the exact segment; the
+    // forced-split primitive handles that.  Retry with different
+    // fractions if a clean split is not possible.
+    for (double f : {frac, 0.45, 0.55, 0.4, 0.6}) {
+      Pt mid{(i64)llround(pu.x + f * (pv.x - pu.x)),
+             (i64)llround(pu.y + f * (pv.y - pu.y))};
+      if (mid == pu || mid == pv) continue;
+      int vid = cdt.split_constrained_edge(ti, ei, mid);
+      if (vid >= 0) {
+        requeue_around(vid);
+        return;
+      }
+      // Stale handles after a failed attempt are unlikely but cheap to
+      // refresh.
+      std::tie(ti, ei) = cdt.find_edge(u, v);
+      if (ti < 0 || !cdt.edge_constrained(ti, ei)) return;
+    }
+  }
+
+  // Re-examine the fan around a vertex: requeue bad triangles and check
+  // constrained edges for encroachment.
+  void requeue_around(int vid) {
+    int t0 = cdt.vtri[vid];
+    int cur = t0, guard = 0;
+    do {
+      if (++guard > (1 << 22)) throw GeomError("refine: fan overflow");
+      const CDT::Tri& t = cdt.tris[cur];
+      int i = CDT::vidx(t, vid);
+      consider_triangle(cur);
+      for (int k = 0; k < 3; k++) {
+        if (cdt.edge_constrained(cur, k) && segment_encroached(cur, k))
+          seg_queue.push_back(
+              SegItem{t.v[(k + 1) % 3], t.v[(k + 2) % 3]});
+      }
+      cur = t.nb[(i + 2) % 3];
+    } while (cur != t0 && cur >= 0);
   }
 
   // Insert a vertex, then re-examine the new triangles and their constrained

@@ -1,0 +1,178 @@
+"""FEM stiffness assembly: triangle batches -> ELL sparse operator.
+
+Replaces the reference's per-vertex Python orbit loop + lil_matrix glue
+(solver.py:171-213, 563-575) with one vectorized cotangent computation
+over (F, 3, 2) coordinate batches (device, segment_sum) and a host-side
+structure pass that packs the resulting edge weights into a
+padded ELL layout (row-major (N, K) columns/values) for the SpMV kernel.
+
+Sign conventions follow the reference: the assembled operator here is
+A = -L_reference, i.e. symmetric POSITIVE semidefinite with
+A[i,i] = sum_j w_ij, A[i,j] = -w_ij, where w_ij >= 0 are |cot| edge
+weights (mesh.py:124-139) times layer conductance, plus lumped resistor
+conductances 1/R.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tri_edge_corner_cotans(vertices: jnp.ndarray, triangles: jnp.ndarray) -> jnp.ndarray:
+    """Per-face, per-corner |cot| / 2 contributions.
+
+    vertices: (V, 2), triangles: (F, 3).  Returns (F, 3) where entry
+    [f, k] is the contribution of face f's corner k to the edge OPPOSITE
+    corner k (i.e. edge (k+1, k+2)).
+    """
+    p = vertices[triangles]  # (F, 3, 2)
+    out = []
+    for k in range(3):
+        a = p[:, k]
+        b = p[:, (k + 1) % 3]
+        c = p[:, (k + 2) % 3]
+        u = b - a
+        v = c - a
+        cross = u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
+        dot = (u * v).sum(axis=1)
+        # Signed cotangent (standard P1 stiffness); see
+        # TriMesh.cotan_edge_weights for why abs() is deliberately NOT
+        # applied despite the reference doing so.
+        cot = jnp.where(cross != 0.0, dot / jnp.where(cross != 0.0, cross, 1.0), 0.0)
+        out.append(cot / 2.0)
+    return jnp.stack(out, axis=1)
+
+
+def edge_weights_from_mesh(
+    vertices: jnp.ndarray, triangles: jnp.ndarray, tri_edge_ids: jnp.ndarray,
+    num_edges: int,
+) -> jnp.ndarray:
+    """Device assembly of per-unique-edge cotan weights.
+
+    tri_edge_ids: (F, 3) int — unique-edge index of the edge opposite
+    corner k (host-precomputed structure).  Returns (num_edges,) weights.
+    """
+    contrib = tri_edge_corner_cotans(vertices, triangles)  # (F, 3)
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), tri_edge_ids.reshape(-1), num_segments=num_edges
+    )
+
+
+@dataclass
+class EllMatrix:
+    """Padded ELL sparse matrix (row-major)."""
+
+    cols: np.ndarray  # (N, K) int32; padding entries point at the row itself
+    vals: np.ndarray  # (N, K) float; padding entries are 0
+    diag: np.ndarray  # (N,) float — the diagonal, stored separately
+
+    @property
+    def shape(self):
+        n = len(self.diag)
+        return (n, n)
+
+    def to_device(self, dtype=None):
+        vals = self.vals if dtype is None else self.vals.astype(dtype)
+        diag = self.diag if dtype is None else self.diag.astype(dtype)
+        return (
+            jnp.asarray(self.cols),
+            jnp.asarray(vals),
+            jnp.asarray(diag),
+        )
+
+    def to_scipy(self):
+        import scipy.sparse
+
+        n, k = self.cols.shape
+        rows = np.repeat(np.arange(n), k)
+        coo = scipy.sparse.coo_matrix(
+            (self.vals.reshape(-1), (rows, self.cols.reshape(-1))), shape=(n, n)
+        )
+        return (coo + scipy.sparse.diags(self.diag)).tocsr()
+
+
+def build_ell(
+    n: int,
+    edges: np.ndarray,     # (E, 2) int — undirected, no self loops
+    weights: np.ndarray,   # (E,) float — conductances w_ij >= 0
+) -> EllMatrix:
+    """Pack symmetric graph-Laplacian A (positive semidefinite convention)
+    into ELL: A[i,j] = -w_ij, A[i,i] = sum_j w_ij.
+
+    Duplicate edges are accumulated.  Zero-weight edges are dropped (they
+    do not connect components — matching the reference's `ratio == 0`
+    skip, solver.py:187-190).
+    """
+    edges = np.asarray(edges, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float64)
+    keep = weights != 0.0
+    edges, weights = edges[keep], weights[keep]
+
+    # Merge duplicates (e.g. a resistor in parallel with a mesh edge).
+    if len(edges):
+        key = np.minimum(edges[:, 0], edges[:, 1]) << 32 | np.maximum(
+            edges[:, 0], edges[:, 1]
+        )
+        order = np.argsort(key, kind="stable")
+        key, edges, weights = key[order], edges[order], weights[order]
+        uniq, start = np.unique(key, return_index=True)
+        w_merged = np.add.reduceat(weights, start)
+        edges = edges[start]
+        weights = w_merged
+
+    diag = np.zeros(n, dtype=np.float64)
+    np.add.at(diag, edges[:, 0], weights)
+    np.add.at(diag, edges[:, 1], weights)
+
+    # Off-diagonal entries, both directions.
+    rows = np.concatenate([edges[:, 0], edges[:, 1]])
+    cols = np.concatenate([edges[:, 1], edges[:, 0]])
+    vals = np.concatenate([-weights, -weights])
+
+    counts = np.bincount(rows, minlength=n)
+    K = max(int(counts.max(initial=0)), 1)
+
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    slot = np.arange(len(rows)) - np.concatenate([[0], np.cumsum(counts)])[rows]
+
+    ell_cols = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
+    ell_vals = np.zeros((n, K), dtype=np.float64)
+    ell_cols[rows, slot] = cols
+    ell_vals[rows, slot] = vals
+    return EllMatrix(
+        cols=ell_cols.astype(np.int32), vals=ell_vals, diag=diag
+    )
+
+
+def connected_components(n: int, edges: np.ndarray, weights: np.ndarray):
+    """Union-find components of the weighted graph (w != 0 edges connect).
+
+    Returns (comp_id (n,) int32, num_components).  These are the nullspace
+    blocks of the assembled Laplacian — per-component constant vectors —
+    used by the Schur solve's deflation.
+    """
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for (a, b), w in zip(np.asarray(edges, dtype=np.int64), weights):
+        if w == 0.0:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    roots = np.array([find(i) for i in range(n)])
+    uniq, comp = np.unique(roots, return_inverse=True)
+    return comp.astype(np.int32), len(uniq)

@@ -1,0 +1,188 @@
+"""Bordered saddle-point solve: FEM core + MNA border via Schur complement.
+
+The reference assembles one indefinite sparse system mixing the cotan
+Laplacian with modified-nodal-analysis rows for voltage sources,
+regulators and the ground pin, then calls a direct solver
+(solver.py:469-560, 767-780).  Voltage-source rows have zero diagonal,
+which rules out plain CG.
+
+TPU-native formulation: with L = -A (A SPSD, the assembled Laplacian +
+resistor conductances), C the (sparse) border injection columns, B the
+border constraint rows, the full system
+
+    -A v + C j = r_core
+     B v       = r_border
+
+is reduced by the pseudo-inverse:  v = A^+ (C j - r_core) + Z c, where Z
+spans A's nullspace (per-component constants, p columns).  The unknowns
+(j, c) then satisfy the small dense (m+p) system
+
+    [ B A^+ C    B Z ] [j]   [ r_border + B A^+ r_core ]
+    [ Z^T C      0   ] [c] = [ Z^T r_core              ]
+
+The expensive part is A^+ applied to m+1 vectors — ONE multi-RHS
+deflated PCG (ops.cg).  The dense block is solved with lstsq so that
+ill-posed inputs (floating regions, unterminated current loops — see
+reference SolverWarning, solver.py:880-888) degrade gracefully instead
+of crashing.  A few rounds of full-system iterative refinement polish
+the result to the 1e-9 residual gate.
+
+The regulator's asymmetric gain stamp makes C != B^T in general, which
+this formulation handles without symmetrization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import assembly, cg
+from .spmv import ell_matvec
+
+
+@dataclass
+class BorderSpec:
+    """Sparse description of the MNA border.
+
+    Border variables k = 0..m-1 (voltage sources, regulators, ground pin).
+    Rows:    sum_i B[k, i] v_i = rhs[k]
+    Columns: current injections C[i, k] added to core equations.
+    """
+
+    m: int
+    row_idx: np.ndarray   # (nnzB,) border variable index k
+    row_node: np.ndarray  # (nnzB,) core node i
+    row_val: np.ndarray   # (nnzB,)
+    col_idx: np.ndarray   # (nnzC,) border variable index k
+    col_node: np.ndarray  # (nnzC,) core node i
+    col_val: np.ndarray   # (nnzC,)
+    rhs: np.ndarray       # (m,)
+
+
+@dataclass
+class CoreSystem:
+    """The assembled device-ready system."""
+
+    n: int
+    ell: assembly.EllMatrix
+    comp_id: np.ndarray
+    num_components: int
+    border: BorderSpec
+    r_core: np.ndarray    # (n,)
+    ground_var: int       # border variable index of the ground pin
+
+
+@dataclass
+class BorderedSolution:
+    v: np.ndarray            # (n,) node potentials
+    j: np.ndarray            # (m,) border currents
+    residual_norm: float     # || full system residual ||
+    ground_current: float
+    cg_iterations: int
+    refinement_steps: int
+
+
+def _dense_border(system: CoreSystem):
+    """Materialize B (m, n) rows / C (n, m) columns as dense jnp arrays.
+    m is small (sources + ground), so dense is cheap and jit-friendly."""
+    b = system.border
+    n, m = system.n, b.m
+    B = jnp.zeros((m, n), dtype=jnp.float64)
+    B = B.at[b.row_idx, b.row_node].add(b.row_val)
+    C = jnp.zeros((n, m), dtype=jnp.float64)
+    C = C.at[b.col_node, b.col_idx].add(b.col_val)
+    return B, C
+
+
+def solve_bordered(
+    system: CoreSystem,
+    tol: float = 1e-14,
+    maxiter: int = 40000,
+    max_refinements: int = 8,
+    target_residual: float = 1e-10,
+) -> BorderedSolution:
+    """Solve the full bordered system.  Host-side driver around jitted
+    device stages; the refinement loop reuses the same CG machinery."""
+    n, m = system.n, system.border.m
+    cols, vals, diag = system.ell.to_device()
+    comp_id = jnp.asarray(system.comp_id)
+    p = system.num_components
+    B, C = _dense_border(system)
+
+    project = cg.make_projector(comp_id, p)
+    counts = np.bincount(system.comp_id, minlength=p).astype(np.float64)
+
+    # Z^T y  == per-component sums; (p, R) for multi-RHS y.
+    def zt(y):
+        return jax.ops.segment_sum(y, comp_id, num_segments=p)
+
+    r_core = jnp.asarray(system.r_core)
+    r_border = jnp.asarray(system.border.rhs)
+
+    total_cg_iters = 0
+
+    def solve_once(rc, rb):
+        """One pass of the Schur pipeline for core rhs rc, border rhs rb."""
+        nonlocal total_cg_iters
+        # RHS block: [C | rc] -> A^+ of each column.
+        rhs = jnp.concatenate([C, rc[:, None]], axis=1)  # (n, m+1)
+        res = cg.pcg(cols, vals, diag, rhs, comp_id, p, tol=tol, maxiter=maxiter)
+        total_cg_iters += int(res.iterations)
+        X = res.x                      # (n, m+1): [A^+ C | A^+ rc]
+        Xc, xr = X[:, :m], X[:, m]
+
+        BXc = B @ Xc                   # (m, m)
+        Bxr = B @ xr                   # (m,)
+        BZ = jax.ops.segment_sum((B.T), comp_id, num_segments=p).T  # (m, p)
+        ZtC = zt(C)                    # (p, m)
+        Ztr = zt(rc[:, None])[:, 0]    # (p,)
+
+        top = jnp.concatenate([BXc, BZ], axis=1)                   # (m, m+p)
+        bot = jnp.concatenate([ZtC, jnp.zeros((p, p))], axis=1)     # (p, m+p)
+        M = jnp.concatenate([top, bot], axis=0)
+        rhs_small = jnp.concatenate([rb + Bxr, Ztr])
+        sol, *_ = jnp.linalg.lstsq(M, rhs_small, rcond=None)
+        j, c = sol[:m], sol[m:]
+        v = Xc @ j - xr + c[comp_id]
+        return v, j
+
+    v, j = solve_once(r_core, r_border)
+
+    def full_residual(v, j):
+        # core: r_core - (-A v + C j);  border: r_border - B v
+        av = ell_matvec(cols, vals, diag, v[:, None])[:, 0]
+        res_core = r_core + av - C @ j
+        res_border = r_border - B @ v
+        return res_core, res_border
+
+    refinements = 0
+    res_core, res_border = full_residual(v, j)
+    res_norm = float(
+        jnp.sqrt((res_core**2).sum() + (res_border**2).sum())
+    )
+    while res_norm > target_residual and refinements < max_refinements:
+        dv, dj = solve_once(res_core, res_border)
+        v_new = v + dv
+        j_new = j + dj
+        rc_new, rb_new = full_residual(v_new, j_new)
+        new_norm = float(jnp.sqrt((rc_new**2).sum() + (rb_new**2).sum()))
+        refinements += 1
+        if new_norm >= res_norm:
+            break  # no progress; keep the better iterate
+        v, j = v_new, j_new
+        res_core, res_border = rc_new, rb_new
+        res_norm = new_norm
+
+    gc = float(j[system.ground_var]) if m > 0 else 0.0
+    return BorderedSolution(
+        v=np.asarray(v),
+        j=np.asarray(j),
+        residual_norm=res_norm,
+        ground_current=gc,
+        cg_iterations=total_cg_iters,
+        refinement_steps=refinements,
+    )

@@ -1,0 +1,573 @@
+"""Solver pipeline: connectivity, meshing, system assembly, solve, fields.
+
+Orchestrates the host-side pre-passes (geometric connectivity, mesh
+generation, node indexing — cheap and irregular, reference
+solver.py:55-466) and hands the numerical work to the device core in
+padne_tpu.ops (assembly, deflated multi-RHS PCG + Schur border,
+post-processing).
+
+Variable layout matches the reference system ordering
+(solver.py:748-764) so the full sparse system can be cross-checked
+against scipy entry by entry:
+
+    [ mesh vertices... | internal nodes... ]  -> "core" (size n)
+    [ extra source variables... | ground ]    -> "border" (size m)
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from . import geom, mesh, problem
+
+log = logging.getLogger(__name__)
+
+DTYPE = np.float64
+
+
+class SolverWarning(Warning):
+    """Non-fatal solver diagnostics (e.g. nonzero ground current),
+    parity with reference solver.py:24-30."""
+
+
+@dataclass(frozen=True)
+class SolverInfo:
+    ground_node_current: float
+    residual_norm: float
+    cg_iterations: int = 0
+    system_size: int = 0
+    refinement_steps: int = 0
+
+
+@dataclass
+class LayerSolution:
+    meshes: list[mesh.TriMesh]
+    potentials: list[mesh.ZeroForm]
+    power_densities: list[mesh.TwoForm] = field(default_factory=list)
+    disconnected_meshes: list[mesh.TriMesh] = field(default_factory=list)
+
+
+@dataclass
+class Solution:
+    problem: problem.Problem
+    layer_solutions: list[LayerSolution]
+    solver_info: SolverInfo
+
+
+# ---------------------------------------------------------------------------
+# Connectivity pre-pass (host; reference solver.py:55-148)
+# ---------------------------------------------------------------------------
+def construct_indices_from_layers(layers: list[problem.Layer]) -> list[geom.BBoxIndex]:
+    return [geom.BBoxIndex(layer.geoms) for layer in layers]
+
+
+class ConnectivityGraph:
+    """Graph over (layer_i, geom_i) copper polygons, wired together by the
+    lumped networks; source-bearing networks mark roots."""
+
+    def __init__(self, num_nodes_per_layer: list[int]):
+        self.offsets = np.concatenate([[0], np.cumsum(num_nodes_per_layer)])
+        total = int(self.offsets[-1])
+        self.adj: list[set[int]] = [set() for _ in range(total)]
+        self.is_root = np.zeros(total, dtype=bool)
+
+    def node(self, layer_i: int, geom_i: int) -> int:
+        return int(self.offsets[layer_i]) + geom_i
+
+    @classmethod
+    def create_from_problem(
+        cls, prob: problem.Problem, indices: list[geom.BBoxIndex]
+    ) -> "ConnectivityGraph":
+        g = cls([len(layer.geoms) for layer in prob.layers])
+        layer_pos = {id(layer): i for i, layer in enumerate(prob.layers)}
+        for network in prob.networks:
+            nodes_here = []
+            for conn in network.connections:
+                layer_i = layer_pos[id(conn.layer)]
+                for geom_i in indices[layer_i].query_point(conn.point):
+                    if not conn.layer.geoms[geom_i].intersects(conn.point):
+                        continue
+                    nid = g.node(layer_i, int(geom_i))
+                    nodes_here.append(nid)
+                    if network.has_source:
+                        g.is_root[nid] = True
+            for a in nodes_here:
+                for b in nodes_here:
+                    if a != b:
+                        g.adj[a].add(b)
+        return g
+
+    def compute_connected_nodes(self) -> set[int]:
+        open_set = set(np.nonzero(self.is_root)[0].tolist())
+        closed: set[int] = set()
+        while open_set:
+            n = open_set.pop()
+            closed.add(n)
+            for nb in self.adj[n]:
+                if nb not in closed:
+                    open_set.add(nb)
+        return closed
+
+    def connected_layer_geom_pairs(self) -> set[tuple[int, int]]:
+        pairs = set()
+        for n in self.compute_connected_nodes():
+            layer_i = int(np.searchsorted(self.offsets, n, side="right")) - 1
+            pairs.add((layer_i, n - int(self.offsets[layer_i])))
+        return pairs
+
+
+def compute_connectivity(prob: problem.Problem):
+    """Returns (bbox_indices, graph, connected_layer_geom_pairs)."""
+    indices = construct_indices_from_layers(prob.layers)
+    g = ConnectivityGraph.create_from_problem(prob, indices)
+    return indices, g, g.connected_layer_geom_pairs()
+
+
+# ---------------------------------------------------------------------------
+# Meshing orchestration (reference solver.py:151-347)
+# ---------------------------------------------------------------------------
+def collect_seed_points(prob: problem.Problem, layer: problem.Layer) -> list[geom.Point]:
+    return [
+        conn.point
+        for network in prob.networks
+        for conn in network.connections
+        if conn.layer is layer
+    ]
+
+
+def generate_meshes_for_problem(
+    prob: problem.Problem,
+    mesher: mesh.Mesher,
+    connected_pairs: set[tuple[int, int]],
+    indices: list[geom.BBoxIndex],
+):
+    meshes: list[mesh.TriMesh] = []
+    mesh_to_layer: list[int] = []
+    for layer_i, layer in enumerate(prob.layers):
+        seeds = collect_seed_points(prob, layer)
+        geom_seeds: dict[int, list[geom.Point]] = {}
+        for sp in seeds:
+            for geom_i in indices[layer_i].query_point(sp):
+                geom_i = int(geom_i)
+                if (layer_i, geom_i) not in connected_pairs:
+                    continue
+                # Interior-only: boundary connection points must already be
+                # polygon vertices (reference invariant, solver.py:299-308).
+                if not layer.geoms[geom_i].contains(sp):
+                    continue
+                geom_seeds.setdefault(geom_i, []).append(sp)
+        for geom_i, g in enumerate(layer.geoms):
+            if (layer_i, geom_i) not in connected_pairs:
+                continue
+            m = mesher.poly_to_mesh(g, geom_seeds.get(geom_i, []))
+            meshes.append(m)
+            mesh_to_layer.append(layer_i)
+    return meshes, mesh_to_layer
+
+
+def generate_disconnected_meshes(
+    prob: problem.Problem, connected_pairs: set[tuple[int, int]]
+) -> list[list[mesh.TriMesh]]:
+    relaxed = mesh.Mesher(mesh.Mesher.Config.RELAXED)
+    out: list[list[mesh.TriMesh]] = [[] for _ in prob.layers]
+    for layer_i, layer in enumerate(prob.layers):
+        for geom_i, g in enumerate(layer.geoms):
+            if (layer_i, geom_i) in connected_pairs:
+                continue
+            out[layer_i].append(relaxed.poly_to_mesh(g))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Indexing (reference solver.py:216-229, 350-466)
+# ---------------------------------------------------------------------------
+@dataclass
+class VertexIndexer:
+    """Global vertex index = mesh_offsets[mesh_i] + local index."""
+
+    mesh_offsets: np.ndarray  # (num_meshes + 1,)
+
+    @classmethod
+    def create(cls, meshes: list[mesh.TriMesh]) -> "VertexIndexer":
+        sizes = [m.num_vertices for m in meshes]
+        return cls(mesh_offsets=np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64))
+
+    @property
+    def total(self) -> int:
+        return int(self.mesh_offsets[-1])
+
+    def global_index(self, mesh_i: int, vertex_i: int) -> int:
+        return int(self.mesh_offsets[mesh_i]) + vertex_i
+
+
+def network_has_a_dead_terminal(
+    network: problem.Network,
+    prob: problem.Problem,
+    connected_pairs: set[tuple[int, int]],
+    indices: list[geom.BBoxIndex],
+) -> bool:
+    layer_pos = {id(layer): i for i, layer in enumerate(prob.layers)}
+    for conn in network.connections:
+        layer_i = layer_pos[id(conn.layer)]
+        for geom_i in indices[layer_i].query_point(conn.point):
+            geom_i = int(geom_i)
+            if (layer_i, geom_i) in connected_pairs:
+                continue
+            if not conn.layer.geoms[geom_i].intersects(conn.point):
+                continue
+            return True
+    return False
+
+
+def filter_dead_networks(
+    prob: problem.Problem,
+    indices: list[geom.BBoxIndex],
+    connected_pairs: set[tuple[int, int]],
+) -> list[problem.Network]:
+    """Drop networks with any terminal on dead copper (reference
+    solver.py:654-668)."""
+    return [
+        net
+        for net in prob.networks
+        if not network_has_a_dead_terminal(net, prob, connected_pairs, indices)
+    ]
+
+
+@dataclass
+class NodeIndexer:
+    """Maps NodeIDs to global system indices.
+
+    Connection nodes snap to the nearest mesh vertex on their layer
+    (KD-tree, reference solver.py:350-466); internal nodes get fresh
+    indices after all mesh vertices.
+    """
+
+    node_to_index: dict
+    internal_node_count: int
+    core_size: int
+
+    @classmethod
+    def create(
+        cls,
+        prob: problem.Problem,
+        meshes: list[mesh.TriMesh],
+        mesh_to_layer: list[int],
+        vindex: VertexIndexer,
+        networks: list[problem.Network],
+    ) -> "NodeIndexer":
+        import scipy.spatial
+
+        layer_pos = {id(layer): i for i, layer in enumerate(prob.layers)}
+        # KD-tree per layer over all mesh vertices of that layer.
+        layer_trees = {}
+        layer_globals = {}
+        for layer_i in range(len(prob.layers)):
+            pts = []
+            gids = []
+            for mesh_i, m in enumerate(meshes):
+                if mesh_to_layer[mesh_i] != layer_i:
+                    continue
+                base = vindex.mesh_offsets[mesh_i]
+                pts.append(m.vertices)
+                gids.append(np.arange(base, base + m.num_vertices))
+            if not pts:
+                continue
+            layer_trees[layer_i] = scipy.spatial.cKDTree(
+                np.concatenate(pts), leafsize=32
+            )
+            layer_globals[layer_i] = np.concatenate(gids)
+
+        node_to_index: dict = {}
+        for network in networks:
+            for conn in network.connections:
+                layer_i = layer_pos[id(conn.layer)]
+                if layer_i not in layer_trees:
+                    continue
+                _, k = layer_trees[layer_i].query([conn.point.x, conn.point.y])
+                gidx = int(layer_globals[layer_i][k])
+                prev = node_to_index.get(conn.node_id)
+                if prev is not None and prev != gidx:
+                    raise ValueError(
+                        "Duplicate connection vertices found, this should not happen."
+                    )
+                node_to_index[conn.node_id] = gidx
+
+        # Internal nodes (terminals with no connection).
+        internal = [
+            node
+            for network in networks
+            for node in network.nodes
+            if node not in node_to_index
+        ]
+        at = vindex.total
+        for node in internal:
+            node_to_index[node] = at
+            at += 1
+        return cls(
+            node_to_index=node_to_index,
+            internal_node_count=len(internal),
+            core_size=at,
+        )
+
+
+# ---------------------------------------------------------------------------
+# System assembly (host structure + device values; reference 469-560)
+# ---------------------------------------------------------------------------
+def assemble_core_system(
+    prob: problem.Problem,
+    meshes: list[mesh.TriMesh],
+    mesh_to_layer: list[int],
+    vindex: VertexIndexer,
+    networks: list[problem.Network],
+    node_indexer: NodeIndexer,
+):
+    """Build the CoreSystem (ELL Laplacian + MNA border spec)."""
+    from .ops import assembly as ops_assembly
+    from .ops import schur as ops_schur
+
+    n = node_indexer.core_size
+
+    # Mesh edges with conductance-scaled cotan weights.
+    edge_list = []
+    weight_list = []
+    for mesh_i, m in enumerate(meshes):
+        conductance = prob.layers[mesh_to_layer[mesh_i]].conductance
+        base = int(vindex.mesh_offsets[mesh_i])
+        edge_list.append(m.edges.astype(np.int64) + base)
+        weight_list.append(m.cotan_edge_weights * conductance)
+
+    # Lumped resistor stamps are conductance edges in the same operator.
+    border_rows = []  # (k, node, val)
+    border_cols = []
+    border_rhs = []
+    extra_var_elements = []
+
+    for network in networks:
+        for element in network.elements:
+            if isinstance(element, problem.Resistor):
+                ia = node_indexer.node_to_index[element.a]
+                ib = node_indexer.node_to_index[element.b]
+                if ia != ib:
+                    edge_list.append(np.array([[ia, ib]], dtype=np.int64))
+                    weight_list.append(np.array([1.0 / element.resistance]))
+            elif isinstance(element, problem.CurrentSource):
+                pass  # handled in rhs below
+            elif isinstance(element, problem.VoltageSource):
+                k = len(extra_var_elements)
+                extra_var_elements.append(element)
+                ip = node_indexer.node_to_index[element.p]
+                inn = node_indexer.node_to_index[element.n]
+                border_rows += [(k, ip, 1.0), (k, inn, -1.0)]
+                border_cols += [(k, ip, 1.0), (k, inn, -1.0)]
+                border_rhs.append(element.voltage)
+            elif isinstance(element, problem.VoltageRegulator):
+                k = len(extra_var_elements)
+                extra_var_elements.append(element)
+                ip = node_indexer.node_to_index[element.v_p]
+                inn = node_indexer.node_to_index[element.v_n]
+                isf = node_indexer.node_to_index[element.s_f]
+                ist = node_indexer.node_to_index[element.s_t]
+                border_rows += [(k, ip, 1.0), (k, inn, -1.0)]
+                border_cols += [
+                    (k, ip, 1.0),
+                    (k, inn, -1.0),
+                    (k, isf, element.gain),
+                    (k, ist, -element.gain),
+                ]
+                border_rhs.append(element.voltage)
+            else:
+                raise NotImplementedError(f"Unsupported element {element}")
+
+    # Current sources -> core RHS (reference sign: r[i_f] += I, r[i_t] -= I).
+    r_core = np.zeros(n, dtype=DTYPE)
+    for network in networks:
+        for element in network.elements:
+            if isinstance(element, problem.CurrentSource):
+                r_core[node_indexer.node_to_index[element.f]] += element.current
+                r_core[node_indexer.node_to_index[element.t]] -= element.current
+
+    # Ground pin: highest-voltage source's negative terminal (reference
+    # solver.py:544-560, 671-686), default node 0.
+    ground_node = 0
+    best_v = -np.inf
+    for network in networks:
+        for element in network.elements:
+            if isinstance(element, problem.VoltageSource) and element.voltage > best_v:
+                best_v = element.voltage
+                ground_node = node_indexer.node_to_index[element.n]
+    g = len(extra_var_elements)
+    border_rows.append((g, ground_node, 1.0))
+    border_cols.append((g, ground_node, 1.0))
+    border_rhs.append(0.0)
+
+    if edge_list:
+        edges = np.concatenate(edge_list)
+        weights = np.concatenate(weight_list)
+    else:
+        edges = np.zeros((0, 2), dtype=np.int64)
+        weights = np.zeros(0, dtype=DTYPE)
+
+    ell = ops_assembly.build_ell(n, edges, weights)
+    comp_id, num_comp = ops_assembly.connected_components(n, edges, weights)
+
+    border = ops_schur.BorderSpec(
+        m=g + 1,
+        row_idx=np.array([x[0] for x in border_rows], dtype=np.int64),
+        row_node=np.array([x[1] for x in border_rows], dtype=np.int64),
+        row_val=np.array([x[2] for x in border_rows], dtype=DTYPE),
+        col_idx=np.array([x[0] for x in border_cols], dtype=np.int64),
+        col_node=np.array([x[1] for x in border_cols], dtype=np.int64),
+        col_val=np.array([x[2] for x in border_cols], dtype=DTYPE),
+        rhs=np.array(border_rhs, dtype=DTYPE),
+    )
+    system = ops_schur.CoreSystem(
+        n=n,
+        ell=ell,
+        comp_id=comp_id,
+        num_components=num_comp,
+        border=border,
+        r_core=r_core,
+        ground_var=g,
+    )
+    return system, extra_var_elements
+
+
+def system_to_scipy(system) -> tuple:
+    """Full sparse system in reference layout [core | border] for
+    cross-checking against a scipy direct solve: L z = r with
+    L = [[-A, C], [B, 0]]."""
+    import scipy.sparse
+
+    n, m = system.n, system.border.m
+    A = system.ell.to_scipy()
+    b = system.border
+    C = scipy.sparse.coo_matrix(
+        (b.col_val, (b.col_node, b.col_idx)), shape=(n, m)
+    )
+    B = scipy.sparse.coo_matrix(
+        (b.row_val, (b.row_idx, b.row_node)), shape=(m, n)
+    )
+    L = scipy.sparse.bmat([[-A, C], [B, None]], format="csc")
+    r = np.concatenate([system.r_core, b.rhs])
+    return L, r
+
+
+# ---------------------------------------------------------------------------
+# Post-processing (device; reference solver.py:578-615, 689-745)
+# ---------------------------------------------------------------------------
+def produce_layer_solutions(
+    layers, vindex, meshes, mesh_to_layer, v, disconnected_by_layer
+) -> list[LayerSolution]:
+    import jax.numpy as jnp
+
+    from .ops import postproc
+
+    layer_solutions = []
+    for layer_i, layer in enumerate(layers):
+        l_meshes, l_pots, l_power = [], [], []
+        for mesh_i, m in enumerate(meshes):
+            if mesh_to_layer[mesh_i] != layer_i:
+                continue
+            base = int(vindex.mesh_offsets[mesh_i])
+            vals = v[base : base + m.num_vertices]
+            zf = mesh.ZeroForm(m, vals)
+            pd = postproc.power_density(
+                jnp.asarray(m.vertices),
+                jnp.asarray(m.triangles),
+                jnp.asarray(vals),
+                layer.conductance,
+            )
+            l_meshes.append(m)
+            l_pots.append(zf)
+            l_power.append(mesh.TwoForm(m, np.asarray(pd)))
+        layer_solutions.append(
+            LayerSolution(
+                meshes=l_meshes,
+                potentials=l_pots,
+                power_densities=l_power,
+                disconnected_meshes=disconnected_by_layer[layer_i],
+            )
+        )
+    return layer_solutions
+
+
+# ---------------------------------------------------------------------------
+# Top-level solve (reference solver.py:815-902)
+# ---------------------------------------------------------------------------
+def solve(
+    prob: problem.Problem,
+    mesher_config: Optional[mesh.Mesher.Config] = None,
+    check_against_scipy: bool = False,
+) -> Solution:
+    from .ops import schur as ops_schur
+
+    mesher = mesh.Mesher(mesher_config)
+
+    log.info("Constructing connectivity graph and finding connected layers")
+    indices, _, connected_pairs = compute_connectivity(prob)
+
+    log.info("Meshing the connected components")
+    meshes, mesh_to_layer = generate_meshes_for_problem(
+        prob, mesher, connected_pairs, indices
+    )
+
+    log.info("Meshing the disconnected components")
+    disconnected = generate_disconnected_meshes(prob, connected_pairs)
+
+    log.info("Indexing vertices and connections")
+    vindex = VertexIndexer.create(meshes)
+
+    filtered = filter_dead_networks(prob, indices, connected_pairs)
+    log.info(f"Filtered networks: {len(filtered)}/{len(prob.networks)}")
+
+    node_indexer = NodeIndexer.create(prob, meshes, mesh_to_layer, vindex, filtered)
+
+    log.info("Assembling the global system")
+    system, _ = assemble_core_system(
+        prob, meshes, mesh_to_layer, vindex, filtered, node_indexer
+    )
+    log.info(
+        f"System: {system.n} core + {system.border.m} border variables, "
+        f"{system.num_components} components"
+    )
+
+    log.info("Solving the system (deflated PCG + Schur border)")
+    result = ops_schur.solve_bordered(system)
+
+    if check_against_scipy:
+        import scipy.sparse.linalg
+
+        L, r = system_to_scipy(system)
+        z_ref = scipy.sparse.linalg.spsolve(L, r)
+        dv = np.abs(z_ref[: system.n] - result.v).max()
+        log.info(f"Max |dV| vs scipy direct solve: {dv:.3e}")
+
+    info = SolverInfo(
+        ground_node_current=result.ground_current,
+        residual_norm=result.residual_norm,
+        cg_iterations=result.cg_iterations,
+        system_size=system.n + system.border.m,
+        refinement_steps=result.refinement_steps,
+    )
+
+    if not np.isclose(info.ground_node_current, 0):
+        warnings.warn(
+            f"Ground node current is not zero ({info.ground_node_current} A), "
+            "this may indicate an issue with the problem being solved. "
+            "Check for unterminated current loops or floating connected "
+            "components.",
+            SolverWarning,
+        )
+
+    log.info("Producing the solution object")
+    layer_solutions = produce_layer_solutions(
+        prob.layers, vindex, meshes, mesh_to_layer, result.v, disconnected
+    )
+    return Solution(
+        problem=prob, layer_solutions=layer_solutions, solver_info=info
+    )

@@ -1,0 +1,203 @@
+"""Interactive solution viewer.
+
+The reference ships a Qt6/OpenGL application (ui.py, 2.3k LoC).  This
+framework's primary interactive viewer is matplotlib-based (always
+available in scientific environments, works over X11/ssh/notebooks) and
+shares its rendering model with the zero-dependency WebGL HTML export
+(padne_tpu.io.htmlview) for production use.
+
+Features (parity targets from the reference viewer):
+  * per-layer display with keyboard switching (keys 1..9)
+  * Potential / Power density rendering modes (key m), plasma / inferno
+    colormaps respectively (ui.py:959-976)
+  * disconnected copper drawn in gray (ui.py:700-707)
+  * click to probe the nearest vertex value (status line, V formatting
+    via padne_tpu.units)
+  * min/max color-scale setting from probed points (keys n / x, reset r)
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from . import solver as solver_mod
+from . import units
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class RenderingMode:
+    name: str
+    unit: str
+    cmap_name: str
+
+    def values_for(self, ls: solver_mod.LayerSolution, mesh_idx: int):
+        if self.name == "Potential":
+            return ls.potentials[mesh_idx].values, "vertex"
+        return ls.power_densities[mesh_idx].values, "face"
+
+
+MODES = [
+    RenderingMode("Potential", "V", "plasma"),
+    RenderingMode("Power Density", "W/mm²", "inferno"),
+]
+
+
+class SolutionViewer:
+    """Matplotlib figure wrapping one Solution."""
+
+    def __init__(self, solution: solver_mod.Solution):
+        import matplotlib.pyplot as plt
+
+        self.solution = solution
+        self.layer_idx = 0
+        self.mode_idx = 0
+        self.scale_override: Optional[tuple[float, float]] = None
+        self.last_probe: Optional[float] = None
+        self.fig, self.ax = plt.subplots(figsize=(10, 8))
+        self.fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.fig.canvas.mpl_connect("button_press_event", self.on_click)
+        self.redraw()
+
+    # -- data access --------------------------------------------------------
+    @property
+    def layer_solution(self) -> solver_mod.LayerSolution:
+        return self.solution.layer_solutions[self.layer_idx]
+
+    @property
+    def mode(self) -> RenderingMode:
+        return MODES[self.mode_idx]
+
+    def value_range(self):
+        if self.scale_override:
+            return self.scale_override
+        vals = []
+        for mi in range(len(self.layer_solution.meshes)):
+            v, _ = self.mode.values_for(self.layer_solution, mi)
+            if len(v):
+                vals.append((v.min(), v.max()))
+        if not vals:
+            return (0.0, 1.0)
+        lo = min(v[0] for v in vals)
+        hi = max(v[1] for v in vals)
+        return (lo, hi if hi > lo else lo + 1e-12)
+
+    # -- drawing ------------------------------------------------------------
+    def redraw(self):
+        self.ax.clear()
+        ls = self.layer_solution
+        vmin, vmax = self.value_range()
+        tp = None
+        for m in ls.disconnected_meshes:
+            self.ax.tripcolor(
+                m.vertices[:, 0], -m.vertices[:, 1], m.triangles,
+                facecolors=np.zeros(m.num_faces),
+                cmap="gray", vmin=-1, vmax=1, alpha=0.6,
+            )
+        for mi, m in enumerate(ls.meshes):
+            vals, kind = self.mode.values_for(ls, mi)
+            if kind == "vertex":
+                tp = self.ax.tripcolor(
+                    m.vertices[:, 0], -m.vertices[:, 1], m.triangles, vals,
+                    shading="gouraud", cmap=self.mode.cmap_name,
+                    vmin=vmin, vmax=vmax,
+                )
+            else:
+                tp = self.ax.tripcolor(
+                    m.vertices[:, 0], -m.vertices[:, 1], m.triangles,
+                    facecolors=vals, cmap=self.mode.cmap_name,
+                    vmin=vmin, vmax=vmax,
+                )
+        layer_name = self.solution.problem.layers[self.layer_idx].name
+        lo = units.Value(vmin, self.mode.unit).pretty_format()
+        hi = units.Value(vmax, self.mode.unit).pretty_format()
+        self.ax.set_title(
+            f"{layer_name} — {self.mode.name} [{lo} .. {hi}]\n"
+            "keys: 1-9 layer, m mode, n/x set min/max from probe, r reset"
+        )
+        self.ax.set_aspect("equal")
+        if tp is not None and not getattr(self, "_cbar", None):
+            self._cbar = self.fig.colorbar(tp, ax=self.ax, fraction=0.04)
+        self.fig.canvas.draw_idle()
+
+    # -- interaction --------------------------------------------------------
+    def on_key(self, event):
+        if event.key and event.key.isdigit():
+            idx = int(event.key) - 1
+            if 0 <= idx < len(self.solution.layer_solutions):
+                self.layer_idx = idx
+                self.redraw()
+        elif event.key == "m":
+            self.mode_idx = (self.mode_idx + 1) % len(MODES)
+            self.redraw()
+        elif event.key == "r":
+            self.scale_override = None
+            self.redraw()
+        elif event.key in ("n", "x") and self.last_probe is not None:
+            lo, hi = self.value_range()
+            if event.key == "n":
+                self.scale_override = (self.last_probe, hi)
+            else:
+                self.scale_override = (lo, self.last_probe)
+            self.redraw()
+
+    def on_click(self, event):
+        if event.xdata is None:
+            return
+        x, y = float(event.xdata), -float(event.ydata)
+        ls = self.layer_solution
+        best = (np.inf, None)
+        for mi, m in enumerate(ls.meshes):
+            d = np.hypot(m.vertices[:, 0] - x, m.vertices[:, 1] - y)
+            k = int(np.argmin(d)) if len(d) else None
+            if k is not None and d[k] < best[0]:
+                vals, kind = self.mode.values_for(ls, mi)
+                value = (
+                    float(vals[k]) if kind == "vertex"
+                    else float(vals[min(k, len(vals) - 1)])
+                )
+                best = (float(d[k]), value)
+        if best[1] is not None:
+            self.last_probe = best[1]
+            txt = units.Value(best[1], self.mode.unit).pretty_format(4)
+            log.info("Probe at (%.3f, %.3f): %s", x, y, txt)
+            self.ax.set_xlabel(f"probe: {txt}")
+            self.fig.canvas.draw_idle()
+
+
+def main(solution: solver_mod.Solution, captured_warnings=None) -> int:
+    """Open the viewer.  Falls back to writing an HTML viewer next to the
+    CWD when no interactive display is available."""
+    captured_warnings = captured_warnings or []
+    for w in captured_warnings:
+        log.warning("Solver warning: %s", w.message)
+
+    try:
+        import matplotlib
+
+        backend = matplotlib.get_backend().lower()
+        headless = "agg" in backend and "webagg" not in backend
+    except Exception:
+        headless = True
+
+    if headless:
+        from .io import htmlview
+
+        out = "padne_tpu_view.html"
+        htmlview.export_html(solution, out)
+        print(
+            f"No interactive display available; wrote standalone viewer to "
+            f"{out} — open it in any browser."
+        )
+        return 0
+
+    import matplotlib.pyplot as plt
+
+    SolutionViewer(solution)
+    plt.show()
+    return 0

@@ -1,0 +1,193 @@
+"""Generate minimal KiCad fixture boards for standalone testing.
+
+Emits .kicad_pcb / .kicad_sch / .kicad_pro triples in current KiCad 8
+syntax so the loader's file-parsing path is exercised without relying on
+the reference repository's fixture boards.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+PCB_HEADER = """(kicad_pcb
+  (version 20240108)
+  (generator "pcbnew")
+  (generator_version "8.0")
+  (general (thickness 1.6) (legacy_teardrops no))
+  (paper "A4")
+  (layers
+    (0 "F.Cu" signal)
+    (31 "B.Cu" signal)
+    (36 "B.SilkS" user "B.Silkscreen")
+    (37 "F.SilkS" user "F.Silkscreen")
+    (44 "Edge.Cuts" user)
+  )
+  (setup
+    (stackup
+      (layer "F.Cu" (type "copper") (thickness 0.035))
+      (layer "dielectric 1" (type "core") (thickness 1.51) (material "FR4"))
+      (layer "B.Cu" (type "copper") (thickness 0.035))
+    )
+    (pad_to_mask_clearance 0)
+  )
+  (net 0 "")
+  (net 1 "N1")
+"""
+
+
+def sch_with_text(texts: list[str]) -> str:
+    body = "".join(
+        f'  (text "{t}" (at 100 {50 + 10 * i} 0) '
+        f'(effects (font (size 1.27 1.27))) '
+        f'(uuid "0000000-0000-0000-0000-00000000a{i:03d}"))\n'
+        for i, t in enumerate(texts)
+    )
+    return (
+        '(kicad_sch\n  (version 20231120)\n  (generator "eeschema")\n'
+        '  (generator_version "8.0")\n'
+        '  (uuid "11111111-1111-1111-1111-111111111111")\n'
+        '  (paper "A4")\n' + body + ")\n"
+    )
+
+
+def footprint(ref: str, x: float, y: float, angle: float, pads: list[dict],
+              layer: str = "F.Cu") -> str:
+    pad_text = ""
+    for p in pads:
+        kind = p.get("kind", "smd")
+        shape = p.get("shape", "rect")
+        size = p.get("size", (1.0, 1.0))
+        at = p.get("at", (0, 0))
+        players = p.get("layers", f'"{layer}"')
+        drill = f" (drill {p['drill']})" if "drill" in p else ""
+        pad_text += (
+            f'    (pad "{p["name"]}" {kind} {shape} '
+            f"(at {at[0]} {at[1]}) (size {size[0]} {size[1]}){drill} "
+            f"(layers {players}) (net 1 \"N1\"))\n"
+        )
+    return (
+        f'  (footprint "Test:FP_{ref}"\n'
+        f'    (layer "{layer}")\n'
+        f'    (at {x} {y} {angle})\n'
+        f'    (property "Reference" "{ref}" (at 0 -2 0) (layer "F.SilkS")'
+        f' (effects (font (size 1 1))))\n'
+        + pad_text
+        + "  )\n"
+    )
+
+
+def segment(x0, y0, x1, y1, w, layer="F.Cu") -> str:
+    return (
+        f"  (segment (start {x0} {y0}) (end {x1} {y1}) (width {w}) "
+        f'(layer "{layer}") (net 1))\n'
+    )
+
+
+def via(x, y, size, drill) -> str:
+    return (
+        f"  (via (at {x} {y}) (size {size}) (drill {drill}) "
+        f'(layers "F.Cu" "B.Cu") (net 1))\n'
+    )
+
+
+def gr_rect(x0, y0, x1, y1, layer="Edge.Cuts") -> str:
+    return (
+        f"  (gr_rect (start {x0} {y0}) (end {x1} {y1}) "
+        f'(stroke (width 0.05) (type default)) (fill none) (layer "{layer}"))\n'
+    )
+
+
+def zone(layer: str, outline: list, fill: list) -> str:
+    pts = " ".join(f"(xy {x} {y})" for x, y in outline)
+    fpts = " ".join(f"(xy {x} {y})" for x, y in fill)
+    return (
+        f'  (zone (net 1) (net_name "N1") (layer "{layer}") (hatch edge 0.5)\n'
+        "    (connect_pads (clearance 0.5)) (min_thickness 0.25) "
+        "(filled_areas_thickness no)\n"
+        "    (fill yes (thermal_gap 0.5) (thermal_bridge_width 0.5))\n"
+        f"    (polygon (pts {pts}))\n"
+        f'    (filled_polygon (layer "{layer}") (pts {fpts}))\n'
+        "  )\n"
+    )
+
+
+def write_project(out_dir: pathlib.Path, name: str, pcb_body: str,
+                  sch_texts: list[str]):
+    d = out_dir / name
+    d.mkdir(parents=True, exist_ok=True)
+    (d / f"{name}.kicad_pcb").write_text(PCB_HEADER + pcb_body + ")\n")
+    (d / f"{name}.kicad_sch").write_text(sch_with_text(sch_texts))
+    (d / f"{name}.kicad_pro").write_text(json.dumps({"meta": {"filename": f"{name}.kicad_pro"}}))
+
+
+def gen_strip(out_dir: pathlib.Path):
+    """A 20x2 mm trace with pads at both ends and a 1 V source."""
+    body = gr_rect(98, 98, 124, 104)
+    body += segment(101, 101, 121, 101, 2.0)
+    body += footprint("TP1", 101, 101, 0, [
+        {"name": "1", "kind": "smd", "shape": "circle", "size": (1.0, 1.0)}
+    ])
+    body += footprint("TP2", 121, 101, 0, [
+        {"name": "1", "kind": "smd", "shape": "circle", "size": (1.0, 1.0)}
+    ])
+    write_project(out_dir, "gen_strip", body,
+                  ["!padne VOLTAGE v=1V p=TP2.1 n=TP1.1"])
+
+
+def gen_two_layer_via(out_dir: pathlib.Path):
+    """F.Cu trace -> via -> B.Cu trace with a current source."""
+    body = gr_rect(95, 95, 130, 110)
+    body += segment(100, 100, 115, 100, 1.0, "F.Cu")
+    body += segment(115, 100, 125, 100, 1.0, "B.Cu")
+    body += via(115, 100, 0.8, 0.4)
+    body += footprint("TPA", 100, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (1.0, 1.0)}
+    ])
+    body += footprint("TPB", 125, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (1.0, 1.0),
+         "layers": '"B.Cu"'}
+    ], layer="B.Cu")
+    write_project(out_dir, "gen_two_layer_via", body,
+                  ["!padne CURRENT i=0.5A f=TPA.1 t=TPB.1"])
+
+
+def gen_zone_plane(out_dir: pathlib.Path):
+    """A zone-filled plane with THT pads and a voltage source."""
+    body = gr_rect(95, 95, 125, 115)
+    fill = [(97, 97), (123, 97), (123, 113), (97, 113)]
+    body += zone("F.Cu", fill, fill)
+    body += zone("B.Cu", fill, fill)
+    body += footprint("J1", 100, 100, 0, [
+        {"name": "1", "kind": "thru_hole", "shape": "circle",
+         "size": (1.7, 1.7), "drill": 1.0, "layers": '"*.Cu"'}
+    ])
+    body += footprint("J2", 120, 110, 0, [
+        {"name": "1", "kind": "thru_hole", "shape": "circle",
+         "size": (1.7, 1.7), "drill": 1.0, "layers": '"*.Cu"'}
+    ])
+    write_project(out_dir, "gen_zone_plane", body,
+                  ["!padne VOLTAGE v=3.3V p=J1.1 n=J2.1"])
+
+
+def gen_rotated_pads(out_dir: pathlib.Path):
+    """Rotated footprint: pad positions must follow the KiCad transform."""
+    body = gr_rect(95, 95, 125, 110)
+    body += segment(110, 100, 110, 106, 1.5)
+    body += footprint("R1", 110, 103, -90, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (0.8, 0.9),
+         "at": (-3, 0)},
+        {"name": "2", "kind": "smd", "shape": "rect", "size": (0.8, 0.9),
+         "at": (3, 0)},
+    ])
+    write_project(out_dir, "gen_rotated_pads", body,
+                  ["!padne CURRENT i=1A f=R1.1 t=R1.2"])
+
+
+def generate_all(out_dir) -> pathlib.Path:
+    out_dir = pathlib.Path(out_dir)
+    gen_strip(out_dir)
+    gen_two_layer_via(out_dir)
+    gen_zone_plane(out_dir)
+    gen_rotated_pads(out_dir)
+    return out_dir

@@ -1,0 +1,199 @@
+"""End-to-end board tests: load + solve reference fixture boards.
+
+Mirrors the reference test strategy tier 3 (test_solver.py:1117-1444):
+finite potentials everywhere, residual gates, and per-board physics
+checks (trace resistance, ESR divider, LDO rails).
+
+A representative subset runs by default; set PADNE_TPU_ALL_BOARDS=1 to
+sweep every solvable fixture board.
+"""
+
+import os
+import pathlib
+import warnings
+
+import numpy as np
+import pytest
+
+from padne_tpu import kicad, problem, solver
+
+REF_BOARDS = pathlib.Path("/root/reference/tests/kicad")
+
+needs_boards = pytest.mark.skipif(
+    not REF_BOARDS.exists(), reason="reference fixture boards not mounted"
+)
+
+QUICK_BOARDS = [
+    "simple_geometry",
+    "long_trace",
+    "long_trace_current",
+    "long_trace_esr",
+    "simple_via",
+    "via_tht_4layer",
+    "voltage_source_into_current_sink",
+    "floating_copper",
+    "disconnected_components",
+    "probe_directive",
+    "degenerate_hole_geometry",
+    "multiline_directive",
+    "two_lumped_elements_one_pad",
+    "multipad_coupling",
+]
+
+# Boards excluded from the solve-everything sweep (parity with the
+# reference exclusion list, test_solver.py:1117-1121, plus runtime).
+EXCLUDE = {
+    "tht_component",
+    "unterminated_current_loop",
+    "nested_schematic_twoinstances",
+    "many_meshes",
+    "many_meshes_many_vias",
+    "test_set_1",
+    "footprints.pretty",
+}
+
+
+def all_board_names():
+    if not REF_BOARDS.exists():
+        return []
+    return sorted(
+        d.name
+        for d in REF_BOARDS.iterdir()
+        if (d / f"{d.name}.kicad_pro").exists() and d.name not in EXCLUDE
+    )
+
+
+def board_params():
+    if os.environ.get("PADNE_TPU_ALL_BOARDS"):
+        return all_board_names()
+    return [b for b in QUICK_BOARDS if (REF_BOARDS / b).exists()]
+
+
+def load_and_solve(name, **kw):
+    prob = kicad.load_kicad_project(REF_BOARDS / name / f"{name}.kicad_pro")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return prob, solver.solve(prob, **kw)
+
+
+def find_vertex_value(sol, conn):
+    layer_idx = next(
+        i for i, l in enumerate(sol.problem.layers) if l is conn.layer
+    )
+    ls = sol.layer_solutions[layer_idx]
+    best = (np.inf, None)
+    for m, pot in zip(ls.meshes, ls.potentials):
+        d = np.hypot(
+            m.vertices[:, 0] - conn.point.x, m.vertices[:, 1] - conn.point.y
+        )
+        k = int(np.argmin(d))
+        if d[k] < best[0]:
+            best = (float(d[k]), float(pot.values[k]))
+    assert best[0] < 1e-4
+    return best[1]
+
+
+@needs_boards
+class TestAllBoardsSolve:
+    @pytest.mark.parametrize("name", board_params())
+    def test_board_solves(self, name):
+        prob, solution = load_and_solve(name)
+        assert len(solution.layer_solutions) == len(prob.layers)
+        for ls in solution.layer_solutions:
+            assert len(ls.meshes) == len(ls.potentials)
+            for m, pot in zip(ls.meshes, ls.potentials):
+                assert np.all(np.isfinite(pot.values))
+                assert len(pot.values) == m.num_vertices
+        # Residual gate (reference test_solver.py:2083-2089: < 1e-9).
+        assert solution.solver_info.residual_norm < 1e-9
+
+
+@needs_boards
+class TestBoardPhysics:
+    def test_long_trace_current_source(self):
+        """0.24 ohm trace with 1 A -> 0.24 V drop (reference
+        test_solver.py:1214-1247)."""
+        prob, solution = load_and_solve("long_trace_current")
+        net = next(
+            n for n in prob.networks
+            if len(n.elements) == 1
+            and isinstance(n.elements[0], problem.CurrentSource)
+        )
+        cs = net.elements[0]
+        f_conn = next(c for c in net.connections if c.node_id == cs.f)
+        t_conn = next(c for c in net.connections if c.node_id == cs.t)
+        dv = abs(
+            find_vertex_value(solution, f_conn)
+            - find_vertex_value(solution, t_conn)
+        )
+        assert dv == pytest.approx(0.24, abs=0.01)
+
+    def test_long_trace_esr_divider(self):
+        """Trace R 0.24 + ESR 0.24 at 1 V -> 0.5 V across the trace
+        (reference test_solver.py:1323-1342)."""
+        prob, solution = load_and_solve("long_trace_esr")
+        assert len(prob.networks) == 1
+        conn_a, conn_b = prob.networks[0].connections[:2]
+        if conn_a.point.x > conn_b.point.x:
+            conn_a, conn_b = conn_b, conn_a
+        va = find_vertex_value(solution, conn_a)
+        vb = find_vertex_value(solution, conn_b)
+        assert va - vb == pytest.approx(0.5, abs=0.01)
+
+    def test_ldo_regulator_rails(self):
+        """The LDO board's regulator holds its output voltage."""
+        prob, solution = load_and_solve("ldo")
+        regs = [
+            (n, e)
+            for n in prob.networks
+            for e in n.elements
+            if isinstance(e, problem.VoltageRegulator)
+        ]
+        assert regs
+        assert solution.solver_info.residual_norm < 1e-9
+
+    def test_disconnected_copper_collected(self):
+        prob, solution = load_and_solve("floating_copper")
+        total_disc = sum(
+            len(ls.disconnected_meshes) for ls in solution.layer_solutions
+        )
+        assert total_disc > 0
+
+    def test_unterminated_current_loop_warns(self):
+        prob = kicad.load_kicad_project(
+            REF_BOARDS / "unterminated_current_loop"
+            / "unterminated_current_loop.kicad_pro"
+        )
+        with pytest.warns(solver.SolverWarning):
+            solver.solve(prob)
+
+    def test_via_4layer_end_to_end(self):
+        prob, solution = load_and_solve("via_tht_4layer")
+        assert len(solution.layer_solutions) == 4
+        assert solution.solver_info.residual_norm < 1e-9
+
+    def test_scipy_parity_on_board(self):
+        """1e-6 V parity gate vs scipy direct solve of the same system
+        (BASELINE.md) on a real board."""
+        import scipy.sparse.linalg
+
+        from padne_tpu import mesh as mesh_mod
+        from padne_tpu.ops import schur
+
+        prob = kicad.load_kicad_project(
+            REF_BOARDS / "simple_via" / "simple_via.kicad_pro"
+        )
+        indices, _, pairs = solver.compute_connectivity(prob)
+        meshes, m2l = solver.generate_meshes_for_problem(
+            prob, mesh_mod.Mesher(), pairs, indices
+        )
+        vindex = solver.VertexIndexer.create(meshes)
+        filtered = solver.filter_dead_networks(prob, indices, pairs)
+        ni = solver.NodeIndexer.create(prob, meshes, m2l, vindex, filtered)
+        system, _ = solver.assemble_core_system(
+            prob, meshes, m2l, vindex, filtered, ni
+        )
+        result = schur.solve_bordered(system)
+        L, r = solver.system_to_scipy(system)
+        z = scipy.sparse.linalg.spsolve(L.tocsc(), r)
+        assert np.abs(z[: system.n] - result.v).max() < 1e-6
