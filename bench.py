@@ -48,7 +48,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from padne_tpu.ops.spmv import ell_matvec
+    from padne_tpu.ops import amg, assembly, cg
 
     dtype = jnp.float32
     cols = jnp.asarray(ell.cols)
@@ -67,56 +67,28 @@ def main():
     b = jnp.asarray(b_np)
 
     tol = 1e-6
-    block = 200  # CG iterations per jitted block
+    comp_id = np.zeros(n, dtype=np.int32)  # single connected plane
+    cid = jnp.asarray(comp_id)
 
-    @jax.jit
-    def cg_block(x, r, z, p, rz):
-        minv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
-
-        def body(_, state):
-            x, r, z, p, rz = state
-            ap = ell_matvec(cols, vals, diag, p)
-            pap = (p * ap).sum(axis=0)
-            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-            x = x + alpha[None, :] * p
-            r = r - alpha[None, :] * ap
-            z = minv[:, None] * r
-            rz_new = (r * z).sum(axis=0)
-            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-            p = z + beta[None, :] * p
-            return (x, r, z, p, rz_new)
-
-        state = jax.lax.fori_loop(0, block, body, (x, r, z, p, rz))
-        rnorm = jnp.linalg.norm(state[1], axis=0)
-        return state, rnorm
-
-    minv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
-    bnorm = float(jnp.linalg.norm(b))
-
-    def fresh_state():
-        x = jnp.zeros_like(b)
-        r = b
-        z = minv[:, None] * r
-        return (x, r, z, z, (r * z).sum(axis=0))
+    t_setup0 = time.time()
+    hierarchy = amg.build_hierarchy(ell)
+    vcycle = amg.make_vcycle(hierarchy, dtype=dtype)
+    solver = cg.make_pcg(cols, vals, diag, cid, 1, precond=vcycle)
+    t_setup = time.time() - t_setup0
 
     # Warmup / compile.
-    state, rnorm = cg_block(*fresh_state())
-    jax.block_until_ready(rnorm)
+    res = solver(b, tol, 500)
+    jax.block_until_ready(res.x)
 
     # Timed solve.
     t0 = time.time()
-    state = fresh_state()
-    iters = 0
-    max_blocks = 40
-    for _ in range(max_blocks):
-        state, rnorm = cg_block(*state)
-        iters += block
-        if float(jnp.max(rnorm)) < tol * bnorm:
-            break
-    jax.block_until_ready(state[0])
+    res = solver(b, tol, 500)
+    jax.block_until_ready(res.x)
     t_solve = time.time() - t0
 
-    final_rel = float(jnp.max(rnorm)) / bnorm
+    iters = int(res.iterations)
+    bnorm = float(jnp.linalg.norm(b))
+    final_rel = float(res.residual_norms.max()) / bnorm
     dof_per_sec = n / t_solve
     result = {
         "metric": "solve_dof_per_sec",
@@ -127,9 +99,11 @@ def main():
             "dof": n,
             "solve_seconds": round(t_solve, 3),
             "mesh_seconds": round(t_mesh, 3),
+            "amg_setup_seconds": round(t_setup, 3),
             "cg_iterations": iters,
             "final_rel_residual": final_rel,
             "rhs_columns": R,
+            "amg_levels": [len(l.a_diag) for l in hierarchy.levels],
             "device": str(jax.devices()[0]),
         },
     }

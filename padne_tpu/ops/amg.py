@@ -1,0 +1,273 @@
+"""Smoothed-aggregation algebraic multigrid preconditioner.
+
+The reference relies on a sparse direct factorization (SuperLU,
+solver.py:773), which does not map to TPUs.  Plain Jacobi-PCG needs
+O(1/h) iterations on the FEM Laplacian (measured: thousands at 10^5
+DoF).  This module builds a classical smoothed-aggregation AMG hierarchy
+on the host (greedy aggregation over a strength-filtered graph, Jacobi-
+smoothed prolongation, Galerkin coarse operators) and exposes a fully
+jittable V-cycle whose every operation is an ELL SpMV or elementwise VPU
+work — the TPU-native equivalent of a multilevel preconditioner.  Used
+as the preconditioner inside the deflated CG (ops.cg), it brings the
+iteration count down to a few dozen independent of mesh size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from . import assembly
+
+
+@dataclass
+class Level:
+    """One AMG level (device arrays created lazily)."""
+
+    # Fine operator in ELL form.
+    a_cols: np.ndarray
+    a_vals: np.ndarray
+    a_diag: np.ndarray
+    # Prolongation P (n_fine x n_coarse) in ELL rows; restriction is P^T
+    # stored as ELL over coarse rows (padded member lists).
+    p_cols: Optional[np.ndarray]  # (n, KP)
+    p_vals: Optional[np.ndarray]
+    r_cols: Optional[np.ndarray]  # (nc, KR) fine indices per coarse row
+    r_vals: Optional[np.ndarray]
+    omega: float  # damped-Jacobi smoothing weight
+
+
+@dataclass
+class AMGHierarchy:
+    levels: list[Level]
+    coarse_inv: np.ndarray  # dense inverse of the coarsest operator
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+def _to_csr(ell: assembly.EllMatrix):
+    return ell.to_scipy().tocsr()
+
+
+def _aggregate(A, theta: float = 0.08) -> tuple[np.ndarray, int]:
+    """Greedy aggregation over the strength graph.
+
+    Returns (agg_id per node, num_aggregates).  Strong connection:
+    |a_ij| >= theta * sqrt(a_ii * a_jj).  The strength filter is applied
+    once up front; the greedy sweep itself touches each node's (short)
+    neighbor list with plain array slices.
+    """
+    import scipy.sparse
+
+    n = A.shape[0]
+    d = np.asarray(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    coo = A.tocoo()
+    strong = (coo.row != coo.col) & (
+        np.abs(coo.data) >= theta * np.sqrt(d[coo.row] * d[coo.col])
+    )
+    S = scipy.sparse.csr_matrix(
+        (np.ones(strong.sum(), dtype=np.int8),
+         (coo.row[strong], coo.col[strong])),
+        shape=(n, n),
+    )
+    indptr, indices = S.indptr, S.indices
+
+    agg = np.full(n, -1, dtype=np.int64)
+    num_agg = 0
+
+    # Pass 1: aggregates around nodes whose strong neighborhood is fully
+    # unaggregated.
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nb = indices[indptr[i]:indptr[i + 1]]
+        if len(nb) and np.all(agg[nb] < 0):
+            agg[i] = num_agg
+            agg[nb] = num_agg
+            num_agg += 1
+
+    # Pass 2: attach remaining nodes to a neighboring aggregate.
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nb = indices[indptr[i]:indptr[i + 1]]
+        hit = nb[agg[nb] >= 0] if len(nb) else nb
+        if len(hit):
+            agg[i] = agg[hit[0]]
+
+    # Pass 3: isolated leftovers become singleton aggregates.
+    lone = agg < 0
+    k = int(lone.sum())
+    agg[lone] = num_agg + np.arange(k)
+    num_agg += k
+    return agg, num_agg
+
+
+def _pack_ell(rows, cols_in, vals_in, n, pad_self_col: bool):
+    """Vectorized COO (sorted by rows) -> padded ELL."""
+    counts = np.bincount(rows, minlength=n)
+    K = max(int(counts.max(initial=1)), 1)
+    order = np.argsort(rows, kind="stable")
+    rows, cols_in, vals_in = rows[order], cols_in[order], vals_in[order]
+    slot = np.arange(len(rows)) - np.concatenate([[0], np.cumsum(counts)])[rows]
+    if pad_self_col:
+        cols = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
+    else:
+        cols = np.zeros((n, K), dtype=np.int64)
+    vals = np.zeros((n, K), dtype=np.float64)
+    cols[rows, slot] = cols_in
+    vals[rows, slot] = vals_in
+    return cols.astype(np.int32), vals
+
+
+def _ell_from_csr(A):
+    """CSR -> (cols, vals, diag) padded ELL (off-diagonal entries)."""
+    coo = A.tocoo()
+    diag = np.asarray(A.diagonal(), dtype=np.float64)
+    mask = coo.row != coo.col
+    cols, vals = _pack_ell(
+        coo.row[mask].astype(np.int64), coo.col[mask].astype(np.int64),
+        coo.data[mask], A.shape[0], pad_self_col=True,
+    )
+    return cols, vals, diag
+
+
+def _ell_matrix(P):
+    """CSR rectangular matrix -> padded ELL (padding entries point at
+    column 0 with zero value)."""
+    coo = P.tocoo()
+    return _pack_ell(
+        coo.row.astype(np.int64), coo.col.astype(np.int64), coo.data,
+        P.shape[0], pad_self_col=False,
+    )
+
+
+def build_hierarchy(
+    ell: assembly.EllMatrix,
+    theta: float = 0.08,
+    coarse_size: int = 400,
+    max_levels: int = 12,
+    omega: float = 0.6,
+) -> AMGHierarchy:
+    """Host-side setup: aggregation + smoothed prolongation + Galerkin
+    coarse operators, down to a dense-invertible coarsest level."""
+    import scipy.sparse
+
+    levels: list[Level] = []
+    A = _to_csr(ell)
+    # Fine-level ELL comes straight from the input.
+    a_cols, a_vals, a_diag = ell.cols, ell.vals, ell.diag
+
+    for _ in range(max_levels):
+        n = A.shape[0]
+        if n <= coarse_size:
+            break
+        agg, nc = _aggregate(A, theta)
+        if nc >= n or nc == 0:
+            break
+        P0 = scipy.sparse.csr_matrix(
+            (np.ones(n), (np.arange(n), agg)), shape=(n, nc)
+        )
+        # Smoothed prolongation: P = (I - omega D^-1 A) P0.
+        d = np.asarray(A.diagonal())
+        dinv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+        Dinv = scipy.sparse.diags(dinv)
+        P = (P0 - omega * (Dinv @ (A @ P0))).tocsr()
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.eliminate_zeros()
+
+        p_cols, p_vals = _ell_matrix(P)
+        r_cols, r_vals = _ell_matrix(P.T.tocsr())
+        levels.append(
+            Level(
+                a_cols=a_cols,
+                a_vals=a_vals,
+                a_diag=a_diag,
+                p_cols=p_cols,
+                p_vals=p_vals,
+                r_cols=r_cols,
+                r_vals=r_vals,
+                omega=omega,
+            )
+        )
+        A = Ac
+        a_cols, a_vals, a_diag = _ell_from_csr(A)
+
+    # Coarsest level: dense pseudo-inverse (handles the Neumann nullspace).
+    Ad = np.asarray(A.todense())
+    coarse_inv = np.linalg.pinv(Ad, rcond=1e-12)
+    levels.append(
+        Level(
+            a_cols=a_cols,
+            a_vals=a_vals,
+            a_diag=a_diag,
+            p_cols=None,
+            p_vals=None,
+            r_cols=None,
+            r_vals=None,
+            omega=omega,
+        )
+    )
+    return AMGHierarchy(levels=levels, coarse_inv=coarse_inv)
+
+
+def make_vcycle(h: AMGHierarchy, dtype=None):
+    """Returns a jittable function z = M^{-1} r applying one V(1,1) cycle.
+
+    All per-level arrays are captured as device constants; every step is
+    an ELL SpMV / elementwise op.  The cycle is symmetric (same damped-
+    Jacobi pre/post smoothing), preserving SPD for use inside CG.
+    """
+    import jax.numpy as jnp
+
+    from .spmv import ell_matvec
+
+    dev = []
+    for lv in h.levels:
+        entry = {
+            "a_cols": jnp.asarray(lv.a_cols),
+            "a_vals": jnp.asarray(lv.a_vals, dtype=dtype),
+            "a_diag": jnp.asarray(lv.a_diag, dtype=dtype),
+            "omega": lv.omega,
+        }
+        if lv.p_cols is not None:
+            entry["p_cols"] = jnp.asarray(lv.p_cols)
+            entry["p_vals"] = jnp.asarray(lv.p_vals, dtype=dtype)
+            entry["r_cols"] = jnp.asarray(lv.r_cols)
+            entry["r_vals"] = jnp.asarray(lv.r_vals, dtype=dtype)
+        dev.append(entry)
+    coarse_inv = jnp.asarray(h.coarse_inv, dtype=dtype)
+
+    def rect_matvec(cols, vals, x):
+        """y[i] = sum_k vals[i,k] * x[cols[i,k]] (rectangular ELL)."""
+        return jnp.einsum("nk,nkr->nr", vals, x[cols])
+
+    def smooth(entry, x, b):
+        r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
+        dinv = jnp.where(
+            entry["a_diag"] > 0,
+            1.0 / jnp.where(entry["a_diag"] > 0, entry["a_diag"], 1.0),
+            0.0,
+        )
+        return x + entry["omega"] * dinv[:, None] * r
+
+    def cycle(level: int, b):
+        entry = dev[level]
+        if level == len(dev) - 1:
+            return coarse_inv @ b
+        x = smooth(entry, jnp.zeros_like(b), b)
+        r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
+        rc = rect_matvec(entry["r_cols"], entry["r_vals"], r)
+        xc = cycle(level + 1, rc)
+        x = x + rect_matvec(entry["p_cols"], entry["p_vals"], xc)
+        return smooth(entry, x, b)
+
+    def apply(r):
+        return cycle(0, r)
+
+    return apply

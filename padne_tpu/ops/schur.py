@@ -104,9 +104,15 @@ def solve_bordered(
     maxiter: int = 40000,
     max_refinements: int = 8,
     target_residual: float = 1e-10,
+    precond: str = "auto",
+    amg_threshold: int = 20000,
 ) -> BorderedSolution:
     """Solve the full bordered system.  Host-side driver around jitted
-    device stages; the refinement loop reuses the same CG machinery."""
+    device stages; the refinement loop reuses the same CG machinery.
+
+    precond: "auto" (AMG above amg_threshold core unknowns), "amg",
+    or "jacobi".
+    """
     n, m = system.n, system.border.m
     cols, vals, diag = system.ell.to_device()
     comp_id = jnp.asarray(system.comp_id)
@@ -123,6 +129,21 @@ def solve_bordered(
     r_core = jnp.asarray(system.r_core)
     r_border = jnp.asarray(system.border.rhs)
 
+    use_amg = precond == "amg" or (precond == "auto" and n >= amg_threshold)
+    vcycle = None
+    if use_amg:
+        import logging
+
+        from . import amg
+
+        hierarchy = amg.build_hierarchy(system.ell)
+        vcycle = amg.make_vcycle(hierarchy)
+        logging.getLogger(__name__).info(
+            "Preconditioner: AMG, levels %s",
+            [len(l.a_diag) for l in hierarchy.levels],
+        )
+    cg_solver = cg.make_pcg(cols, vals, diag, comp_id, p, precond=vcycle)
+
     total_cg_iters = 0
 
     def solve_once(rc, rb):
@@ -130,7 +151,7 @@ def solve_bordered(
         nonlocal total_cg_iters
         # RHS block: [C | rc] -> A^+ of each column.
         rhs = jnp.concatenate([C, rc[:, None]], axis=1)  # (n, m+1)
-        res = cg.pcg(cols, vals, diag, rhs, comp_id, p, tol=tol, maxiter=maxiter)
+        res = cg_solver(rhs, tol, maxiter)
         total_cg_iters += int(res.iterations)
         X = res.x                      # (n, m+1): [A^+ C | A^+ rc]
         Xc, xr = X[:, :m], X[:, m]
