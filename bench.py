@@ -76,19 +76,49 @@ def main():
     solver = cg.make_pcg(cols, vals, diag, cid, 1, precond=vcycle)
     t_setup = time.time() - t_setup0
 
+    # Host f64 operator for true-residual verification and the
+    # mixed-precision refinement loop (f32 device solves accumulate into
+    # an f64 solution; each pass reduces the residual to the f32 floor of
+    # the *correction*, so the combined solution reaches f64-grade
+    # residuals at f32 speed).
+    A64 = ell.to_scipy()
+
+    def mp_solve(b64: np.ndarray, max_passes: int = 4):
+        """Mixed-precision solve; returns (x64, passes, iters, rel)."""
+        x64 = np.zeros_like(b64)
+        bn = np.linalg.norm(b64)
+        total_iters = 0
+        for p in range(max_passes):
+            r64 = b64 - A64 @ x64
+            r64 -= r64.mean(axis=0, keepdims=True)  # deflate
+            rel = np.linalg.norm(r64) / bn
+            if rel < tol:
+                return x64, p, total_iters, rel
+            res = solver(jnp.asarray(r64, dtype=dtype), 1e-4, 200)
+            dx = np.asarray(jax.block_until_ready(res.x), dtype=np.float64)
+            total_iters += int(res.iterations)
+            x64 = x64 + dx
+        r64 = b64 - A64 @ x64
+        r64 -= r64.mean(axis=0, keepdims=True)
+        return x64, max_passes, total_iters, np.linalg.norm(r64) / bn
+
     # Warmup / compile.
-    res = solver(b, tol, 500)
-    jax.block_until_ready(res.x)
+    mp_solve(b_np.astype(np.float64))
 
-    # Timed solve.
-    t0 = time.time()
-    res = solver(b, tol, 500)
-    jax.block_until_ready(res.x)
-    t_solve = time.time() - t0
-
-    iters = int(res.iterations)
-    bnorm = float(jnp.linalg.norm(b))
-    final_rel = float(res.residual_norms.max()) / bnorm
+    # Timed solves with fresh RHS each run (defeats any execution-level
+    # caching in the runtime).
+    times = []
+    for run in range(3):
+        b_run = np.zeros((n, R))
+        rng2 = np.random.default_rng(100 + run)
+        for k in range(R):
+            i, j = rng2.integers(0, n, 2)
+            b_run[i, k] += 1.0
+            b_run[j, k] -= 1.0
+        t0 = time.time()
+        x64, passes, iters, final_rel = mp_solve(b_run)
+        times.append(time.time() - t0)
+    t_solve = float(np.median(times))
     dof_per_sec = n / t_solve
     result = {
         "metric": "solve_dof_per_sec",

@@ -130,4 +130,7 @@ _lib.pg_mesh_tris.argtypes = [ctypes.c_void_p, _c_int32_p]
 _lib.pg_mesh_free.restype = None
 _lib.pg_mesh_free.argtypes = [ctypes.c_void_p]
 
+_lib.pg_greedy_aggregate.restype = ctypes.c_int32
+_lib.pg_greedy_aggregate.argtypes = [_c_int32_p, _c_int32_p, ctypes.c_int32, _c_int32_p]
+
 lib = _lib

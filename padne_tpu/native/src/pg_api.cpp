@@ -299,4 +299,41 @@ void pg_mesh_tris(void* h, int32_t* out) {
 
 void pg_mesh_free(void* h) { delete (MeshHandle*)h; }
 
+// ---------------------------------------------------------------------------
+// Greedy graph aggregation (AMG setup hot loop).
+// Pass 1: seed aggregates where the whole strong neighborhood is free;
+// pass 2: attach leftovers to a neighboring aggregate; pass 3: singletons.
+// ---------------------------------------------------------------------------
+int32_t pg_greedy_aggregate(const int32_t* indptr, const int32_t* indices,
+                            int32_t n, int32_t* agg) {
+  for (int32_t i = 0; i < n; i++) agg[i] = -1;
+  int32_t num_agg = 0;
+  for (int32_t i = 0; i < n; i++) {
+    if (agg[i] >= 0) continue;
+    bool all_free = indptr[i + 1] > indptr[i];
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; k++)
+      if (agg[indices[k]] >= 0) {
+        all_free = false;
+        break;
+      }
+    if (all_free) {
+      agg[i] = num_agg;
+      for (int32_t k = indptr[i]; k < indptr[i + 1]; k++)
+        agg[indices[k]] = num_agg;
+      num_agg++;
+    }
+  }
+  for (int32_t i = 0; i < n; i++) {
+    if (agg[i] >= 0) continue;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; k++)
+      if (agg[indices[k]] >= 0) {
+        agg[i] = agg[indices[k]];
+        break;
+      }
+  }
+  for (int32_t i = 0; i < n; i++)
+    if (agg[i] < 0) agg[i] = num_agg++;
+  return num_agg;
+}
+
 }  // extern "C"

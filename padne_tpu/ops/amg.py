@@ -75,37 +75,23 @@ def _aggregate(A, theta: float = 0.08) -> tuple[np.ndarray, int]:
          (coo.row[strong], coo.col[strong])),
         shape=(n, n),
     )
-    indptr, indices = S.indptr, S.indices
+    # Greedy sweep in the native runtime (C++): Python-loop equivalent
+    # takes minutes at 1M nodes.
+    import ctypes
 
-    agg = np.full(n, -1, dtype=np.int64)
-    num_agg = 0
+    from .. import native
 
-    # Pass 1: aggregates around nodes whose strong neighborhood is fully
-    # unaggregated.
-    for i in range(n):
-        if agg[i] >= 0:
-            continue
-        nb = indices[indptr[i]:indptr[i + 1]]
-        if len(nb) and np.all(agg[nb] < 0):
-            agg[i] = num_agg
-            agg[nb] = num_agg
-            num_agg += 1
-
-    # Pass 2: attach remaining nodes to a neighboring aggregate.
-    for i in range(n):
-        if agg[i] >= 0:
-            continue
-        nb = indices[indptr[i]:indptr[i + 1]]
-        hit = nb[agg[nb] >= 0] if len(nb) else nb
-        if len(hit):
-            agg[i] = agg[hit[0]]
-
-    # Pass 3: isolated leftovers become singleton aggregates.
-    lone = agg < 0
-    k = int(lone.sum())
-    agg[lone] = num_agg + np.arange(k)
-    num_agg += k
-    return agg, num_agg
+    indptr = np.ascontiguousarray(S.indptr.astype(np.int32))
+    indices = np.ascontiguousarray(S.indices.astype(np.int32))
+    agg32 = np.zeros(n, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    num_agg = native.lib.pg_greedy_aggregate(
+        indptr.ctypes.data_as(i32p),
+        indices.ctypes.data_as(i32p),
+        n,
+        agg32.ctypes.data_as(i32p),
+    )
+    return agg32.astype(np.int64), int(num_agg)
 
 
 def _pack_ell(rows, cols_in, vals_in, n, pad_self_col: bool):
@@ -217,57 +203,64 @@ def build_hierarchy(
 
 
 def make_vcycle(h: AMGHierarchy, dtype=None):
-    """Returns a jittable function z = M^{-1} r applying one V(1,1) cycle.
+    """Returns (apply, params): a jittable z = apply(params, r) V(1,1)
+    cycle plus its parameter pytree of device arrays.
 
-    All per-level arrays are captured as device constants; every step is
-    an ELL SpMV / elementwise op.  The cycle is symmetric (same damped-
+    The level arrays are returned as an explicit pytree rather than
+    closure captures so they enter jitted programs as XLA *parameters*;
+    closure-captured megabyte arrays get inlined into the HLO as
+    constants, which breaks/slows compilation at large n.  Every step is
+    an ELL SpMV / elementwise op; the cycle is symmetric (same damped-
     Jacobi pre/post smoothing), preserving SPD for use inside CG.
     """
     import jax.numpy as jnp
 
     from .spmv import ell_matvec
 
-    dev = []
+    params = []
     for lv in h.levels:
         entry = {
             "a_cols": jnp.asarray(lv.a_cols),
             "a_vals": jnp.asarray(lv.a_vals, dtype=dtype),
             "a_diag": jnp.asarray(lv.a_diag, dtype=dtype),
-            "omega": lv.omega,
         }
         if lv.p_cols is not None:
             entry["p_cols"] = jnp.asarray(lv.p_cols)
             entry["p_vals"] = jnp.asarray(lv.p_vals, dtype=dtype)
             entry["r_cols"] = jnp.asarray(lv.r_cols)
             entry["r_vals"] = jnp.asarray(lv.r_vals, dtype=dtype)
-        dev.append(entry)
-    coarse_inv = jnp.asarray(h.coarse_inv, dtype=dtype)
+        params.append(entry)
+    params.append({"coarse_inv": jnp.asarray(h.coarse_inv, dtype=dtype)})
+    omegas = [lv.omega for lv in h.levels]  # static floats
 
     def rect_matvec(cols, vals, x):
         """y[i] = sum_k vals[i,k] * x[cols[i,k]] (rectangular ELL)."""
         return jnp.einsum("nk,nkr->nr", vals, x[cols])
 
-    def smooth(entry, x, b):
+    def smooth(entry, omega, x, b):
         r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
         dinv = jnp.where(
             entry["a_diag"] > 0,
             1.0 / jnp.where(entry["a_diag"] > 0, entry["a_diag"], 1.0),
             0.0,
         )
-        return x + entry["omega"] * dinv[:, None] * r
+        return x + omega * dinv[:, None] * r
 
-    def cycle(level: int, b):
-        entry = dev[level]
-        if level == len(dev) - 1:
-            return coarse_inv @ b
-        x = smooth(entry, jnp.zeros_like(b), b)
+    num_levels = len(h.levels)
+
+    def cycle(level: int, p, b):
+        entry = p[level]
+        if level == num_levels - 1:
+            return p[-1]["coarse_inv"] @ b
+        omega = omegas[level]
+        x = smooth(entry, omega, jnp.zeros_like(b), b)
         r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
         rc = rect_matvec(entry["r_cols"], entry["r_vals"], r)
-        xc = cycle(level + 1, rc)
+        xc = cycle(level + 1, p, rc)
         x = x + rect_matvec(entry["p_cols"], entry["p_vals"], xc)
-        return smooth(entry, x, b)
+        return smooth(entry, omega, x, b)
 
-    def apply(r):
-        return cycle(0, r)
+    def apply(p, r):
+        return cycle(0, p, r)
 
-    return apply
+    return apply, params

@@ -63,33 +63,40 @@ def make_pcg(
     diag: jnp.ndarray,
     comp_id: jnp.ndarray,
     num_components: int,
-    precond: Optional[Callable] = None,
+    precond: Optional[tuple] = None,
 ):
     """Build a jitted deflated-PCG solver bound to one operator.
 
-    precond: callable z = M^{-1}(r) on (N, R) arrays (e.g. an AMG V-cycle
-    from ops.amg.make_vcycle); None selects Jacobi.
+    precond: (apply, params) pair where z = apply(params, r) on (N, R)
+    arrays — e.g. ops.amg.make_vcycle's return value; None selects
+    Jacobi.  All large arrays (operator, preconditioner levels) are
+    threaded through the jitted program as explicit XLA parameters, not
+    closure constants, so compilation stays cheap at millions of rows.
     Returns solve(b, tol, maxiter) -> CGResult.
     """
-    project = make_projector(comp_id, num_components)
-    minv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
-
     if precond is None:
-        def apply_m(r):
+        def apply_m(op, r):
+            _, _, dg, _ = op
+            minv = jnp.where(dg > 0, 1.0 / jnp.where(dg > 0, dg, 1.0), 1.0)
             return minv[:, None] * r
+        precond_params = None
     else:
-        def apply_m(r):
-            return precond(r)
+        precond_fn, precond_params = precond
 
-    @partial(jax.jit, static_argnames=("maxiter",))
-    def solve(b, tol, maxiter: int = 10000) -> CGResult:
+        def apply_m(op, r):
+            return precond_fn(op[3], r)
+
+    @partial(jax.jit, static_argnames=("num_components", "maxiter"))
+    def _solve(op, comp_id, b, tol, num_components: int, maxiter: int):
+        cols, vals, diag, _ = op
+        project = make_projector(comp_id, num_components)
         b = project(b)
         bnorm = jnp.linalg.norm(b, axis=0)
         target = tol * jnp.maximum(bnorm, 1e-300)
 
         x0 = jnp.zeros_like(b)
         r0 = b
-        z0 = project(apply_m(r0))
+        z0 = project(apply_m(op, r0))
         p0 = z0
         rz0 = (r0 * z0).sum(axis=0)
 
@@ -110,7 +117,7 @@ def make_pcg(
             # Periodic re-projection kills numerical drift into the
             # nullspace.
             r = jax.lax.cond(k % 50 == 49, project, lambda v: v, r)
-            z = project(apply_m(r))
+            z = project(apply_m(op, r))
             rz_new = (r * z).sum(axis=0)
             beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
             beta = jnp.where(active, beta, 0.0)
@@ -126,6 +133,11 @@ def make_pcg(
             iterations=iters,
             residual_norms=jnp.linalg.norm(rtrue, axis=0),
         )
+
+    op = (cols, vals, diag, precond_params)
+
+    def solve(b, tol, maxiter: int = 10000) -> CGResult:
+        return _solve(op, comp_id, b, tol, num_components, maxiter)
 
     return solve
 
