@@ -76,31 +76,40 @@ def main():
     solver = cg.make_pcg(cols, vals, diag, cid, 1, precond=vcycle)
     t_setup = time.time() - t_setup0
 
-    # Host f64 operator for true-residual verification and the
-    # mixed-precision refinement loop (f32 device solves accumulate into
-    # an f64 solution; each pass reduces the residual to the f32 floor of
-    # the *correction*, so the combined solution reaches f64-grade
-    # residuals at f32 speed).
-    A64 = ell.to_scipy()
+    # Mixed-precision refinement, fully on device: f32 AMG-PCG corrections
+    # accumulate into an f64 solution; the per-pass true residual is one
+    # f64 SpMV (emulated on TPU but amortized — one per pass, not per
+    # iteration).  No host transfers inside the loop.
+    from padne_tpu.ops.spmv import ell_matvec
 
-    def mp_solve(b64: np.ndarray, max_passes: int = 4):
+    vals64 = jnp.asarray(ell.vals)
+    diag64 = jnp.asarray(ell.diag)
+
+    @jax.jit
+    def residual64(op64, b64, x64):
+        v64, d64 = op64
+        r = b64 - ell_matvec(cols, v64, d64, x64)
+        r = r - r.mean(axis=0, keepdims=True)  # deflate
+        return r, jnp.linalg.norm(r)
+
+    def mp_solve(b64_np: np.ndarray, max_passes: int = 4):
         """Mixed-precision solve; returns (x64, passes, iters, rel)."""
-        x64 = np.zeros_like(b64)
-        bn = np.linalg.norm(b64)
+        b64 = jnp.asarray(b64_np)
+        x64 = jnp.zeros_like(b64)
+        bn = float(jnp.linalg.norm(b64))
         total_iters = 0
+        rel = np.inf
         for p in range(max_passes):
-            r64 = b64 - A64 @ x64
-            r64 -= r64.mean(axis=0, keepdims=True)  # deflate
-            rel = np.linalg.norm(r64) / bn
+            r64, rn = residual64((vals64, diag64), b64, x64)
+            rel = float(rn) / bn
             if rel < tol:
                 return x64, p, total_iters, rel
-            res = solver(jnp.asarray(r64, dtype=dtype), 1e-4, 200)
-            dx = np.asarray(jax.block_until_ready(res.x), dtype=np.float64)
+            res = solver(r64.astype(dtype), 1e-4, 200)
             total_iters += int(res.iterations)
-            x64 = x64 + dx
-        r64 = b64 - A64 @ x64
-        r64 -= r64.mean(axis=0, keepdims=True)
-        return x64, max_passes, total_iters, np.linalg.norm(r64) / bn
+            x64 = x64 + res.x.astype(jnp.float64)
+        _, rn = residual64((vals64, diag64), b64, x64)
+        jax.block_until_ready(x64)
+        return x64, max_passes, total_iters, float(rn) / bn
 
     # Warmup / compile.
     mp_solve(b_np.astype(np.float64))

@@ -106,18 +106,33 @@ def solve_bordered(
     target_residual: float = 1e-10,
     precond: str = "auto",
     amg_threshold: int = 20000,
+    device_dtype=None,
 ) -> BorderedSolution:
     """Solve the full bordered system.  Host-side driver around jitted
     device stages; the refinement loop reuses the same CG machinery.
 
     precond: "auto" (AMG above amg_threshold core unknowns), "amg",
     or "jacobi".
+
+    device_dtype: when set (e.g. jnp.float32 on TPUs, where f64 is
+    emulated), the CG/AMG inner solves run in that dtype while residuals
+    and the accumulated solution stay f64 — classic mixed-precision
+    iterative refinement; each pass gains the inner solve's relative
+    accuracy, so a handful of f32 passes reach f64-grade residuals.
     """
     n, m = system.n, system.border.m
     cols, vals, diag = system.ell.to_device()
     comp_id = jnp.asarray(system.comp_id)
     p = system.num_components
     B, C = _dense_border(system)
+    mixed = device_dtype is not None and jnp.dtype(device_dtype) != jnp.float64
+    inner_dtype = jnp.dtype(device_dtype) if mixed else jnp.float64
+    if mixed:
+        cols_i, vals_i, diag_i = system.ell.to_device(dtype=inner_dtype)
+        inner_tol = max(tol, 1e-5)
+    else:
+        cols_i, vals_i, diag_i = cols, vals, diag
+        inner_tol = tol
 
     project = cg.make_projector(comp_id, p)
     counts = np.bincount(system.comp_id, minlength=p).astype(np.float64)
@@ -137,12 +152,12 @@ def solve_bordered(
         from . import amg
 
         hierarchy = amg.build_hierarchy(system.ell)
-        vcycle = amg.make_vcycle(hierarchy)
+        vcycle = amg.make_vcycle(hierarchy, dtype=inner_dtype if mixed else None)
         logging.getLogger(__name__).info(
-            "Preconditioner: AMG, levels %s",
-            [len(l.a_diag) for l in hierarchy.levels],
+            "Preconditioner: AMG, levels %s (inner dtype %s)",
+            [len(l.a_diag) for l in hierarchy.levels], inner_dtype,
         )
-    cg_solver = cg.make_pcg(cols, vals, diag, comp_id, p, precond=vcycle)
+    cg_solver = cg.make_pcg(cols_i, vals_i, diag_i, comp_id, p, precond=vcycle)
 
     total_cg_iters = 0
 
@@ -151,9 +166,9 @@ def solve_bordered(
         nonlocal total_cg_iters
         # RHS block: [C | rc] -> A^+ of each column.
         rhs = jnp.concatenate([C, rc[:, None]], axis=1)  # (n, m+1)
-        res = cg_solver(rhs, tol, maxiter)
+        res = cg_solver(rhs.astype(inner_dtype), inner_tol, maxiter)
         total_cg_iters += int(res.iterations)
-        X = res.x                      # (n, m+1): [A^+ C | A^+ rc]
+        X = res.x.astype(jnp.float64)  # (n, m+1): [A^+ C | A^+ rc]
         Xc, xr = X[:, :m], X[:, m]
 
         BXc = B @ Xc                   # (m, m)

@@ -537,7 +537,16 @@ def solve(
     )
 
     log.info("Solving the system (deflated PCG + Schur border)")
-    result = ops_schur.solve_bordered(system)
+    # On TPU backends f64 is emulated and slow: run the inner CG/AMG in
+    # f32 with f64 iterative refinement (same accuracy, hardware speed).
+    import jax
+
+    device_dtype = None
+    if jax.default_backend() not in ("cpu",):
+        import jax.numpy as jnp
+
+        device_dtype = jnp.float32
+    result = ops_schur.solve_bordered(system, device_dtype=device_dtype)
 
     if check_against_scipy:
         import scipy.sparse.linalg
