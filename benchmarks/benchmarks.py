@@ -16,12 +16,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+if os.environ.get("PADNE_TPU_FORCE_CPU"):
+    import jax
+
+    # This environment's sitecustomize overrides JAX_PLATFORMS; force via
+    # config (see tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 

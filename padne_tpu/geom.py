@@ -387,6 +387,26 @@ def ensure_multipolygon(geom: Geometry) -> MultiPolygon:
     raise ValueError(f"Expected Polygon or MultiPolygon, got {type(geom)}")
 
 
+def buffer(geometry: Geometry, distance: float,
+           cap_segments: int = 8) -> MultiPolygon:
+    """Morphological offset (shapely buffer role, round joins).
+
+    Positive distance dilates, negative erodes.  Built from the boolean
+    engine: dilation = union(P, stroked boundary of width 2d);
+    erosion = difference(P, stroked boundary of width 2|d|).
+    """
+    mp = ensure_multipolygon(geometry)
+    if distance == 0 or mp.is_empty:
+        return mp
+    strokes: list[Polygon] = []
+    for poly in mp.geoms:
+        for ring in poly.rings:
+            strokes.extend(stroke_ring(ring, 2 * abs(distance), cap_segments))
+    if distance > 0:
+        return union_all(list(mp.geoms) + strokes)
+    return difference(mp, strokes)
+
+
 def box(x0: float, y0: float, x1: float, y1: float) -> Polygon:
     return Polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
 

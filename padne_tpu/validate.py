@@ -19,10 +19,10 @@ Measurement-set JSON schema:
     }
 
 Points are probed at the nearest mesh vertex (the reference probes pads
-the same way, test_sets.py:199-258).  Calibration fits a single
-multiplicative conductance factor; the reference additionally fits an
-overetch parameter (geometry offset) — planned once polygon offsetting
-lands in the native core.
+the same way, test_sets.py:199-258).  Calibration fits a multiplicative
+sheet-conductance factor and, with --fit-overetch, a manufacturing
+overetch (uniform copper erosion via geom.buffer) — the same two-parameter
+model the reference fits from its trace-width ladder.
 """
 
 from __future__ import annotations
@@ -133,31 +133,92 @@ def _solve_scaled(prob: problem.Problem, conductance_scale: float,
         return solver.solve(scaled, mesher_config=mesher_config)
 
 
-def calibrate(prob: problem.Problem, pairs: list[ProbePair],
-              mesher_config=None) -> float:
-    """Fit the global sheet-conductance scale by least squares.
+def _overetched(prob: problem.Problem, overetch: float) -> problem.Problem:
+    """Erode all copper by `overetch` mm (manufacturing etch model,
+    reference test_sets.py overetch parameter)."""
+    from . import geom
 
-    Voltage drops scale as 1/conductance, so a single solve suffices:
-    the optimal scale minimizes sum (v_i / s - e_i)^2 =>
-    s = sum(v_i^2) / sum(v_i * e_i).
-    """
-    if not pairs:
-        return 1.0
-    base = _solve_scaled(prob, 1.0, mesher_config)
-    v = np.array([probe_pair(base, p) for p in pairs])
-    e = np.array([p.expected_v for p in pairs])
+    if overetch == 0.0:
+        return prob
+    new_layers = []
+    for l in prob.layers:
+        shrunk = geom.buffer(l.shape, -overetch)
+        new_layers.append(
+            problem.Layer(shape=shrunk, name=l.name, conductance=l.conductance)
+        )
+    remap = dict(zip((id(l) for l in prob.layers), new_layers))
+    networks = []
+    for net in prob.networks:
+        conns = [
+            problem.Connection(
+                layer=remap[id(c.layer)], point=c.point, node_id=c.node_id
+            )
+            for c in net.connections
+        ]
+        networks.append(problem.Network(connections=conns, elements=net.elements))
+    return problem.Problem(
+        layers=new_layers, networks=networks, project_name=prob.project_name
+    )
+
+
+def _fit_scale(v: np.ndarray, e: np.ndarray) -> tuple[float, float]:
+    """Optimal conductance scale + SSE for measured-vs-expected drops.
+
+    Drops scale as 1/s: minimize sum (v_i/s - e_i)^2 over s."""
     denom = float(np.dot(v, e))
     if abs(denom) < 1e-30:
-        log.warning("Calibration degenerate; keeping scale 1.0")
-        return 1.0
-    scale = float(np.dot(v, v)) / denom
-    log.info("Calibrated conductance scale: %.6f", scale)
-    return scale
+        return 1.0, float(np.dot(v - e, v - e))
+    s = float(np.dot(v, v)) / denom
+    resid = v / s - e
+    return s, float(np.dot(resid, resid))
+
+
+def calibrate(prob: problem.Problem, pairs: list[ProbePair],
+              mesher_config=None, fit_overetch: bool = False,
+              overetch_candidates=(0.0, 0.01, 0.02, 0.03, 0.05)
+              ) -> tuple[float, float]:
+    """Fit sheet-conductance scale (and optionally overetch) by least
+    squares over the calibration pairs (reference test_sets.py:261-290).
+
+    Conductance enters linearly (one solve per geometry suffices);
+    overetch changes geometry, so candidates are swept with the scale
+    fitted analytically per candidate.  Returns (scale, overetch).
+    """
+    if not pairs:
+        return 1.0, 0.0
+    e = np.array([p.expected_v for p in pairs])
+
+    def eval_overetch(oe: float):
+        p_oe = _overetched(prob, oe) if oe else prob
+        sol = _solve_scaled(p_oe, 1.0, mesher_config)
+        v = np.array([probe_pair(sol, pp) for pp in pairs])
+        return _fit_scale(v, e)
+
+    if not fit_overetch:
+        scale, _ = eval_overetch(0.0)
+        log.info("Calibrated conductance scale: %.6f", scale)
+        return scale, 0.0
+
+    best = (np.inf, 1.0, 0.0)
+    for oe in overetch_candidates:
+        try:
+            scale, sse = eval_overetch(oe)
+        except Exception as exc:  # geometry may vanish at large overetch
+            log.warning("Overetch %.3f failed: %s", oe, exc)
+            continue
+        if sse < best[0]:
+            best = (sse, scale, oe)
+    log.info(
+        "Calibrated: conductance scale %.6f, overetch %.3f mm (sse %.3e)",
+        best[1], best[2], best[0],
+    )
+    return best[1], best[2]
 
 
 @dataclass
 class ValidationReport:
     scale: float
+    overetch: float = 0.0
     results: list[dict] = field(default_factory=list)
 
     @property
@@ -170,11 +231,19 @@ class ValidationReport:
 
 
 def run_validation(ms: MeasurementSet, mesher_config=None,
-                   do_calibrate: bool = True) -> ValidationReport:
+                   do_calibrate: bool = True,
+                   fit_overetch: bool = False) -> ValidationReport:
     prob = kicad.load_kicad_project(ms.board)
-    scale = calibrate(prob, ms.calibration, mesher_config) if do_calibrate else 1.0
+    if do_calibrate:
+        scale, overetch = calibrate(
+            prob, ms.calibration, mesher_config, fit_overetch=fit_overetch
+        )
+    else:
+        scale, overetch = 1.0, 0.0
+    if overetch:
+        prob = _overetched(prob, overetch)
     solution = _solve_scaled(prob, scale, mesher_config)
-    report = ValidationReport(scale=scale)
+    report = ValidationReport(scale=scale, overetch=overetch)
     for pair in ms.measurements:
         got = probe_pair(solution, pair)
         expected = pair.expected_v
@@ -199,10 +268,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="padne-tpu-validate")
     ap.add_argument("measurement_set", type=pathlib.Path)
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument("--fit-overetch", action="store_true",
+                    help="also fit a manufacturing overetch (geometry erosion)")
     args = ap.parse_args(argv)
     ms = MeasurementSet.load(args.measurement_set)
-    report = run_validation(ms, do_calibrate=not args.no_calibrate)
-    print(f"conductance scale: {report.scale:.6f}")
+    report = run_validation(
+        ms, do_calibrate=not args.no_calibrate,
+        fit_overetch=args.fit_overetch,
+    )
+    print(f"conductance scale: {report.scale:.6f}, overetch: {report.overetch:.3f} mm")
     for r in report.results:
         mark = "OK  " if r["ok"] else "FAIL"
         print(

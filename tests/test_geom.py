@@ -157,3 +157,32 @@ class TestDistanceMap:
         out = dm.query_many(np.array([[5.0, 5.0], [100.0, 100.0]]))
         assert out[0] == pytest.approx(5.0, abs=0.6)
         assert out[1] == 0.0
+
+
+class TestBuffer:
+    def test_dilate_square(self):
+        d = geom.buffer(geom.box(0, 0, 10, 10), 1.0)
+        # 12x12 minus square corners plus quarter circles: 144 - (4 - pi)
+        assert d.area == pytest.approx(144 - (4 - np.pi), rel=0.01)
+
+    def test_erode_square(self):
+        e = geom.buffer(geom.box(0, 0, 10, 10), -1.0)
+        assert e.area == pytest.approx(64.0, abs=1e-6)
+
+    def test_erode_to_nothing(self):
+        assert geom.buffer(geom.box(0, 0, 10, 0.5), -0.3).is_empty
+
+    def test_erode_respects_holes(self):
+        holey = geom.difference(geom.box(0, 0, 10, 10), geom.box(4, 4, 6, 6)).geoms[0]
+        e = geom.buffer(holey, -0.5)
+        # outer shrinks to 9x9; hole grows to 3x3 with rounded corners
+        expected = 81 - (9 - (4 - np.pi) * 0.25)
+        assert e.area == pytest.approx(expected, rel=0.01)
+
+    def test_roundtrip_morphological_cleanup(self):
+        # buffer(+d) then buffer(-d) closes small gaps (reference's
+        # gerber cleanup idiom, kicad.py:1374)
+        a = geom.box(0, 0, 5, 5)
+        b = geom.box(5.05, 0, 10, 5)  # 50 um gap
+        closed = geom.buffer(geom.buffer(geom.union_all([a, b]), 0.1), -0.1)
+        assert len(closed.geoms) == 1
