@@ -121,6 +121,15 @@ def parse_args(argv=None) -> argparse.Namespace:
                             formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p_info.add_argument("solution_file", type=Path)
 
+    p_val = sub.add_parser(
+        "validate",
+        help="Compare a solve against bench measurements (JSON measurement set)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p_val.add_argument("measurement_set", type=Path)
+    p_val.add_argument("--no-calibrate", action="store_true")
+    p_val.add_argument("--fit-overetch", action="store_true")
+
     return parser.parse_args(argv)
 
 
@@ -194,6 +203,18 @@ def do_html(args) -> None:
 
 
 @handle_errors
+def do_validate(args) -> int:
+    from . import validate
+
+    argv = [str(args.measurement_set)]
+    if args.no_calibrate:
+        argv.append("--no-calibrate")
+    if args.fit_overetch:
+        argv.append("--fit-overetch")
+    return validate.main(argv)
+
+
+@handle_errors
 def do_info(args) -> None:
     from .io import solution as solution_io
 
@@ -228,6 +249,7 @@ def main(argv=None) -> None:
         "paraview": do_paraview,
         "html": do_html,
         "info": do_info,
+        "validate": do_validate,
     }[args.command](args)
     if isinstance(result, int):
         sys.exit(result)

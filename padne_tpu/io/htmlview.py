@@ -67,6 +67,10 @@ _TEMPLATE = """<!DOCTYPE html>
  <b>padne-tpu</b> <span>__TITLE__</span>
  <label>layer <select id="layer"></select></label>
  <label>mode <select id="mode"><option>Potential</option><option>Power density</option></select></label>
+ <label><input type="checkbox" id="edges"> edges</label>
+ <label>min <input id="vmin_in" size="9"></label>
+ <label>max <input id="vmax_in" size="9"></label>
+ <button id="rescale">apply scale</button>
  <button id="reset">reset view</button>
  <span style="opacity:.6">residual __RESID__</span>
 </div>
@@ -109,7 +113,7 @@ gl.linkProgram(prog); gl.useProgram(prog);
 const locP = gl.getAttribLocation(prog,'p'), locC = gl.getAttribLocation(prog,'col');
 const locView = gl.getUniformLocation(prog,'view');
 let layerIdx=0, modeIdx=0, view={x:0,y:0,sx:1,sy:1};
-let bbox=null, buffers=null, range=[0,1];
+let bbox=null, buffers=null, range=[0,1], rangeOverride=null, showEdges=false;
 function computeBBox(){
   let x0=1e30,y0=1e30,x1=-1e30,y1=-1e30;
   const L=DATA.layers[layerIdx];
@@ -137,6 +141,7 @@ function buildBuffers(){
   }
   let lo=Math.min(...vals), hi=Math.max(...vals);
   if (!(hi>lo)) hi=lo+1e-12;
+  if (rangeOverride){ lo=rangeOverride[0]; hi=rangeOverride[1]; }
   range=[lo,hi];
   const cm = modeIdx===0 ? plasma : inferno;
   const tris=[]; const cols=[];
@@ -157,12 +162,30 @@ function buildBuffers(){
       tris.push(m.v[2*vi], m.v[2*vi+1]); cols.push(0.35,0.35,0.38);
     }
   }
-  buffers = { n: tris.length/2,
-    pos: gl.createBuffer(), col: gl.createBuffer() };
+  // Wireframe overlay: each triangle's three edges.
+  const epos=[]; const ecol=[];
+  if (showEdges){
+    for (const m of L.meshes){
+      for(let t=0;t<m.nt;t++){
+        for(let k=0;k<3;k++){
+          const a=m.t[3*t+k], b=m.t[3*t+(k+1)%3];
+          epos.push(m.v[2*a], m.v[2*a+1], m.v[2*b], m.v[2*b+1]);
+          ecol.push(0.1,0.1,0.12, 0.1,0.1,0.12);
+        }
+      }
+    }
+  }
+  buffers = { n: tris.length/2, ne: epos.length/2,
+    pos: gl.createBuffer(), col: gl.createBuffer(),
+    epos: gl.createBuffer(), ecol: gl.createBuffer() };
   gl.bindBuffer(gl.ARRAY_BUFFER, buffers.pos);
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(tris), gl.STATIC_DRAW);
   gl.bindBuffer(gl.ARRAY_BUFFER, buffers.col);
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(cols), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.epos);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(epos), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.ecol);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(ecol), gl.STATIC_DRAW);
   drawLegend();
 }
 function drawLegend(){
@@ -187,6 +210,13 @@ function draw(){
   gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
   gl.uniform4f(locView, view.x, view.y, view.sx, view.sy);
   gl.drawArrays(gl.TRIANGLES, 0, buffers.n);
+  if (showEdges && buffers.ne){
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffers.epos);
+    gl.vertexAttribPointer(locP,2,gl.FLOAT,false,0,0);
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffers.ecol);
+    gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
+    gl.drawArrays(gl.LINES, 0, buffers.ne);
+  }
 }
 function resize(){
   canvas.width=canvas.clientWidth; canvas.height=canvas.clientHeight; draw();
@@ -239,8 +269,15 @@ DATA.layers.forEach((L,i)=>{ const o=document.createElement('option');
   o.textContent=L.name; o.value=i; sel.appendChild(o); });
 sel.addEventListener('change', ()=>{ layerIdx=+sel.value; buildBuffers(); resetView(); });
 document.getElementById('mode').addEventListener('change', e=>{
-  modeIdx=e.target.selectedIndex; buildBuffers(); draw(); });
+  modeIdx=e.target.selectedIndex; rangeOverride=null; buildBuffers(); draw(); });
 document.getElementById('reset').addEventListener('click', resetView);
+document.getElementById('edges').addEventListener('change', e=>{
+  showEdges = e.target.checked; buildBuffers(); draw(); });
+document.getElementById('rescale').addEventListener('click', ()=>{
+  const lo = parseFloat(document.getElementById('vmin_in').value);
+  const hi = parseFloat(document.getElementById('vmax_in').value);
+  rangeOverride = (isFinite(lo) && isFinite(hi) && hi > lo) ? [lo, hi] : null;
+  buildBuffers(); draw(); });
 resize(); buildBuffers(); resetView();
 </script></body></html>
 """
