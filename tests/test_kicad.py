@@ -202,3 +202,45 @@ class TestBoardLoading:
         for layer in prob.layers:
             # 0.035 mm x 5.95e4 S/mm = 2082.5 S
             assert layer.conductance == pytest.approx(2082.5)
+
+
+@needs_boards
+class TestViaStacks:
+    def test_4layer_via_resistor_stack_pairs(self):
+        """A through via on a 4-layer board stitches each ADJACENT layer
+        pair around the drill boundary (reference test_kicad.py:333+)."""
+        prob = load("via_tht_4layer")
+        via_center = geom.Point(118.8, 105.9)
+        expected_radius = 0.15
+        tol = expected_radius * 0.1
+        found_pairs = set()
+        boundary_resistors = 0
+        for net in prob.networks:
+            for e in net.elements:
+                if not isinstance(e, problem.Resistor):
+                    continue
+                ca = next((c for c in net.connections if c.node_id == e.a), None)
+                cb = next((c for c in net.connections if c.node_id == e.b), None)
+                if not ca or not cb:
+                    continue
+                da = ca.point.distance(via_center)
+                db = cb.point.distance(via_center)
+                if abs(da - expected_radius) < tol and abs(db - expected_radius) < tol:
+                    boundary_resistors += 1
+                    found_pairs.add(tuple(sorted([ca.layer.name, cb.layer.name])))
+        layers = ["F.Cu", "In1.Cu", "In2.Cu", "B.Cu"]
+        for i in range(3):
+            pair = tuple(sorted([layers[i], layers[i + 1]]))
+            assert pair in found_pairs, f"missing resistor stack {pair}"
+        # ~16 boundary points per adjacent pair
+        assert boundary_resistors >= 12
+
+    def test_via_boundary_points_on_ring(self):
+        prob = load("simple_via")
+        via_nets = [
+            n for n in prob.networks
+            if n.elements and all(isinstance(e, problem.Resistor) for e in n.elements)
+        ]
+        assert via_nets
+        n0 = via_nets[0]
+        assert len(n0.elements) >= 4
