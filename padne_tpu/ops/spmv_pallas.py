@@ -15,12 +15,16 @@ STATUS (measured on TPU v5e, jax 0.9 Mosaic, axon remote compile):
   ("shape mismatch"); take_along_axis under x64 traces int64
   (unsupported) and under 32-bit tracing dies in lowering
   (AssertionError) even for ~6k-row extents.
-* The gather-free variant in make_banded_spmv (RCM banding, one-hot
-  iota==idx accumulation + MXU window matmul) is semantically correct
-  (verified in interpret mode, err ~2e-6 f32) but hard-crashes the
-  Mosaic compile helper (tpu_compile_helper exit 1) at every tried
-  config, including tiny ones — blocked on compiler diagnostics not
-  available through the remote-compile tunnel.
+* 1-D BlockSpecs crash this Mosaic version's compile helper
+  (tpu_compile_helper exit 1) — all kernel operands must be >= 2-D.
+  With that fixed, the gather-free variant in make_banded_spmv (RCM
+  banding, one-hot iota==idx accumulation + MXU window matmul) compiles
+  and runs, but measured 5.7x SLOWER than the XLA gather at 1M rows
+  (544 ms vs 96 ms): the VPU one-hot construction costs
+  n*K*window ~ n^1.5 compare-select ops and dominates.  It also loses
+  ~1e-3 relative accuracy to bf16 MXU passes.  Conclusion: a
+  competitive TPU SpMV needs hardware gather or per-block DMA
+  scatter-orchestration, neither expressible in this Mosaic version.
 * Production path remains ops.spmv.ell_matvec (XLA gather): ~3.5 ns per
   index at 1e5 rows, ~9 ns at 1e6 rows, flat in RHS width up to 128 —
   so multi-RHS batching is free and the per-index overhead dominates.
@@ -118,6 +122,8 @@ def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
     SB = 128  # sub-block rows; S tile is (SB, 3*BN) f32 in VMEM
     SUB = BN // SB
 
+    # NOTE: 1-D BlockSpecs crash this Mosaic version's compiler, so diag
+    # travels as an (n, 1) column.
     def kernel(lcols_ref, vals_ref, diag_ref, xm_ref, xs_ref, xp_ref, out_ref):
         window = jnp.concatenate(
             [xm_ref[...], xs_ref[...], xp_ref[...]], axis=0
@@ -131,7 +137,7 @@ def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
         # Rows of this sub-block within the BN-superblock:
         j = pl.program_id(1)
         xself = xs_ref[pl.ds(j * SB, SB), :]
-        acc = diag_ref[...][:, None] * xself
+        acc = diag_ref[...] * xself
         acc = acc + jnp.dot(S, window, preferred_element_type=window.dtype)
         out_ref[...] = acc
 
@@ -143,7 +149,7 @@ def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
         in_specs=[
             pl.BlockSpec((SB, K), lambda i, j: (i * SUB + j, 0)),
             pl.BlockSpec((SB, K), lambda i, j: (i * SUB + j, 0)),
-            pl.BlockSpec((SB,), lambda i, j: (i * SUB + j,)),
+            pl.BlockSpec((SB, 1), lambda i, j: (i * SUB + j, 0)),
             pl.BlockSpec((BN, R), lambda i, j: (i, 0)),
             pl.BlockSpec((BN, R), lambda i, j: (i + 1, 0)),
             pl.BlockSpec((BN, R), lambda i, j: (i + 2, 0)),
@@ -157,7 +163,7 @@ def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
 
         x_halo = jnp2.zeros((n_pad + 2 * BN, x.shape[1]), dtype=x.dtype)
         x_halo = x_halo.at[BN : BN + n_pad].set(x)
-        return f(local_cols, vals, diag, x_halo, x_halo, x_halo)
+        return f(local_cols, vals, diag.reshape(-1, 1), x_halo, x_halo, x_halo)
 
     return apply, n_pad, local
 
