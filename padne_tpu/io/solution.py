@@ -9,9 +9,7 @@ executing pickled code.
 
 from __future__ import annotations
 
-import io
 import json
-import pathlib
 
 import numpy as np
 

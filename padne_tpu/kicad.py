@@ -26,7 +26,7 @@ import pathlib
 import warnings
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, ClassVar, Iterable, Optional
+from typing import Any, ClassVar, Optional
 
 import numpy as np
 
@@ -159,7 +159,7 @@ def extract_stackup(pcb_tree, copper_conductivity: float = COPPER_CONDUCTIVITY) 
 # ---------------------------------------------------------------------------
 # Geometry primitives from PCB items
 # ---------------------------------------------------------------------------
-def _arc_points(start, mid, end, width=None) -> np.ndarray:
+def _arc_points(start, mid, end) -> np.ndarray:
     """Tessellate a 3-point arc into a polyline (including endpoints)."""
     (x1, y1), (x2, y2), (x3, y3) = start, mid, end
     # Circumcenter of the three points.

@@ -134,9 +134,6 @@ def solve_bordered(
         cols_i, vals_i, diag_i = cols, vals, diag
         inner_tol = tol
 
-    project = cg.make_projector(comp_id, p)
-    counts = np.bincount(system.comp_id, minlength=p).astype(np.float64)
-
     # Z^T y  == per-component sums; (p, R) for multi-RHS y.
     def zt(y):
         return jax.ops.segment_sum(y, comp_id, num_segments=p)

@@ -19,7 +19,7 @@ Features (parity targets from the reference viewer):
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -351,3 +351,28 @@ class TestDiagnostics:
         with pytest.warns(solver.SolverWarning):
             solution = solver.solve(prob)
         assert solution is not None
+
+
+class TestMixedPrecision:
+    def test_mixed_matches_f64(self):
+        """f32 inner solves + f64 refinement reach the same solution as
+        the all-f64 path (the TPU production configuration)."""
+        import jax.numpy as jnp
+
+        from padne_tpu.ops import schur
+
+        prob, _, _ = make_linear_strip_problem(voltage=2.0)
+        indices, _, pairs = solver.compute_connectivity(prob)
+        meshes, m2l = solver.generate_meshes_for_problem(
+            prob, mesh.Mesher(), pairs, indices
+        )
+        vindex = solver.VertexIndexer.create(meshes)
+        filtered = solver.filter_dead_networks(prob, indices, pairs)
+        ni = solver.NodeIndexer.create(prob, meshes, m2l, vindex, filtered)
+        system, _ = solver.assemble_core_system(
+            prob, meshes, m2l, vindex, filtered, ni
+        )
+        r64 = schur.solve_bordered(system)
+        r32 = schur.solve_bordered(system, device_dtype=jnp.float32)
+        assert r32.residual_norm < 1e-9
+        assert np.abs(r64.v - r32.v).max() < 1e-8
