@@ -104,7 +104,10 @@ def main():
             rel = float(rn) / bn
             if rel < tol:
                 return x64, p, total_iters, rel
-            res = solver(r64.astype(dtype), 1e-4, 200)
+            # Short inner passes: the axon tunnel kills single device
+            # dispatches that run too long, so cap the while_loop length
+            # and let the outer f64 refinement finish the job.
+            res = solver(r64.astype(dtype), 1e-4, 60)
             total_iters += int(res.iterations)
             x64 = x64 + res.x.astype(jnp.float64)
         _, rn = residual64((vals64, diag64), b64, x64)

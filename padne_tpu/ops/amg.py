@@ -237,14 +237,13 @@ def make_vcycle(h: AMGHierarchy, dtype=None):
         """y[i] = sum_k vals[i,k] * x[cols[i,k]] (rectangular ELL)."""
         return jnp.einsum("nk,nkr->nr", vals, x[cols])
 
+    def dinv_of(entry):
+        d = entry["a_diag"]
+        return jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+
     def smooth(entry, omega, x, b):
         r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
-        dinv = jnp.where(
-            entry["a_diag"] > 0,
-            1.0 / jnp.where(entry["a_diag"] > 0, entry["a_diag"], 1.0),
-            0.0,
-        )
-        return x + omega * dinv[:, None] * r
+        return x + omega * dinv_of(entry)[:, None] * r
 
     num_levels = len(h.levels)
 
@@ -253,7 +252,8 @@ def make_vcycle(h: AMGHierarchy, dtype=None):
         if level == num_levels - 1:
             return p[-1]["coarse_inv"] @ b
         omega = omegas[level]
-        x = smooth(entry, omega, jnp.zeros_like(b), b)
+        # Pre-smooth from a zero guess needs no SpMV: x = omega D^-1 b.
+        x = omega * dinv_of(entry)[:, None] * b
         r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
         rc = rect_matvec(entry["r_cols"], entry["r_vals"], r)
         xc = cycle(level + 1, p, rc)
