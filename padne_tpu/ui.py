@@ -121,8 +121,13 @@ class SolutionViewer:
             "keys: 1-9 layer, m mode, n/x set min/max from probe, r reset"
         )
         self.ax.set_aspect("equal")
-        if tp is not None and not getattr(self, "_cbar", None):
-            self._cbar = self.fig.colorbar(tp, ax=self.ax, fraction=0.04)
+        if tp is not None:
+            if not getattr(self, "_cbar", None):
+                self._cbar = self.fig.colorbar(tp, ax=self.ax, fraction=0.04)
+            else:
+                # Rebind the colorbar to the freshly drawn mappable so a
+                # mode/layer/scale change updates its norm and colormap.
+                self._cbar.update_normal(tp)
         self.fig.canvas.draw_idle()
 
     # -- interaction --------------------------------------------------------
@@ -134,6 +139,10 @@ class SolutionViewer:
                 self.redraw()
         elif event.key == "m":
             self.mode_idx = (self.mode_idx + 1) % len(MODES)
+            # The override is in the previous mode's units (V vs W/mm²);
+            # carrying it across modes would clamp with the wrong scale.
+            self.scale_override = None
+            self.last_probe = None
             self.redraw()
         elif event.key == "r":
             self.scale_override = None
