@@ -63,6 +63,26 @@ def add_mesher_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--distance-map-quantization", type=float,
                         default=d.distance_map_quantization,
                         help="Quantization step for distance map")
+    parser.add_argument("--tp", type=int, default=1, metavar="N",
+                        help="Tensor-parallel width: shard the solve over "
+                             "the first N accelerator devices (1 = single "
+                             "device)")
+
+
+def device_mesh_from_args(args):
+    """Build a (1, tp) device mesh for --tp > 1; None otherwise."""
+    if getattr(args, "tp", 1) <= 1:
+        return None
+    import jax
+
+    from .parallel import sharding
+
+    avail = len(jax.devices())
+    if args.tp > avail:
+        raise ValueError(
+            f"--tp {args.tp} exceeds the {avail} available device(s)"
+        )
+    return sharding.make_mesh(args.tp)
 
 
 def mesher_config_from_args(args):
@@ -154,7 +174,11 @@ def do_gui(args) -> int:
     log.info("Loading KiCad project for GUI: %s", args.kicad_pro_file)
     prob = kicad.load_kicad_project(args.kicad_pro_file)
     with collect_warnings() as warns:
-        solution = solver.solve(prob, mesher_config=mesher_config_from_args(args))
+        solution = solver.solve(
+            prob,
+            mesher_config=mesher_config_from_args(args),
+            device_mesh=device_mesh_from_args(args),
+        )
     captured = [w for w in warns if issubclass(w.category, solver.SolverWarning)]
     return ui.main(solution, captured)
 
@@ -168,7 +192,11 @@ def do_solve(args) -> None:
     log.info("Loading KiCad project: %s", args.kicad_pro_file)
     prob = kicad.load_kicad_project(args.kicad_pro_file)
     log.info("Solving problem...")
-    sol = solver.solve(prob, mesher_config=mesher_config_from_args(args))
+    sol = solver.solve(
+        prob,
+        mesher_config=mesher_config_from_args(args),
+        device_mesh=device_mesh_from_args(args),
+    )
     solution_io.save_solution(sol, args.output_file)
     log.info("Solution saved to %s", args.output_file)
 

@@ -202,7 +202,18 @@ def build_hierarchy(
     return AMGHierarchy(levels=levels, coarse_inv=coarse_inv)
 
 
-def make_vcycle(h: AMGHierarchy, dtype=None):
+def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad axis 0 up to a multiple with inert entries (zero values /
+    column index 0, which gathered vectors always contain)."""
+    pad = (-a.shape[0]) % multiple
+    if pad == 0:
+        return a
+    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, widths, constant_values=0)
+
+
+def make_vcycle(h: AMGHierarchy, dtype=None, tp: int = 1,
+                axis_name: Optional[str] = None):
     """Returns (apply, params): a jittable z = apply(params, r) V(1,1)
     cycle plus its parameter pytree of device arrays.
 
@@ -212,49 +223,84 @@ def make_vcycle(h: AMGHierarchy, dtype=None):
     constants, which breaks/slows compilation at large n.  Every step is
     an ELL SpMV / elementwise op; the cycle is symmetric (same damped-
     Jacobi pre/post smoothing), preserving SPD for use inside CG.
+
+    Multi-chip (tp > 1, axis_name set): every level's rows are padded to
+    a multiple of tp and the returned `apply` is written for use inside
+    shard_map over `axis_name` — each SpMV all-gathers the level vector,
+    padding rows are inert (zero values, zero diagonal), and the dense
+    coarsest solve runs replicated on the gathered residual.  Padded
+    rows of every vector stay exactly zero through the cycle.
     """
+    import jax
     import jax.numpy as jnp
 
-    from .spmv import ell_matvec
+    from .spmv import collectives
+
+    if (tp > 1) != (axis_name is not None):
+        raise ValueError("tp > 1 requires axis_name (and vice versa)")
+    gather, _ = collectives(axis_name)
+
+    def prep(a):
+        return _pad_rows(a, tp) if tp > 1 else a
 
     params = []
     for lv in h.levels:
         entry = {
-            "a_cols": jnp.asarray(lv.a_cols),
-            "a_vals": jnp.asarray(lv.a_vals, dtype=dtype),
-            "a_diag": jnp.asarray(lv.a_diag, dtype=dtype),
+            "a_cols": jnp.asarray(prep(lv.a_cols)),
+            "a_vals": jnp.asarray(prep(lv.a_vals), dtype=dtype),
+            "a_diag": jnp.asarray(prep(lv.a_diag), dtype=dtype),
         }
         if lv.p_cols is not None:
-            entry["p_cols"] = jnp.asarray(lv.p_cols)
-            entry["p_vals"] = jnp.asarray(lv.p_vals, dtype=dtype)
-            entry["r_cols"] = jnp.asarray(lv.r_cols)
-            entry["r_vals"] = jnp.asarray(lv.r_vals, dtype=dtype)
+            entry["p_cols"] = jnp.asarray(prep(lv.p_cols))
+            entry["p_vals"] = jnp.asarray(prep(lv.p_vals), dtype=dtype)
+            entry["r_cols"] = jnp.asarray(prep(lv.r_cols))
+            entry["r_vals"] = jnp.asarray(prep(lv.r_vals), dtype=dtype)
         params.append(entry)
     params.append({"coarse_inv": jnp.asarray(h.coarse_inv, dtype=dtype)})
     omegas = [lv.omega for lv in h.levels]  # static floats
 
     def rect_matvec(cols, vals, x):
-        """y[i] = sum_k vals[i,k] * x[cols[i,k]] (rectangular ELL)."""
-        return jnp.einsum("nk,nkr->nr", vals, x[cols])
+        """y[i] = sum_k vals[i,k] * x[cols[i,k]] (rectangular ELL; x is
+        gathered to full length first in sharded mode)."""
+        return jnp.einsum("nk,nkr->nr", vals, gather(x)[cols])
+
+    def a_matvec(entry, x):
+        off = rect_matvec(entry["a_cols"], entry["a_vals"], x)
+        return entry["a_diag"][:, None] * x + off
 
     def dinv_of(entry):
         d = entry["a_diag"]
         return jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
 
     def smooth(entry, omega, x, b):
-        r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
+        r = b - a_matvec(entry, x)
         return x + omega * dinv_of(entry)[:, None] * r
+
+    def coarse_solve(cinv, b):
+        if axis_name is None:
+            return cinv @ b
+        nc = cinv.shape[0]
+        bf = gather(b)                    # (nc_pad, R) replicated
+        xr = cinv @ bf[:nc]               # (nc, R)
+        ln = b.shape[0]                   # local rows (static)
+        pad = ln * tp - nc
+        if pad:
+            xr = jnp.concatenate(
+                [xr, jnp.zeros((pad, xr.shape[1]), xr.dtype)], axis=0
+            )
+        idx = jax.lax.axis_index(axis_name)
+        return jax.lax.dynamic_slice_in_dim(xr, idx * ln, ln, axis=0)
 
     num_levels = len(h.levels)
 
     def cycle(level: int, p, b):
         entry = p[level]
         if level == num_levels - 1:
-            return p[-1]["coarse_inv"] @ b
+            return coarse_solve(p[-1]["coarse_inv"], b)
         omega = omegas[level]
         # Pre-smooth from a zero guess needs no SpMV: x = omega D^-1 b.
         x = omega * dinv_of(entry)[:, None] * b
-        r = b - ell_matvec(entry["a_cols"], entry["a_vals"], entry["a_diag"], x)
+        r = b - a_matvec(entry, x)
         rc = rect_matvec(entry["r_cols"], entry["r_vals"], r)
         xc = cycle(level + 1, p, rc)
         x = x + rect_matvec(entry["p_cols"], entry["p_vals"], xc)

@@ -13,6 +13,13 @@ in the orthogonal complement by projecting the RHS, the preconditioned
 residual, and (periodically) the iterates — yielding the pseudo-inverse
 action A^+ B.  The preconditioner is pluggable: Jacobi by default, or an
 AMG V-cycle (ops.amg) for mesh-size-independent convergence.
+
+Multi-chip: pass ``mesh`` (a jax.sharding.Mesh with a "tp" axis) to run
+the same algorithm tensor-parallel — rows of the operator and all CG
+state are sharded over the axis via shard_map; each SpMV all-gathers the
+search direction over ICI and every inner product is a psum.  The serial
+and sharded paths share one implementation, differentiated only by the
+(gather, global-sum) collective pair.
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .spmv import ell_matvec
+from .spmv import collectives as _collectives
 
 
 class CGResult(NamedTuple):
@@ -32,29 +39,48 @@ class CGResult(NamedTuple):
     residual_norms: jnp.ndarray  # (R,) final ||b - A x|| per column
 
 
-def make_projector(comp_id: jnp.ndarray, num_components: int):
+def make_projector(comp_id: jnp.ndarray, num_components: int, gsum=None):
     """Orthogonal projector onto the complement of per-component constant
     vectors: x <- x - mean_of_component(x).
 
     Implemented as dense one-hot matmuls (p is small), which run on the
     MXU instead of the scatter unit — measured ~10x faster than
-    segment_sum on TPU for the per-iteration projection.
+    segment_sum on TPU for the per-iteration projection.  With `gsum`
+    (sharded mode) the component sums/counts are completed across the
+    row shards.
     """
-    if num_components == 1:
+    if num_components == 1 and gsum is None:
         def project(x):
             return x - jnp.mean(x, axis=0, keepdims=True)
 
         return project
 
+    gsum = gsum or (lambda v: v)
     onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float64)  # (n, p)
-    counts = onehot.sum(axis=0)  # (p,)
+    counts = gsum(onehot.sum(axis=0))  # (p,) global component sizes
 
     def project(x):
-        sums = onehot.T @ x               # (p, R)
+        sums = gsum(onehot.T @ x)         # (p, R)
         means = sums / counts[:, None]
         return x - onehot @ means
 
     return project
+
+
+def _tree_specs(params, axis_name: str):
+    """PartitionSpecs for a preconditioner parameter pytree: row-sharded
+    by default; dense replicated blocks are recognized by key name."""
+    from jax.sharding import PartitionSpec as P
+
+    specs = []
+    for entry in params:
+        specs.append({
+            k: (P(None, None) if k == "coarse_inv"
+                else P(axis_name, None) if v.ndim == 2
+                else P(axis_name))
+            for k, v in entry.items()
+        })
+    return specs
 
 
 def make_pcg(
@@ -64,6 +90,8 @@ def make_pcg(
     comp_id: jnp.ndarray,
     num_components: int,
     precond: Optional[tuple] = None,
+    mesh=None,
+    axis_name: str = "tp",
 ):
     """Build a jitted deflated-PCG solver bound to one operator.
 
@@ -72,8 +100,16 @@ def make_pcg(
     Jacobi.  All large arrays (operator, preconditioner levels) are
     threaded through the jitted program as explicit XLA parameters, not
     closure constants, so compilation stays cheap at millions of rows.
+
+    mesh: a jax.sharding.Mesh containing `axis_name`; when given, the
+    solve runs row-sharded over that axis (N must be a multiple of the
+    axis size — see parallel.sharding.pad_rows / schur's padding).  A
+    sharded preconditioner must have been built with the same axis (see
+    amg.make_vcycle's tp/axis_name arguments).
+
     Returns solve(b, tol, maxiter) -> CGResult.
     """
+    ax = axis_name if mesh is not None else None
     if precond is None:
         def apply_m(op, r):
             _, _, dg, _ = op
@@ -86,58 +122,108 @@ def make_pcg(
         def apply_m(op, r):
             return precond_fn(op[3], r)
 
-    @partial(jax.jit, static_argnames=("num_components", "maxiter"))
-    def _solve(op, comp_id, b, tol, num_components: int, maxiter: int):
-        cols, vals, diag, _ = op
-        project = make_projector(comp_id, num_components)
-        b = project(b)
-        bnorm = jnp.linalg.norm(b, axis=0)
-        target = tol * jnp.maximum(bnorm, 1e-300)
+    def make_body(maxiter: int):
+        """CG body with an all-array signature (shard_map-friendly);
+        maxiter is baked in as a static."""
 
-        x0 = jnp.zeros_like(b)
-        r0 = b
-        z0 = project(apply_m(op, r0))
-        p0 = z0
-        rz0 = (r0 * z0).sum(axis=0)
+        def body(op, comp_id, b, tol):
+            cols, vals, diag, _ = op
+            gather, gsum = _collectives(ax)
 
-        def cond(state):
-            _, r, _, _, k, _ = state
-            rn = jnp.linalg.norm(r, axis=0)
-            return jnp.logical_and(k < maxiter, jnp.any(rn > target))
+            def matvec(x):
+                xf = gather(x)
+                off = jnp.einsum("nk,nkr->nr", vals, xf[cols])
+                return diag[:, None] * x + off
 
-        def body(state):
-            x, r, z, p, k, rz = state
-            active = jnp.linalg.norm(r, axis=0) > target  # (R,)
-            ap = ell_matvec(cols, vals, diag, p)
-            pap = (p * ap).sum(axis=0)
-            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-            alpha = jnp.where(active, alpha, 0.0)
-            x = x + alpha[None, :] * p
-            r = r - alpha[None, :] * ap
-            # Periodic re-projection kills numerical drift into the
-            # nullspace.
-            r = jax.lax.cond(k % 50 == 49, project, lambda v: v, r)
-            z = project(apply_m(op, r))
-            rz_new = (r * z).sum(axis=0)
-            beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-            beta = jnp.where(active, beta, 0.0)
-            p = z + beta[None, :] * p
-            return (x, r, z, p, k + 1, rz_new)
+            def dot(a, b2):
+                return gsum((a * b2).sum(axis=0))  # (R,)
 
-        x, r, _, _, iters, _ = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, p0, jnp.int64(0), rz0)
-        )
-        rtrue = b - ell_matvec(cols, vals, diag, x)
-        return CGResult(
-            x=project(x),
-            iterations=iters,
-            residual_norms=jnp.linalg.norm(rtrue, axis=0),
-        )
+            def norm(a):
+                return jnp.sqrt(dot(a, a))
+
+            project = make_projector(
+                comp_id, num_components, gsum=gsum if ax else None
+            )
+            b = project(b)
+            bnorm = norm(b)
+            target = tol * jnp.maximum(bnorm, 1e-300)
+
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            z0 = project(apply_m(op, r0))
+            p0 = z0
+            rz0 = dot(r0, z0)
+
+            def cond(state):
+                _, r, _, _, k, _ = state
+                return jnp.logical_and(
+                    k < maxiter, jnp.any(norm(r) > target)
+                )
+
+            def loop_body(state):
+                x, r, z, p, k, rz = state
+                active = norm(r) > target  # (R,)
+                ap = matvec(p)
+                pap = dot(p, ap)
+                alpha = jnp.where(
+                    pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0
+                )
+                alpha = jnp.where(active, alpha, 0.0)
+                x = x + alpha[None, :] * p
+                r = r - alpha[None, :] * ap
+                # Periodic re-projection kills numerical drift into the
+                # nullspace.
+                r = jax.lax.cond(k % 50 == 49, project, lambda v: v, r)
+                z = project(apply_m(op, r))
+                rz_new = dot(r, z)
+                beta = jnp.where(
+                    rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
+                )
+                beta = jnp.where(active, beta, 0.0)
+                p = z + beta[None, :] * p
+                return (x, r, z, p, k + 1, rz_new)
+
+            x, r, _, _, iters, _ = jax.lax.while_loop(
+                cond, loop_body, (x0, r0, z0, p0, jnp.int64(0), rz0)
+            )
+            rtrue = b - matvec(x)
+            return CGResult(
+                x=project(x),
+                iterations=iters,
+                residual_norms=norm(rtrue),
+            )
+
+        return body
+
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("maxiter",))
+        def _solve(op, comp_id, b, tol, maxiter: int):
+            return make_body(maxiter)(op, comp_id, b, tol)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .spmv import shard_map_unchecked
+
+        pp_specs = (None if precond_params is None
+                    else _tree_specs(precond_params, axis_name))
+        op_specs = (P(axis_name, None), P(axis_name, None), P(axis_name),
+                    pp_specs)
+        out_specs = CGResult(x=P(axis_name, None), iterations=P(),
+                             residual_norms=P())
+
+        @partial(jax.jit, static_argnames=("maxiter",))
+        def _solve(op, comp_id, b, tol, maxiter: int):
+            inner = shard_map_unchecked(
+                make_body(maxiter), mesh,
+                in_specs=(op_specs, P(axis_name), P(axis_name, None), P()),
+                out_specs=out_specs,
+            )
+            return inner(op, comp_id, b, tol)
 
     op = (cols, vals, diag, precond_params)
 
     def solve(b, tol, maxiter: int = 10000) -> CGResult:
-        return _solve(op, comp_id, b, tol, num_components, maxiter)
+        return _solve(op, comp_id, b, tol, maxiter=maxiter)
 
     return solve
 

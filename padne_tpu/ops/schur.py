@@ -107,6 +107,7 @@ def solve_bordered(
     precond: str = "auto",
     amg_threshold: int = 20000,
     device_dtype=None,
+    mesh=None,
 ) -> BorderedSolution:
     """Solve the full bordered system.  Host-side driver around jitted
     device stages; the refinement loop reuses the same CG machinery.
@@ -119,6 +120,15 @@ def solve_bordered(
     and the accumulated solution stay f64 — classic mixed-precision
     iterative refinement; each pass gains the inner solve's relative
     accuracy, so a handful of f32 passes reach f64-grade residuals.
+
+    mesh: optional jax.sharding.Mesh with a "tp" axis: the inner
+    multi-RHS CG (and its AMG V-cycle) run tensor-parallel — operator
+    rows and all CG state sharded over the axis, SpMV via all_gather,
+    reductions via psum (parallel/sharding.py holds the standalone
+    variants; this is the production integration).  Rows are padded to
+    a tp multiple; padding rows form their own deflation component so
+    they carry exactly zero through the solve.  The small dense Schur
+    block and the f64 refinement residuals stay replicated.
     """
     n, m = system.n, system.border.m
     cols, vals, diag = system.ell.to_device()
@@ -127,11 +137,35 @@ def solve_bordered(
     B, C = _dense_border(system)
     mixed = device_dtype is not None and jnp.dtype(device_dtype) != jnp.float64
     inner_dtype = jnp.dtype(device_dtype) if mixed else jnp.float64
+
+    tp = int(mesh.shape["tp"]) if mesh is not None else 1
+    if tp <= 1:
+        mesh = None
+        tp = 1
+    pad = (-n) % tp
+    if mesh is not None:
+        ell_inner = assembly.EllMatrix(
+            cols=np.pad(system.ell.cols, ((0, pad), (0, 0))),
+            vals=np.pad(system.ell.vals, ((0, pad), (0, 0))),
+            diag=np.pad(system.ell.diag, (0, pad)),
+        )
+        # Padding rows form their own (trivially satisfied) deflation
+        # component, so real components' means are unaffected.
+        comp_cg = jnp.asarray(
+            np.concatenate([system.comp_id,
+                            np.full(pad, p, dtype=system.comp_id.dtype)])
+            if pad else system.comp_id
+        )
+        p_cg = p + (1 if pad else 0)
+    else:
+        ell_inner = system.ell
+        comp_cg, p_cg = comp_id, p
+
     if mixed:
-        cols_i, vals_i, diag_i = system.ell.to_device(dtype=inner_dtype)
+        cols_i, vals_i, diag_i = ell_inner.to_device(dtype=inner_dtype)
         inner_tol = max(tol, 1e-5)
     else:
-        cols_i, vals_i, diag_i = cols, vals, diag
+        cols_i, vals_i, diag_i = ell_inner.to_device()
         inner_tol = tol
 
     # Z^T y  == per-component sums; (p, R) for multi-RHS y.
@@ -149,12 +183,18 @@ def solve_bordered(
         from . import amg
 
         hierarchy = amg.build_hierarchy(system.ell)
-        vcycle = amg.make_vcycle(hierarchy, dtype=inner_dtype if mixed else None)
-        logging.getLogger(__name__).info(
-            "Preconditioner: AMG, levels %s (inner dtype %s)",
-            [len(l.a_diag) for l in hierarchy.levels], inner_dtype,
+        vcycle = amg.make_vcycle(
+            hierarchy, dtype=inner_dtype if mixed else None,
+            tp=tp if mesh is not None else 1,
+            axis_name="tp" if mesh is not None else None,
         )
-    cg_solver = cg.make_pcg(cols_i, vals_i, diag_i, comp_id, p, precond=vcycle)
+        logging.getLogger(__name__).info(
+            "Preconditioner: AMG, levels %s (inner dtype %s, tp %d)",
+            [len(l.a_diag) for l in hierarchy.levels], inner_dtype, tp,
+        )
+    cg_solver = cg.make_pcg(
+        cols_i, vals_i, diag_i, comp_cg, p_cg, precond=vcycle, mesh=mesh
+    )
 
     total_cg_iters = 0
 
@@ -163,9 +203,13 @@ def solve_bordered(
         nonlocal total_cg_iters
         # RHS block: [C | rc] -> A^+ of each column.
         rhs = jnp.concatenate([C, rc[:, None]], axis=1)  # (n, m+1)
+        if pad:
+            rhs = jnp.concatenate(
+                [rhs, jnp.zeros((pad, m + 1), rhs.dtype)], axis=0
+            )
         res = cg_solver(rhs.astype(inner_dtype), inner_tol, maxiter)
         total_cg_iters += int(res.iterations)
-        X = res.x.astype(jnp.float64)  # (n, m+1): [A^+ C | A^+ rc]
+        X = res.x.astype(jnp.float64)[:n]  # (n, m+1): [A^+ C | A^+ rc]
         Xc, xr = X[:, :m], X[:, m]
 
         BXc = B @ Xc                   # (m, m)

@@ -85,16 +85,15 @@ def sharded_cg(mesh: Mesh, cols, vals, diag, b, iters: int = 200,
     b: (n, R) P('tp', None).  Runs a fixed number of iterations (static
     for jit) with per-column masking once `tol` is reached.
     """
-    from jax.experimental.shard_map import shard_map
+    from ..ops.spmv import shard_map_unchecked
 
     n = b.shape[0]
 
     @functools.partial(
-        shard_map,
+        shard_map_unchecked,
         mesh=mesh,
         in_specs=(P("tp", None), P("tp", None), P("tp"), P("tp", None)),
         out_specs=P("tp", None),
-        check_rep=False,
     )
     def solve(cols_l, vals_l, diag_l, b_l):
         # cols_l: (n_local, K) with GLOBAL column indices.
@@ -149,10 +148,10 @@ def batched_sharded_cg(mesh: Mesh, cols, vals, diag, b, iters: int = 200):
     P('dp', 'tp', None).  This is the vmapped design-sweep solver
     (BASELINE.json configs[4]).
     """
-    from jax.experimental.shard_map import shard_map
+    from ..ops.spmv import shard_map_unchecked
 
     @functools.partial(
-        shard_map,
+        shard_map_unchecked,
         mesh=mesh,
         in_specs=(
             P("tp", None),
@@ -161,7 +160,6 @@ def batched_sharded_cg(mesh: Mesh, cols, vals, diag, b, iters: int = 200):
             P("dp", "tp", None),
         ),
         out_specs=P("dp", "tp", None),
-        check_rep=False,
     )
     def solve(cols_l, vals_l, diag_l, b_l):
         # vals_l: (B_local, n_local, K); b_l: (B_local, n_local, R)

@@ -503,7 +503,14 @@ def solve(
     prob: problem.Problem,
     mesher_config: Optional[mesh.Mesher.Config] = None,
     check_against_scipy: bool = False,
+    device_mesh=None,
 ) -> Solution:
+    """Solve a problem end-to-end.
+
+    device_mesh: optional jax.sharding.Mesh with a "tp" axis — the
+    inner CG/AMG solve runs tensor-parallel over those devices (see
+    ops.schur.solve_bordered).
+    """
     from .ops import schur as ops_schur
 
     mesher = mesh.Mesher(mesher_config)
@@ -546,7 +553,9 @@ def solve(
         import jax.numpy as jnp
 
         device_dtype = jnp.float32
-    result = ops_schur.solve_bordered(system, device_dtype=device_dtype)
+    result = ops_schur.solve_bordered(
+        system, device_dtype=device_dtype, mesh=device_mesh
+    )
 
     if check_against_scipy:
         import scipy.sparse.linalg
