@@ -168,6 +168,14 @@ def solve_bordered(
         cols_i, vals_i, diag_i = ell_inner.to_device()
         inner_tol = tol
 
+    use_amg = precond == "amg" or (precond == "auto" and n >= amg_threshold)
+    if use_amg and not mixed:
+        # The V-cycle's attainable f64 residual floor sits around 1e-11
+        # relative; asking CG for less makes it spin at maxiter.  The
+        # outer full-system refinement multiplies the gain per pass, so a
+        # 1e-9 inner target converges in a couple of cheap passes instead.
+        inner_tol = max(inner_tol, 1e-9)
+
     # Z^T y  == per-component sums; (p, R) for multi-RHS y.
     def zt(y):
         return jax.ops.segment_sum(y, comp_id, num_segments=p)
@@ -175,7 +183,6 @@ def solve_bordered(
     r_core = jnp.asarray(system.r_core)
     r_border = jnp.asarray(system.border.rhs)
 
-    use_amg = precond == "amg" or (precond == "auto" and n >= amg_threshold)
     vcycle = None
     if use_amg:
         import logging
