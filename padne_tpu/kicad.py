@@ -443,6 +443,37 @@ def footprint_reference(fp) -> str:
     return "?"
 
 
+def find_pad_location(pcb_source, ref: str) -> tuple[float, float, str]:
+    """Resolve a pad reference like "TP3" or "J4.2" to (x_mm, y_mm,
+    copper_layer_name).
+
+    A bare designator is allowed when the footprint has exactly one pad
+    (bench probing convention, reference tests/test_sets.py:176-198).
+    pcb_source: a .kicad_pcb path or an already parsed s-expression tree.
+    """
+    if isinstance(pcb_source, (str, Path)):
+        pcb_tree = sexp.loads(Path(pcb_source).read_text())
+    else:
+        pcb_tree = pcb_source
+    copper_names = extract_copper_layer_names(pcb_tree)
+    designator, _, pad_name = ref.partition(".")
+    matches = [
+        p for p in iter_pads(pcb_tree, copper_names)
+        if p.endpoint.designator == designator
+        and (not pad_name or p.endpoint.pad == pad_name)
+    ]
+    if not matches:
+        raise ValueError(f"No pad matching reference {ref!r}")
+    if not pad_name and len(matches) > 1:
+        raise ValueError(
+            f"{designator!r} has {len(matches)} pads; "
+            f"use {designator}.<pad> to pick one"
+        )
+    p = matches[0]
+    layer = p.layers[0] if p.layers else "F.Cu"
+    return p.abs_x, p.abs_y, layer
+
+
 def iter_pads(pcb_tree, copper_names: list[str]):
     """Yield PadInfo for every pad of every footprint."""
     for fp in sexp.find_children(pcb_tree, "footprint"):

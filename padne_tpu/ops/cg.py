@@ -43,11 +43,13 @@ def make_projector(comp_id: jnp.ndarray, num_components: int, gsum=None):
     """Orthogonal projector onto the complement of per-component constant
     vectors: x <- x - mean_of_component(x).
 
-    Implemented as dense one-hot matmuls (p is small), which run on the
+    For few components this is dense one-hot matmuls, which run on the
     MXU instead of the scatter unit — measured ~10x faster than
-    segment_sum on TPU for the per-iteration projection.  With `gsum`
-    (sharded mode) the component sums/counts are completed across the
-    row shards.
+    segment_sum on TPU for the per-iteration projection.  Beyond a few
+    dozen components the (n, p) one-hot becomes accidentally quadratic
+    (heavily eroded boards fragment into thousands of islands), so a
+    segment_sum/gather formulation takes over.  With `gsum` (sharded
+    mode) the component sums/counts are completed across the row shards.
     """
     if num_components == 1 and gsum is None:
         def project(x):
@@ -56,6 +58,23 @@ def make_projector(comp_id: jnp.ndarray, num_components: int, gsum=None):
         return project
 
     gsum = gsum or (lambda v: v)
+
+    if num_components > 64:
+        ones = jnp.ones(comp_id.shape[0], dtype=jnp.float64)
+        counts = gsum(
+            jax.ops.segment_sum(ones, comp_id, num_segments=num_components)
+        )
+        counts = jnp.maximum(counts, 1.0)  # empty ids on other shards
+
+        def project(x):
+            sums = gsum(jax.ops.segment_sum(
+                x, comp_id, num_segments=num_components
+            ))                                # (p, R)
+            means = sums / counts[:, None]
+            return x - means[comp_id]
+
+        return project
+
     onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float64)  # (n, p)
     counts = gsum(onehot.sum(axis=0))  # (p,) global component sizes
 
@@ -122,11 +141,16 @@ def make_pcg(
         def apply_m(op, r):
             return precond_fn(op[3], r)
 
-    def make_body(maxiter: int):
+    def make_body(maxiter: int, state_in: bool, state_out: bool):
         """CG body with an all-array signature (shard_map-friendly);
-        maxiter is baked in as a static."""
+        maxiter is baked in as a static.
 
-        def body(op, comp_id, b, tol):
+        state_in/state_out thread the Krylov state (x, r, z, p, rz) in
+        and out, so a long solve can be split into bounded-length device
+        dispatches that are mathematically ONE uninterrupted CG run (the
+        axon TPU runtime kills dispatches that run too long)."""
+
+        def body(op, comp_id, b, tol, *maybe_state):
             cols, vals, diag, _ = op
             gather, gsum = _collectives(ax)
 
@@ -148,11 +172,14 @@ def make_pcg(
             bnorm = norm(b)
             target = tol * jnp.maximum(bnorm, 1e-300)
 
-            x0 = jnp.zeros_like(b)
-            r0 = b
-            z0 = project(apply_m(op, r0))
-            p0 = z0
-            rz0 = dot(r0, z0)
+            if state_in:
+                (x0, r0, z0, p0, rz0) = maybe_state[0]
+            else:
+                x0 = jnp.zeros_like(b)
+                r0 = b
+                z0 = project(apply_m(op, r0))
+                p0 = z0
+                rz0 = dot(r0, z0)
 
             def cond(state):
                 _, r, _, _, k, _ = state
@@ -183,22 +210,30 @@ def make_pcg(
                 p = z + beta[None, :] * p
                 return (x, r, z, p, k + 1, rz_new)
 
-            x, r, _, _, iters, _ = jax.lax.while_loop(
+            x, r, z, p_dir, iters, rz = jax.lax.while_loop(
                 cond, loop_body, (x0, r0, z0, p0, jnp.int64(0), rz0)
             )
             rtrue = b - matvec(x)
-            return CGResult(
+            result = CGResult(
                 x=project(x),
                 iterations=iters,
                 residual_norms=norm(rtrue),
             )
+            if state_out:
+                return result, (x, r, z, p_dir, rz)
+            return result
 
         return body
 
     if mesh is None:
-        @partial(jax.jit, static_argnames=("maxiter",))
-        def _solve(op, comp_id, b, tol, maxiter: int):
-            return make_body(maxiter)(op, comp_id, b, tol)
+        @partial(jax.jit,
+                 static_argnames=("maxiter", "state_in", "state_out"))
+        def _solve(op, comp_id, b, tol, maxiter: int,
+                   state_in: bool = False, state_out: bool = False,
+                   state=None):
+            body = make_body(maxiter, state_in, state_out)
+            args = (state,) if state_in else ()
+            return body(op, comp_id, b, tol, *args)
     else:
         from jax.sharding import PartitionSpec as P
 
@@ -208,23 +243,40 @@ def make_pcg(
                     else _tree_specs(precond_params, axis_name))
         op_specs = (P(axis_name, None), P(axis_name, None), P(axis_name),
                     pp_specs)
-        out_specs = CGResult(x=P(axis_name, None), iterations=P(),
+        res_specs = CGResult(x=P(axis_name, None), iterations=P(),
                              residual_norms=P())
+        row = P(axis_name, None)
+        state_specs = (row, row, row, row, P())
 
-        @partial(jax.jit, static_argnames=("maxiter",))
-        def _solve(op, comp_id, b, tol, maxiter: int):
+        @partial(jax.jit,
+                 static_argnames=("maxiter", "state_in", "state_out"))
+        def _solve(op, comp_id, b, tol, maxiter: int,
+                   state_in: bool = False, state_out: bool = False,
+                   state=None):
+            base = (op_specs, P(axis_name), P(axis_name, None), P())
+            in_specs = base + ((state_specs,) if state_in else ())
+            out_specs = (res_specs, state_specs) if state_out else res_specs
             inner = shard_map_unchecked(
-                make_body(maxiter), mesh,
-                in_specs=(op_specs, P(axis_name), P(axis_name, None), P()),
-                out_specs=out_specs,
+                make_body(maxiter, state_in, state_out), mesh,
+                in_specs=in_specs, out_specs=out_specs,
             )
-            return inner(op, comp_id, b, tol)
+            args = (state,) if state_in else ()
+            return inner(op, comp_id, b, tol, *args)
 
     op = (cols, vals, diag, precond_params)
 
     def solve(b, tol, maxiter: int = 10000) -> CGResult:
         return _solve(op, comp_id, b, tol, maxiter=maxiter)
 
+    def solve_stateful(b, tol, maxiter: int, state=None):
+        """One bounded chunk of the SAME CG run: pass the returned state
+        back in to continue exactly where the previous dispatch stopped
+        (state=None starts fresh).  Returns (CGResult, state)."""
+        return _solve(op, comp_id, b, tol, maxiter=maxiter,
+                      state_in=state is not None, state_out=True,
+                      state=state)
+
+    solve.stateful = solve_stateful
     return solve
 
 

@@ -108,6 +108,7 @@ def solve_bordered(
     amg_threshold: int = 20000,
     device_dtype=None,
     mesh=None,
+    dispatch_cap="auto",
 ) -> BorderedSolution:
     """Solve the full bordered system.  Host-side driver around jitted
     device stages; the refinement loop reuses the same CG machinery.
@@ -120,6 +121,14 @@ def solve_bordered(
     and the accumulated solution stay f64 — classic mixed-precision
     iterative refinement; each pass gains the inner solve's relative
     accuracy, so a handful of f32 passes reach f64-grade residuals.
+
+    dispatch_cap: maximum CG iterations per device dispatch.  TPU
+    runtimes behind a tunnel (axon) kill device executions that run for
+    more than roughly a minute, so one while_loop with maxiter=40000
+    crashes the worker.  "auto" picks a size-scaled cap on non-CPU
+    backends (none on CPU); an int forces a cap; None disables.  Capped
+    runs chunk the CG with host-side warm restarts (each chunk solves
+    the residual equation from zero — a plain CG restart).
 
     mesh: optional jax.sharding.Mesh with a "tp" axis: the inner
     multi-RHS CG (and its AMG V-cycle) run tensor-parallel — operator
@@ -203,6 +212,38 @@ def solve_bordered(
         cols_i, vals_i, diag_i, comp_cg, p_cg, precond=vcycle, mesh=mesh
     )
 
+    if dispatch_cap == "auto":
+        platform = (mesh.devices.flat[0].platform if mesh is not None
+                    else jax.default_backend())
+        # Budget ~60M row-updates per dispatch (Jacobi); an AMG-
+        # preconditioned iteration does ~5x the work of a Jacobi one
+        # (V-cycle = several level SpMVs), so scale the cap down — the
+        # tunnel watchdog kills dispatches by wall time, not iteration
+        # count.
+        per_iter_rows = max(n, 1) * (5 if use_amg else 1)
+        dispatch_cap = (
+            None if platform == "cpu"
+            else int(np.clip(60_000_000 // per_iter_rows, 30, 4000))
+        )
+
+    def run_cg(rhs_dev):
+        """cg_solver honoring the dispatch cap: the Krylov state is
+        threaded through bounded-length dispatches, so the chunked run
+        IS one uninterrupted CG iteration sequence."""
+        if dispatch_cap is None or maxiter <= dispatch_cap:
+            res = cg_solver(rhs_dev, inner_tol, maxiter)
+            return res.x, int(res.iterations)
+        total = 0
+        state = None
+        while True:
+            it = int(min(dispatch_cap, maxiter - total))
+            res, state = cg_solver.stateful(rhs_dev, inner_tol, it, state)
+            chunk_iters = int(res.iterations)
+            total += chunk_iters
+            if chunk_iters < it or total >= maxiter:
+                break  # converged (while_loop exited early) or budget out
+        return res.x, total
+
     total_cg_iters = 0
 
     def solve_once(rc, rb):
@@ -214,9 +255,9 @@ def solve_bordered(
             rhs = jnp.concatenate(
                 [rhs, jnp.zeros((pad, m + 1), rhs.dtype)], axis=0
             )
-        res = cg_solver(rhs.astype(inner_dtype), inner_tol, maxiter)
-        total_cg_iters += int(res.iterations)
-        X = res.x.astype(jnp.float64)[:n]  # (n, m+1): [A^+ C | A^+ rc]
+        x_cg, iters = run_cg(rhs.astype(inner_dtype))
+        total_cg_iters += iters
+        X = x_cg.astype(jnp.float64)[:n]  # (n, m+1): [A^+ C | A^+ rc]
         Xc, xr = X[:, :m], X[:, m]
 
         BXc = B @ Xc                   # (m, m)
@@ -225,12 +266,27 @@ def solve_bordered(
         ZtC = zt(C)                    # (p, m)
         Ztr = zt(rc[:, None])[:, 0]    # (p,)
 
-        top = jnp.concatenate([BXc, BZ], axis=1)                   # (m, m+p)
-        bot = jnp.concatenate([ZtC, jnp.zeros((p, p))], axis=1)     # (p, m+p)
-        M = jnp.concatenate([top, bot], axis=0)
-        rhs_small = jnp.concatenate([rb + Bxr, Ztr])
-        sol, *_ = jnp.linalg.lstsq(M, rhs_small, rcond=None)
-        j, c = sol[:m], sol[m:]
+        if p > 256:
+            # Heavily fragmented copper (thousands of floating islands):
+            # the assembled block matrix [[BXc, BZ], [ZtC, 0]] is almost
+            # entirely the (p, p) zero block — solve the thin blocks
+            # directly instead of a dense (m+p)^2 lstsq.  Row block 1 is
+            # exactly satisfiable through c for any j, so the joint
+            # least-squares reduces to lstsq(ZtC) for j, then the
+            # minimum-norm c from the first block (islands untouched by
+            # any border row keep zero mean shift); the outer full-system
+            # refinement guards the rank-deficient corner cases.
+            j, *_ = jnp.linalg.lstsq(ZtC, Ztr, rcond=None)      # (m,)
+            c, *_ = jnp.linalg.lstsq(
+                BZ, (rb + Bxr) - BXc @ j, rcond=None
+            )                                                    # (p,)
+        else:
+            top = jnp.concatenate([BXc, BZ], axis=1)               # (m, m+p)
+            bot = jnp.concatenate([ZtC, jnp.zeros((p, p))], axis=1)
+            M = jnp.concatenate([top, bot], axis=0)
+            rhs_small = jnp.concatenate([rb + Bxr, Ztr])
+            sol, *_ = jnp.linalg.lstsq(M, rhs_small, rcond=None)
+            j, c = sol[:m], sol[m:]
         v = Xc @ j - xr + c[comp_id]
         return v, j
 

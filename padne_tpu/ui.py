@@ -59,6 +59,8 @@ class SolutionViewer:
         self.mode_idx = 0
         self.scale_override: Optional[tuple[float, float]] = None
         self.last_probe: Optional[float] = None
+        self.show_edges = False
+        self.show_connections = False
         self.fig, self.ax = plt.subplots(figsize=(10, 8))
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
         self.fig.canvas.mpl_connect("button_press_event", self.on_click)
@@ -113,12 +115,30 @@ class SolutionViewer:
                     facecolors=vals, cmap=self.mode.cmap_name,
                     vmin=vmin, vmax=vmax,
                 )
+        if self.show_edges:
+            for m in ls.meshes:
+                self.ax.triplot(
+                    m.vertices[:, 0], -m.vertices[:, 1], m.triangles,
+                    color="black", linewidth=0.15, alpha=0.5,
+                )
+        if self.show_connections:
+            layer = self.solution.problem.layers[self.layer_idx]
+            for net in self.solution.problem.networks:
+                color = "red" if net.has_source else "gray"
+                pts = [c.point for c in net.connections if c.layer is layer]
+                if pts:
+                    self.ax.plot(
+                        [p.x for p in pts], [-p.y for p in pts], "o",
+                        color=color, markersize=4, markeredgecolor="black",
+                        markeredgewidth=0.3, zorder=5,
+                    )
         layer_name = self.solution.problem.layers[self.layer_idx].name
         lo = units.Value(vmin, self.mode.unit).pretty_format()
         hi = units.Value(vmax, self.mode.unit).pretty_format()
         self.ax.set_title(
             f"{layer_name} — {self.mode.name} [{lo} .. {hi}]\n"
-            "keys: 1-9 layer, m mode, n/x set min/max from probe, r reset"
+            "keys: 1-9 layer, m mode, e edges, c connections, "
+            "n/x scale from probe, r reset"
         )
         self.ax.set_aspect("equal")
         if tp is not None:
@@ -143,6 +163,12 @@ class SolutionViewer:
             # carrying it across modes would clamp with the wrong scale.
             self.scale_override = None
             self.last_probe = None
+            self.redraw()
+        elif event.key == "e":
+            self.show_edges = not self.show_edges
+            self.redraw()
+        elif event.key == "c":
+            self.show_connections = not self.show_connections
             self.redraw()
         elif event.key == "r":
             self.scale_override = None

@@ -47,6 +47,20 @@ class ProbePair:
     n: tuple[float, float]
     layer: str
     expected_v: float
+    # Per-endpoint layers (differ when probing across a via); default to
+    # `layer` for backward compatibility with coordinate-style entries.
+    p_layer: Optional[str] = None
+    n_layer: Optional[str] = None
+    # Trace-ladder calibration metadata (rungs of known geometry driven
+    # by a known current) — enables the closed-form two-parameter
+    # (conductance, overetch) fit.
+    width_mm: Optional[float] = None
+    length_mm: Optional[float] = None
+    current_a: float = 1.0
+
+    def __post_init__(self):
+        self.p_layer = self.p_layer or self.layer
+        self.n_layer = self.n_layer or self.layer
 
 
 @dataclass
@@ -60,19 +74,46 @@ class MeasurementSet:
     def load(cls, path) -> "MeasurementSet":
         path = pathlib.Path(path)
         data = json.loads(path.read_text())
+        board = (path.parent / data["board"]).resolve()
+
+        # Probe points may be [x, y] coordinates or pad-reference strings
+        # ("TP3", "J4.2") resolved against the board, the way bench
+        # readings are recorded (reference test_sets.py:176-198).
+        pcb_tree_cache = []
+
+        def resolve(e, key):
+            val = e[key]
+            if isinstance(val, str):
+                if not pcb_tree_cache:
+                    from . import kicad, sexp
+
+                    pcb = board.with_suffix(".kicad_pcb")
+                    pcb_tree_cache.append(sexp.loads(pcb.read_text()))
+                from . import kicad
+
+                x, y, layer = kicad.find_pad_location(pcb_tree_cache[0], val)
+                return (x, y), layer
+            return tuple(val), None
 
         def pairs(key):
-            return [
-                ProbePair(
-                    p=tuple(e["p"]), n=tuple(e["n"]),
+            out = []
+            for e in data.get(key, []):
+                p, p_layer = resolve(e, "p")
+                n, n_layer = resolve(e, "n")
+                out.append(ProbePair(
+                    p=p, n=n,
                     layer=e.get("layer", "F.Cu"),
                     expected_v=float(e["expected_v"]),
-                )
-                for e in data.get(key, [])
-            ]
+                    p_layer=e.get("p_layer", p_layer),
+                    n_layer=e.get("n_layer", n_layer),
+                    width_mm=e.get("width_mm"),
+                    length_mm=e.get("length_mm"),
+                    current_a=float(e.get("current_a", 1.0)),
+                ))
+            return out
 
         return cls(
-            board=(path.parent / data["board"]).resolve(),
+            board=board,
             calibration=pairs("calibration"),
             measurements=pairs("measurements"),
             rel_tol=float(data.get("rel_tol", 0.4)),
@@ -101,8 +142,8 @@ def probe_voltage(solution: solver.Solution, layer_name: str,
 
 
 def probe_pair(solution: solver.Solution, pair: ProbePair) -> float:
-    return probe_voltage(solution, pair.layer, pair.p) - probe_voltage(
-        solution, pair.layer, pair.n
+    return probe_voltage(solution, pair.p_layer, pair.p) - probe_voltage(
+        solution, pair.n_layer, pair.n
     )
 
 
@@ -142,7 +183,21 @@ def _overetched(prob: problem.Problem, overetch: float) -> problem.Problem:
         return prob
     new_layers = []
     for l in prob.layers:
-        shrunk = geom.buffer(l.shape, -overetch)
+        # Etch attacks the copper OUTLINE (exterior rings); drilled +
+        # plated holes are made after etching, so interior rings (via /
+        # THT drills — where connection points sit) keep their size.
+        # Eroding holes too would push every via's connection points
+        # into the hole and disconnect the whole board.
+        strokes = []
+        for poly in l.shape.geoms:
+            strokes.extend(
+                geom.stroke_ring(poly.rings[0], 2 * overetch, 4)
+            )
+        shrunk = geom.difference(l.shape, strokes)
+        # The round joins the offset introduces are tiny arcs (radius =
+        # overetch); elide them with a proportional chord tolerance or
+        # the mesher grinds on sub-overetch segments.
+        shrunk = geom.simplify(shrunk, max(1e-4, overetch / 4))
         new_layers.append(
             problem.Layer(shape=shrunk, name=l.name, conductance=l.conductance)
         )
@@ -173,6 +228,42 @@ def _fit_scale(v: np.ndarray, e: np.ndarray) -> tuple[float, float]:
     return s, float(np.dot(resid, resid))
 
 
+def _calibrate_ladder(prob: problem.Problem,
+                      ladder: list[ProbePair]) -> tuple[float, float]:
+    """Closed-form two-parameter fit from a trace-width ladder.
+
+    Each rung is a straight trace of known nominal width/length driven by
+    a known current; its measured resistance follows
+    R = (L / (w - delta)) / G_sheet.  For each candidate total width
+    loss delta the optimal sheet conductance is a one-line least squares,
+    so the 1-D delta scan is closed-form — no meshing or solving (the
+    reference fits the same model from its ladder, test_sets.py:56-67).
+    Returns (conductance_scale, per_side_overetch_mm).
+    """
+    R = np.array([p.expected_v / p.current_a for p in ladder])
+    w = np.array([p.width_mm for p in ladder])
+    L = np.array([p.length_mm for p in ladder])
+    g_layer = next(
+        l.conductance for l in prob.layers if l.name == ladder[0].p_layer
+    )
+
+    best = (np.inf, 1.0, 0.0)
+    for delta in np.arange(0.0, 0.8 * w.min(), 1e-3):
+        a = L / (w - delta)          # squares count per rung
+        g_inv = float(a @ R) / float(a @ a)   # R ~ g_inv * a
+        sse = float(((g_inv * a - R) ** 2).sum())
+        if sse < best[0]:
+            best = (sse, 1.0 / g_inv, delta)
+    _, g_sheet, delta = best
+    scale = g_sheet / g_layer
+    log.info(
+        "Ladder calibration: sheet conductance %.1f S (scale %.4f), "
+        "width loss %.3f mm (%.1f um/side)",
+        g_sheet, scale, delta, delta * 500,
+    )
+    return scale, delta / 2.0
+
+
 def calibrate(prob: problem.Problem, pairs: list[ProbePair],
               mesher_config=None, fit_overetch: bool = False,
               overetch_candidates=(0.0, 0.01, 0.02, 0.03, 0.05)
@@ -180,12 +271,19 @@ def calibrate(prob: problem.Problem, pairs: list[ProbePair],
     """Fit sheet-conductance scale (and optionally overetch) by least
     squares over the calibration pairs (reference test_sets.py:261-290).
 
-    Conductance enters linearly (one solve per geometry suffices);
-    overetch changes geometry, so candidates are swept with the scale
-    fitted analytically per candidate.  Returns (scale, overetch).
+    Calibration pairs carrying trace geometry metadata (width_mm /
+    length_mm) form a resistance ladder and yield both parameters in
+    closed form without any solving.  Otherwise conductance enters
+    linearly (one solve suffices) and overetch — only with
+    fit_overetch — is swept over geometry candidates with the scale
+    fitted analytically per candidate.  Returns (scale, per-side
+    overetch in mm).
     """
     if not pairs:
         return 1.0, 0.0
+    ladder = [p for p in pairs if p.width_mm and p.length_mm]
+    if len(ladder) >= 2:
+        return _calibrate_ladder(prob, ladder)
     e = np.array([p.expected_v for p in pairs])
 
     def eval_overetch(oe: float):

@@ -88,6 +88,65 @@ class TestShardedSolveBordered:
         assert np.abs(tp.v - serial.v).max() < 1e-7
 
 
+class TestDispatchCap:
+    """Chunked device dispatches (axon watchdog workaround) must be
+    mathematically identical to one long CG run — the Krylov state is
+    threaded through the chunks, not restarted."""
+
+    def test_capped_matches_uncapped(self, strip_system):
+        from padne_tpu.ops import schur
+
+        full = schur.solve_bordered(strip_system)
+        capped = schur.solve_bordered(strip_system, dispatch_cap=25)
+        assert capped.residual_norm < 1e-9
+        # Same iteration sequence; values agree to rounding (the
+        # state-threaded body compiles with different fusion order).
+        assert capped.cg_iterations == full.cg_iterations
+        assert np.abs(capped.v - full.v).max() < 1e-12
+
+    def test_capped_sharded(self, strip_system):
+        """Dispatch cap composes with TP sharding."""
+        from padne_tpu.ops import schur
+
+        full = schur.solve_bordered(strip_system)
+        mesh = sharding.make_mesh(8)
+        capped = schur.solve_bordered(
+            strip_system, mesh=mesh, dispatch_cap=25
+        )
+        assert capped.residual_norm < 1e-9
+        assert np.abs(capped.v - full.v).max() < 1e-8
+
+    def test_stateful_cg_continuation(self):
+        """solve.stateful chunks reproduce the one-shot solve exactly."""
+        import jax.numpy as jnp
+
+        from padne_tpu.ops import assembly, cg
+
+        rng = np.random.default_rng(0)
+        n = 500
+        edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+        w = rng.uniform(0.5, 2.0, n - 1)
+        ell = assembly.build_ell(n, edges.astype(np.int64), w)
+        b = rng.standard_normal((n, 3))
+        b -= b.mean(axis=0, keepdims=True)
+        cid = jnp.zeros(n, dtype=jnp.int32)
+        solver_fn = cg.make_pcg(*ell.to_device(), cid, 1)
+        one = solver_fn(jnp.asarray(b), 1e-10, 5000)
+
+        state = None
+        total = 0
+        while True:
+            res, state = solver_fn.stateful(jnp.asarray(b), 1e-10, 40, state)
+            total += int(res.iterations)
+            if int(res.iterations) < 40:
+                break
+        assert total == int(one.iterations)
+        # Rounding-level agreement (1-D chain: condition ~ n^2 amplifies
+        # the 1e-10 residual into the solution values).
+        assert np.allclose(np.asarray(res.x), np.asarray(one.x),
+                           rtol=1e-6, atol=1e-7)
+
+
 class TestSolveEndToEndWithMesh:
     def test_solver_solve_device_mesh(self, boards_dir):
         prob = kicad.load_kicad_project(

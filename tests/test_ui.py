@@ -104,6 +104,21 @@ class TestSolutionViewer:
         assert v.scale_override is None
         assert v._cbar.mappable.norm.vmax == pytest.approx(v.value_range()[1])
 
+    def test_edge_and_connection_toggles(self, strip_solution):
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        lines_before = len(v.ax.lines)
+        v.on_key(FakeKeyEvent("e"))
+        assert v.show_edges
+        v.on_key(FakeKeyEvent("c"))
+        assert v.show_connections
+        # connection markers drawn (strip has 2 pads on a sourced net)
+        assert len(v.ax.lines) > lines_before
+        v.on_key(FakeKeyEvent("e"))
+        v.on_key(FakeKeyEvent("c"))
+        assert not v.show_edges and not v.show_connections
+
     def test_layer_key_out_of_range_ignored(self, strip_solution):
         from padne_tpu import ui
 

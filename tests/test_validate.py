@@ -62,6 +62,89 @@ class TestValidation:
         assert rc == 0
         assert "2/2 within tolerance" in out
 
+    def test_pad_reference_probes(self, measurement_file, tmp_path):
+        """Probe points given as pad references ("TP1", "J4.2") resolve
+        against the board footprints."""
+        from padne_tpu import kicad
+
+        data = json.loads(measurement_file.read_text())
+        board = measurement_file.parent / data["board"]
+        x, y, layer = kicad.find_pad_location(
+            board.with_suffix(".kicad_pcb"), "TP2"
+        )
+        assert (x, y, layer) == (121.0, 101.0, "F.Cu")
+        # bare designator with one pad == explicit ref
+        assert kicad.find_pad_location(
+            board.with_suffix(".kicad_pcb"), "TP2.1"
+        ) == (x, y, layer)
+        with pytest.raises(ValueError, match="No pad"):
+            kicad.find_pad_location(board.with_suffix(".kicad_pcb"), "TP99")
+
+        data["board"] = str(board)
+        data["calibration"] = [
+            {"p": "TP2", "n": "TP1.1", "expected_v": 1.0}
+        ]
+        refs = tmp_path / "refs.json"
+        refs.write_text(json.dumps(data))
+        ms = validate.MeasurementSet.load(refs)
+        assert ms.calibration[0].p == (121.0, 101.0)
+        assert ms.calibration[0].n == (101.0, 101.0)
+        assert ms.calibration[0].p_layer == "F.Cu"
+        report = validate.run_validation(ms)
+        assert report.all_pass
+
+    def test_real_measurement_set_loads(self):
+        """The shipped test_set_1 bench-measurement set parses and all 37
+        probe references resolve to board pads (the full solve is gated
+        behind PADNE_TPU_ALL_BOARDS; see test_boards.py)."""
+        import os
+        import pathlib
+
+        ms_path = (
+            pathlib.Path(__file__).parent / "measurements" / "test_set_1.json"
+        )
+        board = json.loads(ms_path.read_text())["board"]
+        if not (ms_path.parent / board).exists():
+            pytest.skip("reference board mount not available")
+        ms = validate.MeasurementSet.load(ms_path)
+        assert len(ms.calibration) == 4
+        assert len(ms.measurements) == 33
+        for pair in ms.calibration + ms.measurements:
+            assert isinstance(pair.p, tuple) and len(pair.p) == 2
+
+    @pytest.mark.skipif(
+        "PADNE_TPU_ALL_BOARDS" not in __import__("os").environ,
+        reason="full test_set_1 solve is slow; set PADNE_TPU_ALL_BOARDS=1",
+    )
+    def test_real_measurement_set_validates(self):
+        """End-to-end hardware validation of the physically measured
+        test_set_1 board: ladder calibration must recover a plausible
+        sheet conductance and overetch, and >= 29 of the 33 bench
+        readings must fall within the 0.4 relative tolerance (the four
+        failing ones are the low-current plane readings the reference's
+        own data table marks as needing re-measurement)."""
+        import pathlib
+
+        ms_path = (
+            pathlib.Path(__file__).parent / "measurements" / "test_set_1.json"
+        )
+        board = json.loads(ms_path.read_text())["board"]
+        if not (ms_path.parent / board).exists():
+            pytest.skip("reference board mount not available")
+        ms = validate.MeasurementSet.load(ms_path)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            report = validate.run_validation(ms)
+        # 35 um/mil-scale etch and ~20% conductance correction are the
+        # physically sensible ranges for a 35 um foil Aisler run.
+        assert 0.8 < report.scale < 1.6
+        assert 0.02 < report.overetch < 0.06
+        assert report.num_pass >= 29, [
+            r for r in report.results if not r["ok"]
+        ]
+
     def test_failing_measurement(self, measurement_file, tmp_path):
         data = json.loads(measurement_file.read_text())
         data["measurements"].append(
