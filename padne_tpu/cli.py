@@ -149,6 +149,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p_val.add_argument("measurement_set", type=Path)
     p_val.add_argument("--no-calibrate", action="store_true")
     p_val.add_argument("--fit-overetch", action="store_true")
+    p_val.add_argument("--json", action="store_true",
+                       help="machine-readable JSON report")
 
     return parser.parse_args(argv)
 
@@ -239,6 +241,8 @@ def do_validate(args) -> int:
         argv.append("--no-calibrate")
     if args.fit_overetch:
         argv.append("--fit-overetch")
+    if args.json:
+        argv.append("--json")
     return validate.main(argv)
 
 

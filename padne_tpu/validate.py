@@ -368,12 +368,24 @@ def main(argv=None) -> int:
     ap.add_argument("--no-calibrate", action="store_true")
     ap.add_argument("--fit-overetch", action="store_true",
                     help="also fit a manufacturing overetch (geometry erosion)")
+    ap.add_argument("--json", action="store_true",
+                    help="print one machine-readable JSON report instead "
+                         "of the per-measurement table")
     args = ap.parse_args(argv)
     ms = MeasurementSet.load(args.measurement_set)
     report = run_validation(
         ms, do_calibrate=not args.no_calibrate,
         fit_overetch=args.fit_overetch,
     )
+    if args.json:
+        print(json.dumps({
+            "scale": report.scale,
+            "overetch_mm": report.overetch,
+            "num_pass": report.num_pass,
+            "num_total": len(report.results),
+            "results": report.results,
+        }))
+        return 0 if report.all_pass else 1
     print(f"conductance scale: {report.scale:.6f}, overetch: {report.overetch:.3f} mm")
     for r in report.results:
         mark = "OK  " if r["ok"] else "FAIL"

@@ -62,6 +62,15 @@ class TestValidation:
         assert rc == 0
         assert "2/2 within tolerance" in out
 
+    def test_cli_json(self, measurement_file, capsys):
+        rc = validate.main([str(measurement_file), "--json"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        data = json.loads(out)
+        assert data["num_pass"] == 2 and data["num_total"] == 2
+        assert len(data["results"]) == 2
+        assert data["results"][0]["ok"] is True
+
     def test_pad_reference_probes(self, measurement_file, tmp_path):
         """Probe points given as pad references ("TP1", "J4.2") resolve
         against the board footprints."""
