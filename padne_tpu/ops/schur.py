@@ -105,7 +105,7 @@ def solve_bordered(
     max_refinements: int = 8,
     target_residual: float = 1e-10,
     precond: str = "auto",
-    amg_threshold: int = 20000,
+    amg_threshold: int = 5000,
     device_dtype=None,
     mesh=None,
     dispatch_cap="auto",
@@ -114,7 +114,9 @@ def solve_bordered(
     device stages; the refinement loop reuses the same CG machinery.
 
     precond: "auto" (AMG above amg_threshold core unknowns), "amg",
-    or "jacobi".
+    or "jacobi".  The threshold is low because spectral-weighted AMG
+    dominates Jacobi well before setup cost matters (measured: the 4.5k
+    ldo board needs 162 AMG vs 7715 Jacobi iterations; setup < 0.1 s).
 
     device_dtype: when set (e.g. jnp.float32 on TPUs, where f64 is
     emulated), the CG/AMG inner solves run in that dtype while residuals
