@@ -28,8 +28,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
-    """A (dp, tp) device mesh over the first n_devices devices."""
-    devices = jax.devices()[: (n_devices or len(jax.devices()))]
+    """A (dp, tp) device mesh over the first n_devices devices.
+
+    Raises if fewer than ``n_devices`` devices exist — silently
+    truncating would hide a mis-provisioned environment (e.g. asking
+    for 8 chips on a 1-device host) behind a confusing dp error.
+    """
+    available = jax.devices()
+    if n_devices is not None and len(available) < n_devices:
+        raise RuntimeError(
+            f"requested a {n_devices}-device mesh but only "
+            f"{len(available)} JAX device(s) exist "
+            f"({available[0].platform}); provision virtual devices with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N + "
+            f"jax_platforms=cpu before first backend use"
+        )
+    devices = available[: (n_devices or len(available))]
     n = len(devices)
     if n % dp != 0:
         raise ValueError(f"dp={dp} does not divide device count {n}")
