@@ -66,7 +66,7 @@ def main():
         b_np[j, k] -= 1.0
     b = jnp.asarray(b_np)
 
-    tol = 1e-6
+    tol = 1e-8  # BASELINE.md row 1: 1e-8 relative residual
     comp_id = np.zeros(n, dtype=np.int32)  # single connected plane
     cid = jnp.asarray(comp_id)
 
@@ -92,7 +92,7 @@ def main():
         r = r - r.mean(axis=0, keepdims=True)  # deflate
         return r, jnp.linalg.norm(r)
 
-    def mp_solve(b64_np: np.ndarray, max_passes: int = 4):
+    def mp_solve(b64_np: np.ndarray, max_passes: int = 8):
         """Mixed-precision solve; returns (x64, passes, iters, rel)."""
         b64 = jnp.asarray(b64_np)
         x64 = jnp.zeros_like(b64)

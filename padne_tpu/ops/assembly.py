@@ -107,72 +107,65 @@ def build_ell(
     do not connect components — matching the reference's `ratio == 0`
     skip, solver.py:187-190).
     """
-    edges = np.asarray(edges, dtype=np.int64)
+    import scipy.sparse
+
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     weights = np.asarray(weights, dtype=np.float64)
     keep = weights != 0.0
     edges, weights = edges[keep], weights[keep]
 
-    # Merge duplicates (e.g. a resistor in parallel with a mesh edge).
-    if len(edges):
-        key = np.minimum(edges[:, 0], edges[:, 1]) << 32 | np.maximum(
-            edges[:, 0], edges[:, 1]
+    if len(edges) == 0:
+        return EllMatrix(
+            cols=np.tile(np.arange(n, dtype=np.int32)[:, None], (1, 1)),
+            vals=np.zeros((n, 1), dtype=np.float64),
+            diag=np.zeros(n, dtype=np.float64),
         )
-        order = np.argsort(key, kind="stable")
-        key, edges, weights = key[order], edges[order], weights[order]
-        uniq, start = np.unique(key, return_index=True)
-        w_merged = np.add.reduceat(weights, start)
-        edges = edges[start]
-        weights = w_merged
 
-    diag = np.zeros(n, dtype=np.float64)
-    np.add.at(diag, edges[:, 0], weights)
-    np.add.at(diag, edges[:, 1], weights)
+    diag = (np.bincount(edges[:, 0], weights=weights, minlength=n)
+            + np.bincount(edges[:, 1], weights=weights, minlength=n))
 
-    # Off-diagonal entries, both directions.
+    # Off-diagonal entries, both directions; duplicate merge + row-major
+    # sort happen in scipy's C layer (the former pure-numpy path — two
+    # argsorts plus np.add.at — cost ~20 s at 1M DoF).
     rows = np.concatenate([edges[:, 0], edges[:, 1]])
     cols = np.concatenate([edges[:, 1], edges[:, 0]])
     vals = np.concatenate([-weights, -weights])
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
 
-    counts = np.bincount(rows, minlength=n)
+    counts = np.diff(A.indptr)
     K = max(int(counts.max(initial=0)), 1)
-
-    order = np.argsort(rows, kind="stable")
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    slot = np.arange(len(rows)) - np.concatenate([[0], np.cumsum(counts)])[rows]
+    nnz = A.nnz
+    rows_csr = np.repeat(np.arange(n, dtype=np.int64), counts)
+    slot = np.arange(nnz, dtype=np.int64) - np.repeat(A.indptr[:-1], counts)
 
     ell_cols = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
     ell_vals = np.zeros((n, K), dtype=np.float64)
-    ell_cols[rows, slot] = cols
-    ell_vals[rows, slot] = vals
+    ell_cols[rows_csr, slot] = A.indices
+    ell_vals[rows_csr, slot] = A.data
     return EllMatrix(
         cols=ell_cols.astype(np.int32), vals=ell_vals, diag=diag
     )
 
 
 def connected_components(n: int, edges: np.ndarray, weights: np.ndarray):
-    """Union-find components of the weighted graph (w != 0 edges connect).
+    """Components of the weighted graph (w != 0 edges connect).
 
     Returns (comp_id (n,) int32, num_components).  These are the nullspace
     blocks of the assembled Laplacian — per-component constant vectors —
-    used by the Schur solve's deflation.
+    used by the Schur solve's deflation.  Runs as one vectorized
+    scipy.sparse.csgraph BFS (the former pure-Python union-find cost ~3M
+    interpreted iterations at 1M DoF).
     """
-    parent = np.arange(n, dtype=np.int64)
+    import scipy.sparse
+    from scipy.sparse.csgraph import connected_components as _cc
 
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
-
-    for (a, b), w in zip(np.asarray(edges, dtype=np.int64), weights):
-        if w == 0.0:
-            continue
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-
-    roots = np.array([find(i) for i in range(n)])
-    uniq, comp = np.unique(roots, return_inverse=True)
-    return comp.astype(np.int32), len(uniq)
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    weights = np.asarray(weights)
+    keep = weights != 0.0
+    e = edges[keep]
+    adj = scipy.sparse.coo_matrix(
+        (np.ones(len(e), dtype=np.int8), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    num, labels = _cc(adj, directed=False)
+    return labels.astype(np.int32), int(num)
