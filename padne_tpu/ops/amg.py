@@ -135,24 +135,22 @@ def _ell_matrix(P):
 
 def _lambda_max_dinv_a(A, iters: int = 12, seed: int = 3) -> float:
     """Power-iteration estimate of lambda_max(D^-1 A) for a level
-    operator (host-side, a dozen CSR SpMVs).  Falls back to the
-    Gershgorin-style bound 2.0 on degenerate input."""
-    import scipy.sparse
-
+    operator (host-side, a dozen CSR SpMVs; the diagonal scaling is
+    applied per iteration — no Dinv @ A sparse matmul).  Falls back to
+    the Gershgorin-style bound 2.0 on degenerate input."""
     n = A.shape[0]
     if n == 0:
         return 2.0
     d = np.asarray(A.diagonal())
-    Dinv = scipy.sparse.diags(1.0 / np.where(d > 0, d, 1.0))
-    M = Dinv @ A
+    dinv = 1.0 / np.where(d > 0, d, 1.0)
     x = np.random.default_rng(seed).standard_normal(n)
     for _ in range(iters):
-        y = M @ x
+        y = dinv * (A @ x)
         ny = np.linalg.norm(y)
         if not np.isfinite(ny) or ny == 0:
             return 2.0
         x = y / ny
-    lam = float(x @ (M @ x))
+    lam = float(x @ (dinv * (A @ x)))
     if not np.isfinite(lam) or lam <= 0:
         return 2.0
     return lam

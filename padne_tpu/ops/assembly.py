@@ -85,14 +85,34 @@ class EllMatrix:
         )
 
     def to_scipy(self):
+        """CSR of the full operator (off-diagonals + diagonal).
+
+        Builds CSR directly — rows are already in order in ELL, so no
+        COO sort is needed; the diagonal slots in as one extra entry per
+        row (explicit zeros from padding are dropped up front).
+        """
         import scipy.sparse
 
         n, k = self.cols.shape
-        rows = np.repeat(np.arange(n), k)
-        coo = scipy.sparse.coo_matrix(
-            (self.vals.reshape(-1), (rows, self.cols.reshape(-1))), shape=(n, n)
-        )
-        return (coo + scipy.sparse.diags(self.diag)).tocsr()
+        nz = self.vals != 0
+        counts = nz.sum(axis=1) + 1  # +1 for the diagonal
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        nnz = int(indptr[-1])
+        indices = np.empty(nnz, dtype=np.int64)
+        data = np.empty(nnz, dtype=np.float64)
+        # diagonal first in each row (column order within a row is free)
+        indices[indptr[:-1]] = np.arange(n)
+        data[indptr[:-1]] = self.diag
+        flat_nz = nz.ravel()
+        rows_off = np.repeat(np.arange(n), k)[flat_nz]
+        slot = (np.arange(len(rows_off)) -
+                np.concatenate([[0], np.cumsum(nz.sum(axis=1))])[rows_off])
+        pos = indptr[rows_off] + 1 + slot
+        indices[pos] = self.cols.ravel()[flat_nz]
+        data[pos] = self.vals.ravel()[flat_nz]
+        A = scipy.sparse.csr_matrix((data, indices, indptr), shape=(n, n))
+        return A
 
 
 def build_ell(
