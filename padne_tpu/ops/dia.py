@@ -1,0 +1,351 @@
+"""Block-offset-diagonal (DIA) sparse operators — the TPU SpMV format.
+
+The production replacement for the gather ELL SpMV (reference hot path:
+the SuperLU factorization inside scipy.spsolve, reference
+solver.py:767-780).  Measured context on TPU v5e (jax 0.9, 1M-row FEM
+Laplacian, 8 RHS):
+
+* XLA lowers ``x[cols]`` to ~7-9 ns per index row and caps any dynamic
+  gather at ~4-7 GB/s regardless of fetch width -> 60-90 ms per SpMV.
+* XLA batched matmuls of small (8x128 @ 128x128) blocks run at an
+  effective ~4-30 GB/s (per-batch-item overhead dominates).
+* This module's Pallas kernel streams the same operator at ~700 GB/s:
+  3.8 ms per 1M-row multi-RHS SpMV — a ~20x speedup.
+
+Format.  Rows/columns are blocked at B=128.  After a locality ordering
+(Hilbert curve over vertex coordinates, ops.bell.hilbert_order), ~95% of
+the nonzeros of a FEM mesh operator fall on a handful of *block
+offsets* d = col_block - row_block (measured: the top 5 offsets cover
+95% at B=128).  Those offsets are stored as dense (ng, G, D, B, B)
+weight slabs W (G row-blocks per grid step); the SpMV becomes, per
+row-block, D static-offset (R, B) @ (B, B) MXU products against a
+contiguous window of x — **zero gathers**.  The few percent of
+stragglers are a sorted-COO remainder handled by one small gather +
+scatter-add.  The diagonal is kept as a separate vector (the FEM
+assembly produces it separately, ops.assembly.EllMatrix).
+
+The weight slabs are (1/fill) larger than the nonzeros, but streaming
+them at HBM speed beats gathering the compact format through a 5 GB/s
+straw by an order of magnitude.  Slabs are never materialized on the
+host nor uploaded: the host ships nnz-sized scatter indices and the
+device builds W with one scatter (same discipline as ops.bell).
+
+Two backends, one packing:
+
+* ``pallas`` — the TPU kernel.  Per grid step: one async DMA of the x
+  window HBM->VMEM, then G*D static-slice MXU dots.  f32 with
+  ``Precision.HIGHEST`` (bf16x3) so results are full f32 accuracy.
+* ``xla`` — einsum per offset over the same slabs; correct on any
+  backend (CPU tests, fallback).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+
+DEFAULT_B = 128   # row/column block size (= TPU lane count)
+DEFAULT_G = 8     # row-blocks per pallas grid step
+
+
+def choose_offsets(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    b: int = DEFAULT_B,
+    coverage: float = 0.95,
+    max_offsets: int = 8,
+) -> tuple[int, ...]:
+    """Pick the block offsets to densify: greedily by nnz count until
+    `coverage` of the nonzeros are covered (or max_offsets reached).
+    Offset 0 (the block diagonal) is always included."""
+    if len(rows) == 0:
+        return (0,)
+    bd = cols // b - rows // b
+    u, c = np.unique(bd, return_counts=True)
+    order = np.argsort(-c)
+    total = len(rows)
+    picked = []
+    covered = 0
+    for i in order:
+        if len(picked) >= max_offsets:
+            break
+        picked.append(int(u[i]))
+        covered += int(c[i])
+        if covered >= coverage * total:
+            break
+    if 0 not in picked:
+        picked.append(0)
+    return tuple(sorted(picked))
+
+
+@dataclass
+class DiaPack:
+    """Host-side packing of a square operator in block-offset form.
+
+    All arrays are nnz-sized or O(n); the dense weight slabs are built
+    on device by `to_device` (one scatter).
+    """
+
+    n: int                 # logical rows (before padding)
+    np_: int               # padded rows = ng * G * B
+    b: int
+    g: int
+    ng: int
+    offs: tuple[int, ...]
+    widx: np.ndarray       # (nnz_main,) flat int index into W
+    wval: np.ndarray       # (nnz_main,) float
+    rem_rows: np.ndarray   # (nnz_rem,) int32, sorted
+    rem_cols: np.ndarray   # (nnz_rem,) int32
+    rem_vals: np.ndarray   # (nnz_rem,) float
+    diag: np.ndarray       # (np_,) float64, zero on padding rows
+
+    @property
+    def meta(self) -> tuple:
+        """Static description consumed by the jitted matvec."""
+        return (self.np_, self.b, self.g, self.ng, self.offs)
+
+    def to_device(self, dtype=None) -> dict:
+        """Device parameter dict: W slab (one on-device scatter), the
+        remainder triplets, and the diagonal."""
+        import jax
+        import jax.numpy as jnp
+
+        dtype = dtype or jnp.float32
+        d, b, g, ng = len(self.offs), self.b, self.g, self.ng
+        size = ng * g * d * b * b
+        idx = jnp.asarray(self.widx.astype(np.int32)
+                          if size < 2**31 else self.widx)
+        vals = jnp.asarray(self.wval.astype(np.float32))
+
+        @partial(jax.jit, static_argnames=("total",))
+        def _build(idx, v, total: int):
+            w = jnp.zeros(total, jnp.float32)
+            w = w.at[idx].set(v, mode="promise_in_bounds",
+                              unique_indices=True)
+            return w.reshape(ng, g, d, b, b).astype(dtype)
+
+        return {
+            "w": _build(idx, vals, size),
+            "rem_rows": jnp.asarray(self.rem_rows),
+            "rem_cols": jnp.asarray(self.rem_cols),
+            "rem_vals": jnp.asarray(self.rem_vals.astype(np.float32)
+                                    ).astype(dtype),
+            "diag": jnp.asarray(self.diag).astype(dtype),
+        }
+
+
+def pack_dia(
+    n: int,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    diag: Optional[np.ndarray] = None,
+    offs: Optional[tuple] = None,
+    b: int = DEFAULT_B,
+    g: int = DEFAULT_G,
+    coverage: float = 0.95,
+    max_offsets: int = 8,
+) -> DiaPack:
+    """Pack COO triplets (off-diagonal, duplicate-free) + diagonal.
+
+    The caller is responsible for having permuted indices into a
+    locality-preserving order (bell.hilbert_order) — the offset coverage
+    and therefore the speed depend on it.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    if offs is None:
+        offs = choose_offsets(rows, cols, b=b, coverage=coverage,
+                              max_offsets=max_offsets)
+    d = len(offs)
+    nb = max((n + b - 1) // b, 1)
+    ng = (nb + g - 1) // g
+    np_ = ng * g * b
+
+    diag_pad = np.zeros(np_, dtype=np.float64)
+    if diag is not None:
+        diag_pad[:n] = diag
+
+    if len(rows) == 0:
+        return DiaPack(
+            n=n, np_=np_, b=b, g=g, ng=ng, offs=offs,
+            widx=np.zeros(0, np.int64), wval=np.zeros(0),
+            rem_rows=np.zeros(0, np.int32), rem_cols=np.zeros(0, np.int32),
+            rem_vals=np.zeros(0), diag=diag_pad,
+        )
+
+    rb, cb = rows // b, cols // b
+    bd = cb - rb
+    sel = np.isin(bd, offs)
+    off_arr = np.asarray(offs)
+    ds = np.searchsorted(off_arr, bd[sel])
+    r_s, c_s = rows[sel], cols[sel]
+    gi, gg = (r_s // b) // g, (r_s // b) % g
+    # W[gi, gg, ds, col_local, row_local]: the kernel computes
+    # y^T_blk (R, B) += x^T_blk (R, B) @ W  (contraction over col_local).
+    widx = ((((gi * g + gg) * d + ds) * b + (c_s - cb[sel] * b)) * b
+            + (r_s - rb[sel] * b))
+
+    rr, rc, rv = rows[~sel], cols[~sel], vals[~sel]
+    order = np.argsort(rr, kind="stable")
+    return DiaPack(
+        n=n, np_=np_, b=b, g=g, ng=ng, offs=offs,
+        widx=widx, wval=vals[sel],
+        rem_rows=rr[order].astype(np.int32),
+        rem_cols=rc[order].astype(np.int32),
+        rem_vals=rv[order], diag=diag_pad,
+    )
+
+
+def pack_ell_as_dia(ell, perm: Optional[np.ndarray] = None, **kw) -> DiaPack:
+    """assembly.EllMatrix (optionally permuted by `perm`: new->old)
+    -> DiaPack."""
+    n, k = ell.cols.shape
+    nz = ell.vals != 0
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)[nz.ravel()]
+    cols = ell.cols.astype(np.int64).ravel()[nz.ravel()]
+    vals = ell.vals.ravel()[nz.ravel()]
+    diag = ell.diag
+    if perm is not None:
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        rows, cols = inv[rows], inv[cols]
+        diag = diag[perm]
+    return pack_dia(n, rows, cols, vals, diag=diag, **kw)
+
+
+def pack_csr_as_dia(a, **kw) -> DiaPack:
+    """Square scipy CSR/COO (diagonal included in the matrix) -> DiaPack."""
+    coo = a.tocoo()
+    diag = np.asarray(a.diagonal(), dtype=np.float64)
+    mask = coo.row != coo.col
+    return pack_dia(
+        a.shape[0], coo.row[mask].astype(np.int64),
+        coo.col[mask].astype(np.int64), coo.data[mask], diag=diag, **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device matvec
+
+
+def default_backend() -> str:
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _dmax(offs) -> int:
+    return max(max(abs(o) for o in offs), 1)
+
+
+def _pallas_main(meta, w, xt_pad):
+    """y^T (R, np_) = OffDiag @ x via the pallas kernel.
+
+    xt_pad: (R, np_ + 2*dmax*B) — x transposed, zero halo of dmax blocks
+    on each side.  Per grid step: one DMA of the (R, WIN) x window into
+    VMEM, then G*D static-slice (R,B)@(B,B) MXU dots.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    np_, b, g, ng, offs = meta
+    d = len(offs)
+    dmax = _dmax(offs)
+    win = (g + 2 * dmax) * b
+    r = xt_pad.shape[0]
+
+    def kernel(x_hbm, w_ref, o_ref, xwin, sem):
+        i = jnp.int32(pl.program_id(0))
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(i * jnp.int32(g * b), win)], xwin, sem)
+        cp.start()
+        cp.wait()
+        for gg in range(g):
+            acc = jnp.zeros((r, b), jnp.float32)
+            for di, o in enumerate(offs):
+                xs = xwin[:, (gg + dmax + o) * b:(gg + dmax + o + 1) * b]
+                acc = acc + jax.lax.dot_general(
+                    xs, w_ref[0, gg, di], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            o_ref[:, gg * b:(gg + 1) * b] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, g, d, b, b),
+                         lambda i: (i,) + (jnp.int32(0),) * 4),
+        ],
+        out_specs=pl.BlockSpec((r, g * b), lambda i: (jnp.int32(0), i)),
+        scratch_shapes=[pltpu.VMEM((r, win), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    f = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, np_), jnp.float32),
+    )
+    return f(xt_pad, w)
+
+
+def _xla_main(meta, w, xt_pad):
+    """Same contraction as einsums over shifted slices (any backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    np_, b, g, ng, offs = meta
+    dmax = _dmax(offs)
+    r = xt_pad.shape[0]
+    nb = ng * g
+    acc = jnp.zeros((nb, r, b), jnp.float32)
+    wb = w.reshape(nb, len(offs), b, b)
+    for di, o in enumerate(offs):
+        xs = jax.lax.dynamic_slice_in_dim(
+            xt_pad, (dmax + o) * b, np_, axis=1)
+        xsb = xs.reshape(r, nb, b)
+        acc = acc + jax.lax.dot_general(
+            xsb, wb[:, di], (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (nb, r, b)
+    return acc.transpose(1, 0, 2).reshape(r, np_)
+
+
+def dia_matvec(meta, params, x, backend: Optional[str] = None):
+    """y = (Diag + OffDiag) @ x for (np_, R) or (np_,) x.  Jit-traceable;
+    `meta` and `backend` must be static under jit."""
+    import jax.numpy as jnp
+
+    np_, b, g, ng, offs = meta
+    backend = backend or default_backend()
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    dmax = _dmax(offs)
+    xt = x.astype(jnp.float32).T
+    xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
+    main = (_pallas_main if backend == "pallas" else _xla_main)(
+        meta, params["w"], xt_pad).T
+    rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
+    y = main.at[params["rem_rows"]].add(rem_c, mode="drop")
+    y = y + params["diag"][:, None] * x
+    y = y.astype(x.dtype)
+    return y[:, 0] if squeeze else y
+
+
+def pad_to(x, np_: int):
+    """Zero-pad axis 0 of an (n, ...) array to the DIA padded length."""
+    import jax.numpy as jnp
+
+    pad = np_ - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))

@@ -1,0 +1,135 @@
+"""Block-offset-DIA operator format (ops.dia): packing, matvec parity.
+
+Correctness is validated on CPU via the XLA backend (the einsum path);
+the pallas backend computes the identical contraction on TPU and is
+benchmarked by bench.py.  Reference counterpart: the sparse operator
+inside scipy.spsolve (reference solver.py:767-780).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import jax.numpy as jnp
+
+from padne_tpu.ops import assembly, bell, dia
+
+
+def random_system(n=3001, m=9000, seed=0, spread=200):
+    """Random near-banded COO system + scipy reference."""
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n, m)
+    cols = np.clip(rows + rng.integers(-spread, spread + 1, m), 0, n - 1)
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    key = rows * n + cols
+    _, ui = np.unique(key, return_index=True)
+    rows, cols = rows[ui], cols[ui]
+    vals = rng.standard_normal(len(rows))
+    diag = rng.random(n) + 1.0
+    a = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    a = a + scipy.sparse.diags(diag)
+    return rows, cols, vals, diag, a
+
+
+class TestChooseOffsets:
+    def test_always_includes_zero(self):
+        rows = np.array([0, 1]),
+        offs = dia.choose_offsets(np.array([0]), np.array([500]), b=128)
+        assert 0 in offs
+
+    def test_coverage_greedy(self):
+        # heavy diagonal + light far band: zero offset picked first
+        rows = np.arange(1000)
+        cols = np.concatenate([np.arange(1000), np.arange(1000)])
+        rows = np.concatenate([rows, np.clip(rows + 600, 0, 999)])
+        offs = dia.choose_offsets(rows, cols, b=128, coverage=0.5)
+        assert offs[0] == 0 or 0 in offs
+
+    def test_empty(self):
+        assert dia.choose_offsets(np.zeros(0, int), np.zeros(0, int)) == (0,)
+
+
+class TestPackDia:
+    def test_matvec_matches_scipy(self):
+        rows, cols, vals, diag, a = random_system()
+        pk = dia.pack_dia(a.shape[0], rows, cols, vals, diag=diag,
+                          coverage=0.9, max_offsets=4)
+        assert len(pk.rem_rows) > 0  # spread guarantees a remainder
+        params = pk.to_device()
+        n = a.shape[0]
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((n, 3)).astype(np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
+        yref = a @ x
+        assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 1e-5
+        assert np.all(y[n:] == 0)
+
+    def test_full_coverage_no_remainder(self):
+        rows, cols, vals, diag, a = random_system(spread=50)
+        pk = dia.pack_dia(a.shape[0], rows, cols, vals, diag=diag,
+                          coverage=1.0, max_offsets=64)
+        assert len(pk.rem_rows) == 0
+
+    def test_1d_rhs(self):
+        rows, cols, vals, diag, a = random_system(n=500, m=2000, spread=30)
+        pk = dia.pack_dia(500, rows, cols, vals, diag=diag)
+        params = pk.to_device()
+        x = np.random.default_rng(2).standard_normal(500).astype(np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
+        yref = a @ x
+        assert y.ndim == 1
+        assert np.abs(y[:500] - yref).max() / np.abs(yref).max() < 1e-5
+
+    def test_empty_matrix(self):
+        pk = dia.pack_dia(64, np.zeros(0, int), np.zeros(0, int),
+                          np.zeros(0))
+        params = pk.to_device()
+        x = jnp.ones((pk.np_, 2), jnp.float32)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, x, backend="xla"))
+        assert np.all(y == 0)
+
+    def test_jit_with_static_meta(self):
+        import jax
+
+        rows, cols, vals, diag, a = random_system(n=700, m=3000, spread=40)
+        pk = dia.pack_dia(700, rows, cols, vals, diag=diag)
+        params = pk.to_device()
+        f = jax.jit(dia.dia_matvec, static_argnames=("meta", "backend"))
+        x = np.random.default_rng(3).standard_normal((700, 2)).astype(np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(f(pk.meta, params, xp, backend="xla"))
+        yref = a @ x
+        assert np.abs(y[:700] - yref).max() / np.abs(yref).max() < 1e-5
+
+
+class TestAdapters:
+    def test_ell_with_hilbert_perm(self):
+        rng = np.random.default_rng(4)
+        n = 2000
+        e = rng.integers(0, n, (6000, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        w = rng.random(len(e))
+        ell = assembly.build_ell(n, e, w)
+        coords = rng.random((n, 2))
+        perm = bell.hilbert_order(coords)
+        pk = dia.pack_ell_as_dia(ell, perm=perm)
+        params = pk.to_device()
+        x = rng.standard_normal((n, 2)).astype(np.float32)
+        # matvec in permuted coordinates == permuted reference matvec
+        xp = dia.pad_to(jnp.asarray(x[perm]), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
+        yref = (ell.to_scipy() @ x)[perm]
+        assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 1e-5
+
+    def test_csr_adapter(self):
+        rows, cols, vals, diag, a = random_system(n=900, m=4000, spread=60)
+        pk = dia.pack_csr_as_dia(a)
+        params = pk.to_device()
+        x = np.random.default_rng(5).standard_normal((900, 2)).astype(np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
+        yref = a @ x
+        assert np.abs(y[:900] - yref).max() / np.abs(yref).max() < 1e-5
