@@ -133,4 +133,8 @@ _lib.pg_mesh_free.argtypes = [ctypes.c_void_p]
 _lib.pg_greedy_aggregate.restype = ctypes.c_int32
 _lib.pg_greedy_aggregate.argtypes = [_c_int32_p, _c_int32_p, ctypes.c_int32, _c_int32_p]
 
+_lib.pg_greedy_aggregate_capped.restype = ctypes.c_int32
+_lib.pg_greedy_aggregate_capped.argtypes = [
+    _c_int32_p, _c_int32_p, ctypes.c_int32, ctypes.c_int32, _c_int32_p]
+
 lib = _lib

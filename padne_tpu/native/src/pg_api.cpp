@@ -336,4 +336,87 @@ int32_t pg_greedy_aggregate(const int32_t* indptr, const int32_t* indices,
   return num_agg;
 }
 
+// Capped variant: no aggregate exceeds `cap` members.  Bounded sizes
+// let the AMG transfer operators become pure reshapes on device
+// (members padded to `cap` slots), eliminating gather/scatter from the
+// V-cycle entirely.  Aggregate ids are assigned in input (sweep) order,
+// so a locality-ordered input yields a locality-ordered coarse level.
+int32_t pg_greedy_aggregate_capped(const int32_t* indptr,
+                                   const int32_t* indices, int32_t n,
+                                   int32_t cap, int32_t* agg) {
+  if (cap < 1) cap = 1;
+  for (int32_t i = 0; i < n; i++) agg[i] = -1;
+  std::vector<int32_t> size;
+  int32_t num_agg = 0;
+  // Pass 1: seed where the whole strong neighborhood is free, taking at
+  // most cap-1 neighbors.
+  for (int32_t i = 0; i < n; i++) {
+    if (agg[i] >= 0) continue;
+    bool all_free = indptr[i + 1] > indptr[i];
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; k++)
+      if (agg[indices[k]] >= 0) {
+        all_free = false;
+        break;
+      }
+    if (all_free) {
+      agg[i] = num_agg;
+      int32_t taken = 1;
+      for (int32_t k = indptr[i]; k < indptr[i + 1] && taken < cap; k++) {
+        agg[indices[k]] = num_agg;
+        taken++;
+      }
+      size.push_back(taken);
+      num_agg++;
+    }
+  }
+  // Pass 2: attach leftovers to a neighboring aggregate with room.
+  for (int32_t i = 0; i < n; i++) {
+    if (agg[i] >= 0) continue;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; k++) {
+      int32_t a = agg[indices[k]];
+      if (a >= 0 && size[a] < cap) {
+        agg[i] = a;
+        size[a]++;
+        break;
+      }
+    }
+  }
+  // Pass 3: remaining nodes become singletons.
+  for (int32_t i = 0; i < n; i++)
+    if (agg[i] < 0) {
+      agg[i] = num_agg++;
+      size.push_back(1);
+    }
+  // Pass 4: merge undersized aggregates into an adjacent one with room.
+  // Larger mean aggregate size -> less slot padding in the aligned AMG
+  // levels (fine rows are padded to `cap` slots per aggregate).
+  std::vector<int32_t> target(num_agg, -1);
+  for (int32_t i = 0; i < n; i++) {
+    int32_t a = agg[i];
+    while (target[a] >= 0) a = target[a];
+    if (size[a] * 2 > cap) continue;
+    for (int32_t k = indptr[i]; k < indptr[i + 1]; k++) {
+      int32_t b = agg[indices[k]];
+      while (target[b] >= 0) b = target[b];
+      if (b != a && size[a] + size[b] <= cap) {
+        target[a] = b;
+        size[b] += size[a];
+        size[a] = 0;
+        break;
+      }
+    }
+  }
+  // Compact ids.
+  std::vector<int32_t> remap(num_agg, -1);
+  int32_t out = 0;
+  for (int32_t a = 0; a < num_agg; a++)
+    if (target[a] < 0) remap[a] = out++;
+  for (int32_t i = 0; i < n; i++) {
+    int32_t a = agg[i];
+    while (target[a] >= 0) a = target[a];
+    agg[i] = remap[a];
+  }
+  return out;
+}
+
 }  // extern "C"

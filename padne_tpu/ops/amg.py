@@ -241,6 +241,269 @@ def build_hierarchy(
     return AMGHierarchy(levels=levels, coarse_inv=coarse_inv)
 
 
+# ---------------------------------------------------------------------------
+# Aligned (reshape-transfer) hierarchy on the block-offset-DIA operator
+# format.  The gather-free V-cycle for TPUs: every level operator is an
+# ops.dia pallas/einsum SpMV and every transfer is a reshape.
+# ---------------------------------------------------------------------------
+
+
+def _aggregate_capped(A, cap: int, theta: float = 0.08):
+    """Greedy aggregation with a hard size cap (native sweep).
+
+    Bounded aggregate sizes let prolongation/restriction become reshape
+    + broadcast/sum on device: fine rows are laid out as (aggregate,
+    slot) with each aggregate padded to `cap` slots."""
+    import ctypes
+
+    import scipy.sparse
+
+    from .. import native
+
+    n = A.shape[0]
+    d = np.asarray(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    coo = A.tocoo()
+    strong = (coo.row != coo.col) & (
+        np.abs(coo.data) >= theta * np.sqrt(d[coo.row] * d[coo.col])
+    )
+    S = scipy.sparse.csr_matrix(
+        (np.ones(strong.sum(), dtype=np.int8),
+         (coo.row[strong], coo.col[strong])),
+        shape=(n, n),
+    )
+    indptr = np.ascontiguousarray(S.indptr.astype(np.int32))
+    indices = np.ascontiguousarray(S.indices.astype(np.int32))
+    agg32 = np.zeros(n, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    nc = native.lib.pg_greedy_aggregate_capped(
+        indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
+        n, cap, agg32.ctypes.data_as(i32p),
+    )
+    return agg32.astype(np.int64), int(nc)
+
+
+@dataclass
+class AlignedLevel:
+    """One DIA level: operator pack + damping weights + child geometry."""
+
+    pack: object            # ops.dia.DiaPack
+    dinv: np.ndarray        # (np_,) f64, 0 on dummy rows
+    omega_p: float          # prolongation-smoothing weight
+    omega_s: float          # cycle-smoothing weight
+    cap: int                # slots per aggregate at this level
+    child_len: int          # padded length of the child level's vectors
+    child_perm: np.ndarray  # (nc,) child row -> child padded position
+
+
+@dataclass
+class AlignedHierarchy:
+    levels: list[AlignedLevel]
+    coarse_inv: np.ndarray      # (npL, npL) dense pinv of padded coarsest
+    posmap0: np.ndarray         # (n,) original index -> level-0 position
+    np0: int                    # level-0 padded length
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels) + 1
+
+
+def build_hierarchy_dia(
+    ell: assembly.EllMatrix,
+    coords: np.ndarray,
+    cap: int = 8,
+    theta: float = 0.08,
+    coarse_size: int = 400,
+    max_levels: int = 12,
+    alpha: float = 1.66,
+    coverage: float = 0.95,
+    max_offsets: int = 8,
+) -> AlignedHierarchy:
+    """Gather-free AMG setup.
+
+    Pipeline: Hilbert-order the fine operator (ops.bell.hilbert_order —
+    concentrates nonzeros on a few block offsets), then per level:
+    capped aggregation -> smoothed prolongation + Galerkin coarse
+    operator (host scipy, in aggregate-id order).  Final row orders are
+    fixed bottom-up so that each level's rows sit at
+    (child position) * cap + slot, padded with inert dummy rows; every
+    transfer on device is then a pure reshape.  Dummy rows have zero
+    matrix rows/columns and zero dinv, which keeps them exactly inert
+    through the cycle (their residual is always zero).
+    """
+    import scipy.sparse
+
+    from . import bell, dia
+
+    A = ell.to_scipy()
+    n0 = A.shape[0]
+    perm0 = bell.hilbert_order(coords)
+    inv0 = np.empty(n0, dtype=np.int64)
+    inv0[perm0] = np.arange(n0)
+    A = A[perm0][:, perm0].tocsr()
+
+    # One downward pass.  Per level: capped aggregation (adaptive cap so
+    # slot padding stays bounded — aggregating with cap 8 at a mean size
+    # of 3 would waste 2.6x), row layout (aggregate * cap + slot) padded
+    # up to a 1024 multiple, DIA pack at those positions, Galerkin
+    # coarse operator in aggregate-id order (which inherits the Hilbert
+    # locality: ids are assigned in sweep order).  Levels are padded
+    # independently — a zero-pad/slice between levels reconciles
+    # Np_l / cap with the child's own padded length, so padding does NOT
+    # compound up the chain.
+    levels = []
+    all_pos = []        # per level: row index -> padded position
+    for _ in range(max_levels):
+        if A.shape[0] <= coarse_size:
+            break
+        nl = A.shape[0]
+        cap_l = cap
+        agg, nc = _aggregate_capped(A, cap_l, theta)
+        while cap_l > 2 and nl / nc < 0.7 * cap_l:
+            cap_l //= 2
+            agg, nc = _aggregate_capped(A, cap_l, theta)
+        if nc >= nl or nc == 0:
+            break
+        lam = _lambda_max_dinv_a(A)
+        omega_p, omega_s = 4.0 / (3.0 * lam), min(alpha, 1.8) / lam
+        d = np.asarray(A.diagonal())
+        dinv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+
+        # Padded positions for this level's rows.
+        order = np.argsort(agg, kind="stable")
+        slot = np.empty(nl, dtype=np.int64)
+        counts = np.bincount(agg, minlength=nc)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        slot[order] = np.arange(nl) - starts[agg[order]]
+        pos = agg * cap_l + slot
+        np_l = max(((cap_l * nc + 1023) // 1024) * 1024, 1024)
+
+        coo = A.tocoo()
+        mask = coo.row != coo.col
+        diag_pad = np.zeros(np_l)
+        diag_pad[pos] = np.asarray(A.diagonal(), dtype=np.float64)
+        pack = dia.pack_dia(
+            np_l, pos[coo.row[mask]], pos[coo.col[mask]], coo.data[mask],
+            diag=diag_pad, coverage=coverage, max_offsets=max_offsets,
+            np_override=np_l,
+        )
+        dinv_pad = np.zeros(np_l)
+        dinv_pad[pos] = dinv
+        all_pos.append(pos)
+
+        # Galerkin coarse operator (aggregate-id order).
+        P0 = scipy.sparse.csr_matrix(
+            (np.ones(nl), (np.arange(nl), agg)), shape=(nl, nc)
+        )
+        P = (P0 - omega_p * (scipy.sparse.diags(dinv) @ (A @ P0))).tocsr()
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.eliminate_zeros()
+        levels.append(AlignedLevel(
+            pack=pack, dinv=dinv_pad, omega_p=omega_p, omega_s=omega_s,
+            cap=cap_l, child_len=0, child_perm=None,   # patched below
+        ))
+        A = Ac
+
+    # Coarsest: dense pseudo-inverse over the padded size.
+    nL = A.shape[0]
+    npL = max(((nL + 127) // 128) * 128, 128)
+    Ad = np.zeros((npL, npL))
+    Ad[:nL, :nL] = np.asarray(A.todense())
+    coarse_inv = np.linalg.pinv(Ad, rcond=1e-12)
+
+    for i, lv in enumerate(levels):
+        if i + 1 < len(levels):
+            lv.child_len = levels[i + 1].pack.np_
+            lv.child_perm = all_pos[i + 1].astype(np.int32)
+        else:
+            lv.child_len = npL
+            lv.child_perm = np.arange(nL, dtype=np.int32)
+
+    if levels:
+        posmap0 = all_pos[0][inv0]
+        np0 = levels[0].pack.np_
+    else:
+        posmap0 = inv0
+        np0 = npL
+    return AlignedHierarchy(
+        levels=levels, coarse_inv=coarse_inv,
+        posmap0=posmap0, np0=np0,
+    )
+
+
+def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
+                    backend: Optional[str] = None):
+    """(apply, params) for the aligned hierarchy: z = apply(params, r)
+    with r, z of shape (np0, R) in level-0 positions.
+
+    Every operator application is an ops.dia matvec (pallas on TPU) and
+    every transfer a reshape + sum/broadcast; the cycle does 4 operator
+    SpMVs per level and no gathers.  Symmetric V(1,1) with matched
+    pre/post damped-Jacobi smoothing, so it is a valid SPD
+    preconditioner for CG."""
+    import jax.numpy as jnp
+
+    from . import dia
+
+    backend = backend or dia.default_backend()
+    params = []
+    for lv in h.levels:
+        entry = lv.pack.to_device(dtype=dtype)
+        entry["dinv"] = jnp.asarray(lv.dinv).astype(dtype or jnp.float32)
+        entry["child_perm"] = jnp.asarray(lv.child_perm)
+        params.append(entry)
+    params.append({
+        "coarse_inv": jnp.asarray(h.coarse_inv).astype(dtype or jnp.float32)
+    })
+    metas = [lv.pack.meta for lv in h.levels]
+    omegas = [(lv.omega_p, lv.omega_s) for lv in h.levels]
+    caps = [lv.cap for lv in h.levels]
+    child_lens = [lv.child_len for lv in h.levels]
+    ncs = [len(lv.child_perm) for lv in h.levels]
+    nlev = len(h.levels)
+
+    def cycle(level: int, p, b):
+        if level == nlev:
+            return p[-1]["coarse_inv"] @ b
+        e = p[level]
+        meta = metas[level]
+        om_p, om_s = omegas[level]
+        cap = caps[level]
+        nc, clen = ncs[level], child_lens[level]
+        r_cols = b.shape[1]
+
+        def mv(x):
+            return dia.dia_matvec(meta, e, x, backend=backend)
+
+        dinv = e["dinv"][:, None]
+        x = om_s * dinv * b
+        r1 = b - mv(x)
+        t = r1 - om_p * mv(dinv * r1)
+        # restrict: per-aggregate sums -> child padded positions
+        rc = t.reshape(-1, cap, r_cols).sum(axis=1)
+        bc = jnp.zeros((clen, r_cols), rc.dtype).at[
+            e["child_perm"]].set(rc[:nc], mode="drop",
+                                 unique_indices=True)
+        xc_pos = cycle(level + 1, p, bc)
+        # prolong: child positions -> aggregate order -> broadcast
+        xc = xc_pos[e["child_perm"]]
+        pad = t.shape[0] // cap - nc
+        if pad:
+            xc = jnp.concatenate(
+                [xc, jnp.zeros((pad, r_cols), xc.dtype)], axis=0)
+        px = jnp.broadcast_to(
+            xc[:, None, :], (t.shape[0] // cap, cap, r_cols)
+        ).reshape(-1, r_cols)
+        x = x + px - om_p * dinv * mv(px)
+        x = x + om_s * dinv * (b - mv(x))
+        return x
+
+    def apply(p, r):
+        return cycle(0, p, r)
+
+    return apply, params
+
+
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
     """Pad axis 0 up to a multiple with inert entries (zero values /
     column index 0, which gathered vectors always contain)."""

@@ -70,18 +70,22 @@ def make_projector(comp_id: jnp.ndarray, num_components: int, gsum=None):
             sums = gsum(jax.ops.segment_sum(
                 x, comp_id, num_segments=num_components
             ))                                # (p, R)
-            means = sums / counts[:, None]
+            means = (sums / counts[:, None].astype(x.dtype)).astype(x.dtype)
             return x - means[comp_id]
 
         return project
 
-    onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float64)  # (n, p)
-    counts = gsum(onehot.sum(axis=0))  # (p,) global component sizes
+    # One-hot held in f32 (exact 0/1 values) and cast to the iterate's
+    # dtype at use: keeps f32 CG state in f32 under jax_enable_x64 while
+    # staying exact for f64 solves.
+    onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float32)
+    counts = gsum(onehot.sum(axis=0).astype(jnp.float64))
 
     def project(x):
-        sums = gsum(onehot.T @ x)         # (p, R)
-        means = sums / counts[:, None]
-        return x - onehot @ means
+        oh = onehot.astype(x.dtype)
+        sums = gsum(oh.T @ x)             # (p, R)
+        means = (sums / counts[:, None].astype(x.dtype)).astype(x.dtype)
+        return x - oh @ means
 
     return project
 
@@ -111,6 +115,7 @@ def make_pcg(
     precond: Optional[tuple] = None,
     mesh=None,
     axis_name: str = "tp",
+    operator: Optional[tuple] = None,
 ):
     """Build a jitted deflated-PCG solver bound to one operator.
 
@@ -126,12 +131,21 @@ def make_pcg(
     sharded preconditioner must have been built with the same axis (see
     amg.make_vcycle's tp/axis_name arguments).
 
+    operator: optional (apply, params) pair replacing the default ELL
+    gather matvec — y = apply(params, x) on (N, R) arrays, e.g. the
+    block-offset-DIA SpMV (ops.dia).  When given, `cols/vals/diag` are
+    ignored for the matvec (pass the operator's diagonal as `diag` so
+    the Jacobi fallback preconditioner still works) and `mesh` must be
+    None (the DIA kernel is single-device; TP uses the ELL path).
+
     Returns solve(b, tol, maxiter) -> CGResult.
     """
     ax = axis_name if mesh is not None else None
+    if operator is not None and mesh is not None:
+        raise ValueError("custom operator does not support mesh sharding")
     if precond is None:
         def apply_m(op, r):
-            _, _, dg, _ = op
+            _, _, dg = op[0]
             minv = jnp.where(dg > 0, 1.0 / jnp.where(dg > 0, dg, 1.0), 1.0)
             return minv[:, None] * r
         precond_params = None
@@ -139,7 +153,7 @@ def make_pcg(
         precond_fn, precond_params = precond
 
         def apply_m(op, r):
-            return precond_fn(op[3], r)
+            return precond_fn(op[1], r)
 
     def make_body(maxiter: int, state_in: bool, state_out: bool):
         """CG body with an all-array signature (shard_map-friendly);
@@ -151,13 +165,20 @@ def make_pcg(
         axon TPU runtime kills dispatches that run too long)."""
 
         def body(op, comp_id, b, tol, *maybe_state):
-            cols, vals, diag, _ = op
+            a_params, _ = op
             gather, gsum = _collectives(ax)
 
-            def matvec(x):
-                xf = gather(x)
-                off = jnp.einsum("nk,nkr->nr", vals, xf[cols])
-                return diag[:, None] * x + off
+            if operator is not None:
+                a_apply = operator[0]
+
+                def matvec(x):
+                    return a_apply(a_params, x)
+            else:
+                def matvec(x):
+                    cols, vals, diag = a_params
+                    xf = gather(x)
+                    off = jnp.einsum("nk,nkr->nr", vals, xf[cols])
+                    return diag[:, None] * x + off
 
             def dot(a, b2):
                 return gsum((a * b2).sum(axis=0))  # (R,)
@@ -241,7 +262,7 @@ def make_pcg(
 
         pp_specs = (None if precond_params is None
                     else _tree_specs(precond_params, axis_name))
-        op_specs = (P(axis_name, None), P(axis_name, None), P(axis_name),
+        op_specs = ((P(axis_name, None), P(axis_name, None), P(axis_name)),
                     pp_specs)
         res_specs = CGResult(x=P(axis_name, None), iterations=P(),
                              residual_norms=P())
@@ -263,7 +284,8 @@ def make_pcg(
             args = (state,) if state_in else ()
             return inner(op, comp_id, b, tol, *args)
 
-    op = (cols, vals, diag, precond_params)
+    a_params = operator[1] if operator is not None else (cols, vals, diag)
+    op = (a_params, precond_params)
 
     def solve(b, tol, maxiter: int = 10000) -> CGResult:
         return _solve(op, comp_id, b, tol, maxiter=maxiter)

@@ -146,15 +146,21 @@ def pack_dia(
     diag: Optional[np.ndarray] = None,
     offs: Optional[tuple] = None,
     b: int = DEFAULT_B,
-    g: int = DEFAULT_G,
+    g: Optional[int] = None,
     coverage: float = 0.95,
     max_offsets: int = 8,
+    np_override: Optional[int] = None,
 ) -> DiaPack:
     """Pack COO triplets (off-diagonal, duplicate-free) + diagonal.
 
     The caller is responsible for having permuted indices into a
     locality-preserving order (bell.hilbert_order) — the offset coverage
     and therefore the speed depend on it.
+
+    np_override: force the padded length (must be a multiple of b and
+    >= n); used by the aligned AMG hierarchy where each level's length
+    is slot_count * child_length.  `g` is then chosen as the largest of
+    (8, 4, 2, 1) dividing np_override / b.
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
@@ -163,9 +169,21 @@ def pack_dia(
         offs = choose_offsets(rows, cols, b=b, coverage=coverage,
                               max_offsets=max_offsets)
     d = len(offs)
-    nb = max((n + b - 1) // b, 1)
-    ng = (nb + g - 1) // g
-    np_ = ng * g * b
+    if np_override is not None:
+        if np_override % b or np_override < n:
+            raise ValueError("np_override must be a multiple of b and >= n")
+        nb = np_override // b
+        if g is None:
+            g = next(gg for gg in (8, 4, 2, 1) if nb % gg == 0)
+        elif nb % g:
+            raise ValueError("np_override not divisible by g*b")
+        ng = nb // g
+        np_ = np_override
+    else:
+        g = g or DEFAULT_G
+        nb = max((n + b - 1) // b, 1)
+        ng = (nb + g - 1) // g
+        np_ = ng * g * b
 
     diag_pad = np.zeros(np_, dtype=np.float64)
     if diag is not None:
@@ -335,7 +353,8 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None):
     main = (_pallas_main if backend == "pallas" else _xla_main)(
         meta, params["w"], xt_pad).T
     rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
-    y = main.at[params["rem_rows"]].add(rem_c, mode="drop")
+    y = main.at[params["rem_rows"]].add(
+        rem_c.astype(main.dtype), mode="drop")
     y = y + params["diag"][:, None] * x
     y = y.astype(x.dtype)
     return y[:, 0] if squeeze else y
