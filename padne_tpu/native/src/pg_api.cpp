@@ -387,24 +387,30 @@ int32_t pg_greedy_aggregate_capped(const int32_t* indptr,
       agg[i] = num_agg++;
       size.push_back(1);
     }
-  // Pass 4: merge undersized aggregates into an adjacent one with room.
-  // Larger mean aggregate size -> less slot padding in the aligned AMG
-  // levels (fine rows are padded to `cap` slots per aggregate).
+  // Pass 4: merge undersized aggregates into an adjacent one with room,
+  // iterated until a sweep makes no progress.  Larger mean aggregate
+  // size -> less slot padding in the aligned AMG levels (fine rows are
+  // padded to `cap` slots per aggregate) and faster coarsening.
   std::vector<int32_t> target(num_agg, -1);
-  for (int32_t i = 0; i < n; i++) {
-    int32_t a = agg[i];
-    while (target[a] >= 0) a = target[a];
-    if (size[a] * 2 > cap) continue;
-    for (int32_t k = indptr[i]; k < indptr[i + 1]; k++) {
-      int32_t b = agg[indices[k]];
-      while (target[b] >= 0) b = target[b];
-      if (b != a && size[a] + size[b] <= cap) {
-        target[a] = b;
-        size[b] += size[a];
-        size[a] = 0;
-        break;
+  for (int sweep = 0; sweep < 4; sweep++) {
+    bool merged = false;
+    for (int32_t i = 0; i < n; i++) {
+      int32_t a = agg[i];
+      while (target[a] >= 0) a = target[a];
+      if (size[a] * 2 > cap) continue;
+      for (int32_t k = indptr[i]; k < indptr[i + 1]; k++) {
+        int32_t b = agg[indices[k]];
+        while (target[b] >= 0) b = target[b];
+        if (b != a && size[a] + size[b] <= cap) {
+          target[a] = b;
+          size[b] += size[a];
+          size[a] = 0;
+          merged = true;
+          break;
+        }
       }
     }
+    if (!merged) break;
   }
   // Compact ids.
   std::vector<int32_t> remap(num_agg, -1);

@@ -318,6 +318,8 @@ def build_hierarchy_dia(
     alpha: float = 1.66,
     coverage: float = 0.95,
     max_offsets: int = 8,
+    smooth_levels: int = 2,
+    drop_tol: float = 1e-4,
 ) -> AlignedHierarchy:
     """Gather-free AMG setup.
 
@@ -351,9 +353,10 @@ def build_hierarchy_dia(
     # independently — a zero-pad/slice between levels reconciles
     # Np_l / cap with the child's own padded length, so padding does NOT
     # compound up the chain.
+    lvl_coords = coords[perm0]
     levels = []
     all_pos = []        # per level: row index -> padded position
-    for _ in range(max_levels):
+    for level_i in range(max_levels):
         if A.shape[0] <= coarse_size:
             break
         nl = A.shape[0]
@@ -364,8 +367,43 @@ def build_hierarchy_dia(
             agg, nc = _aggregate_capped(A, cap_l, theta)
         if nc >= nl or nc == 0:
             break
-        lam = _lambda_max_dinv_a(A)
-        omega_p, omega_s = 4.0 / (3.0 * lam), min(alpha, 1.8) / lam
+        if nc > 0.6 * nl:
+            # Coarsening stalled (strength filter too sparse on a deep,
+            # heterogeneous operator).  Force progress with unfiltered
+            # pairwise aggregation — a dense eigensolve at thousands of
+            # rows costs tens of seconds of setup, so keep shrinking
+            # until coarse_size instead.
+            agg, nc = _aggregate_capped(A, 2, theta=0.0)
+            cap_l = 2
+            if nc >= nl or nc == 0 or nc > 0.8 * nl:
+                break
+
+        # Re-Hilbert-order the coarse level by aggregate centroids:
+        # aggregate-id order alone degrades into raster-like order a
+        # couple of levels down, scattering nonzeros across many block
+        # offsets.  Relabel aggregates by their own Hilbert sweep so
+        # EVERY level keeps the locality the offsets rely on.
+        csum = np.zeros((nc, 2))
+        np.add.at(csum, agg, lvl_coords)
+        ccnt = np.bincount(agg, minlength=nc).astype(float)
+        coords_c = csum / np.maximum(ccnt, 1.0)[:, None]
+        hperm = bell.hilbert_order(coords_c)
+        hinv = np.empty(nc, dtype=np.int64)
+        hinv[hperm] = np.arange(nc)
+        agg = hinv[agg]
+        coords_c = coords_c[hperm]
+        # 10% safety margin on the power-iteration estimate: an
+        # underestimated lambda_max would push omega_s past the 2/lambda
+        # Jacobi stability bound and turn the V-cycle into an AMPLIFIER
+        # (observed as CG divergence on small coarse levels).
+        lam = 1.1 * _lambda_max_dinv_a(A, iters=16)
+        omega_s = min(alpha, 1.6) / lam
+        # Smoothed prolongation densifies the Galerkin operators (each
+        # level's stencil grows), which destroys the block-offset
+        # structure and stalls capped aggregation a few levels down.
+        # Smooth only the top levels — below them plain aggregation
+        # keeps every operator as sparse as its parent.
+        omega_p = 4.0 / (3.0 * lam) if level_i < smooth_levels else 0.0
         d = np.asarray(A.diagonal())
         dinv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
 
@@ -395,21 +433,60 @@ def build_hierarchy_dia(
         P0 = scipy.sparse.csr_matrix(
             (np.ones(nl), (np.arange(nl), agg)), shape=(nl, nc)
         )
-        P = (P0 - omega_p * (scipy.sparse.diags(dinv) @ (A @ P0))).tocsr()
+        if omega_p:
+            P = (P0 - omega_p * (scipy.sparse.diags(dinv) @ (A @ P0))).tocsr()
+        else:
+            P = P0
         Ac = (P.T @ A @ P).tocsr()
         Ac.eliminate_zeros()
+        if drop_tol:
+            # Sparsify: drop relatively-tiny couplings (preconditioner
+            # quality is insensitive, offset structure is not).  Dropped
+            # mass is LUMPED into the diagonal so row sums — and with
+            # them the Neumann constant-vector kernel — are preserved;
+            # plain dropping turns the kernel into near-null modes that
+            # the coarse pseudo-inverse then amplifies by 1/drop_tol^2.
+            dc = np.asarray(Ac.diagonal())
+            dc = np.where(dc > 0, dc, 1.0)
+            coo_c = Ac.tocoo()
+            keep = (coo_c.row == coo_c.col) | (
+                np.abs(coo_c.data)
+                >= drop_tol * np.sqrt(dc[coo_c.row] * dc[coo_c.col])
+            )
+            lump = np.zeros(Ac.shape[0])
+            np.add.at(lump, coo_c.row[~keep], coo_c.data[~keep])
+            Ac = scipy.sparse.csr_matrix(
+                (coo_c.data[keep], (coo_c.row[keep], coo_c.col[keep])),
+                shape=Ac.shape,
+            )
+            Ac = (Ac + scipy.sparse.diags(lump)).tocsr()
         levels.append(AlignedLevel(
             pack=pack, dinv=dinv_pad, omega_p=omega_p, omega_s=omega_s,
             cap=cap_l, child_len=0, child_perm=None,   # patched below
         ))
         A = Ac
+        lvl_coords = coords_c
 
-    # Coarsest: dense pseudo-inverse over the padded size.
+    # Coarsest: dense inverse over the padded size.  A small diagonal
+    # shift regularizes the Neumann nullspace (and the zero dummy rows)
+    # — exact nullspace handling lives in the CG deflation projector,
+    # the coarse solve only needs to be a good preconditioner.  LU
+    # inverse is ~50x faster than pinv's SVD at a few thousand rows.
     nL = A.shape[0]
     npL = max(((nL + 127) // 128) * 128, 128)
-    Ad = np.zeros((npL, npL))
-    Ad[:nL, :nL] = np.asarray(A.todense())
-    coarse_inv = np.linalg.pinv(Ad, rcond=1e-12)
+    Ad = np.asarray(A.todense())
+    # True pseudo-inverse (annihilates the Neumann nullspace instead of
+    # amplifying the f32 noise in it); pinvh's symmetric eigensolve is
+    # several times faster than pinv's SVD.
+    import scipy.linalg
+
+    # rtol 1e-6: the exact nullspace (per-component constants) is
+    # handled by the CG deflation projector; aggregation/dropping can
+    # leave NEAR-null junk modes below 1e-6*lambda_max, and inverting
+    # those turns the preconditioner into a 1e6x amplifier.
+    inv_real = scipy.linalg.pinvh(Ad, rtol=1e-6)
+    coarse_inv = np.zeros((npL, npL))   # padding rows stay exactly zero
+    coarse_inv[:nL, :nL] = inv_real
 
     for i, lv in enumerate(levels):
         if i + 1 < len(levels):
@@ -432,7 +509,8 @@ def build_hierarchy_dia(
 
 
 def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
-                    backend: Optional[str] = None):
+                    backend: Optional[str] = None,
+                    lump_remainder: bool = False):
     """(apply, params) for the aligned hierarchy: z = apply(params, r)
     with r, z of shape (np0, R) in level-0 positions.
 
@@ -440,7 +518,17 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     every transfer a reshape + sum/broadcast; the cycle does 4 operator
     SpMVs per level and no gathers.  Symmetric V(1,1) with matched
     pre/post damped-Jacobi smoothing, so it is a valid SPD
-    preconditioner for CG."""
+    preconditioner for CG.
+
+    lump_remainder: fold a level's off-offset remainder entries into
+    the diagonal (row sums — and the Neumann kernel — are preserved)
+    when the remainder is a small fraction of the operator.  The
+    remainder gather+scatter costs ~3x the slab SpMV itself on TPU and
+    a preconditioner does not need the exact operator.  Lumping a LARGE
+    remainder destroys the preconditioner (every dropped coupling is a
+    cut edge), so levels with > 8% remainder keep it.  Use
+    `make_dia_cg_operator` for the exact level-0 operator (shares the
+    weight slab with these params)."""
     import jax.numpy as jnp
 
     from . import dia
@@ -449,8 +537,23 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     params = []
     for lv in h.levels:
         entry = lv.pack.to_device(dtype=dtype)
-        entry["dinv"] = jnp.asarray(lv.dinv).astype(dtype or jnp.float32)
         entry["child_perm"] = jnp.asarray(lv.child_perm)
+        nnz_total = len(lv.pack.widx) + len(lv.pack.rem_rows)
+        small_rem = len(lv.pack.rem_rows) <= 0.08 * max(nnz_total, 1)
+        if lump_remainder and small_rem and len(lv.pack.rem_rows):
+            diag_l = lv.pack.diag.copy()
+            np.add.at(diag_l, lv.pack.rem_rows, lv.pack.rem_vals)
+            entry["diag"] = jnp.asarray(diag_l).astype(
+                dtype or jnp.float32)
+            entry["rem_rows"] = entry["rem_rows"][:0]
+            entry["rem_cols"] = entry["rem_cols"][:0]
+            entry["rem_vals"] = entry["rem_vals"][:0]
+            dinv_l = np.where(diag_l > 0,
+                              1.0 / np.where(diag_l > 0, diag_l, 1.0), 0.0)
+            entry["dinv"] = jnp.asarray(dinv_l).astype(dtype or jnp.float32)
+        else:
+            entry["dinv"] = jnp.asarray(lv.dinv).astype(
+                dtype or jnp.float32)
         params.append(entry)
     params.append({
         "coarse_inv": jnp.asarray(h.coarse_inv).astype(dtype or jnp.float32)
@@ -478,8 +581,8 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         dinv = e["dinv"][:, None]
         x = om_s * dinv * b
         r1 = b - mv(x)
-        t = r1 - om_p * mv(dinv * r1)
-        # restrict: per-aggregate sums -> child padded positions
+        # restrict: P^T r1 (om_p == 0 -> plain aggregation, no SpMV)
+        t = r1 - om_p * mv(dinv * r1) if om_p else r1
         rc = t.reshape(-1, cap, r_cols).sum(axis=1)
         bc = jnp.zeros((clen, r_cols), rc.dtype).at[
             e["child_perm"]].set(rc[:nc], mode="drop",
@@ -494,7 +597,7 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         px = jnp.broadcast_to(
             xc[:, None, :], (t.shape[0] // cap, cap, r_cols)
         ).reshape(-1, r_cols)
-        x = x + px - om_p * dinv * mv(px)
+        x = x + (px - om_p * dinv * mv(px) if om_p else px)
         x = x + om_s * dinv * (b - mv(x))
         return x
 
@@ -502,6 +605,23 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         return cycle(0, p, r)
 
     return apply, params
+
+
+def make_dia_cg_operator(h: AlignedHierarchy, vparams, dtype=None):
+    """Exact level-0 operator params for the CG matvec, sharing the
+    (multi-GB) weight slab with the V-cycle params — only the exact
+    diagonal and the remainder triplets are fresh device arrays."""
+    import jax.numpy as jnp
+
+    lv = h.levels[0]
+    return {
+        "w": vparams[0]["w"],
+        "diag": jnp.asarray(lv.pack.diag).astype(dtype or jnp.float32),
+        "rem_rows": jnp.asarray(lv.pack.rem_rows),
+        "rem_cols": jnp.asarray(lv.pack.rem_cols),
+        "rem_vals": jnp.asarray(lv.pack.rem_vals.astype(np.float32)
+                                ).astype(dtype or jnp.float32),
+    }
 
 
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:

@@ -227,7 +227,11 @@ def make_pcg(
                 beta = jnp.where(
                     rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
                 )
-                beta = jnp.where(active, beta, 0.0)
+                # Restart (p = z) on negative beta: below the f32
+                # residual floor rz turns into rounding noise and a
+                # beta > 1 run would grow p exponentially, corrupting
+                # the converged iterate.
+                beta = jnp.where(active & (beta > 0), beta, 0.0)
                 p = z + beta[None, :] * p
                 return (x, r, z, p, k + 1, rz_new)
 

@@ -324,16 +324,20 @@ def _xla_main(meta, w, xt_pad):
     dmax = _dmax(offs)
     r = xt_pad.shape[0]
     nb = ng * g
-    acc = jnp.zeros((nb, r, b), jnp.float32)
+    acc = jnp.zeros((nb, r, b), xt_pad.dtype)
     wb = w.reshape(nb, len(offs), b, b)
     for di, o in enumerate(offs):
         xs = jax.lax.dynamic_slice_in_dim(
             xt_pad, (dmax + o) * b, np_, axis=1)
         xsb = xs.reshape(r, nb, b)
         acc = acc + jax.lax.dot_general(
-            xsb, wb[:, di], (((2,), (1,)), ((1,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)   # (nb, r, b)
+            xsb, wb[:, di].astype(xt_pad.dtype),
+            (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=xt_pad.dtype,
+            # HIGHEST forces bf16x3 passes on TPU MXUs (full f32
+            # accuracy); for f64 it has no benefit and can be slow.
+            precision=(jax.lax.Precision.HIGHEST
+                       if xt_pad.dtype == jnp.float32 else None))
     return acc.transpose(1, 0, 2).reshape(r, np_)
 
 
@@ -348,14 +352,19 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None):
     if squeeze:
         x = x[:, None]
     dmax = _dmax(offs)
-    xt = x.astype(jnp.float32).T
+    # The pallas kernel is f32; the XLA path follows the slab dtype
+    # (enables f64 V-cycles on CPU for reference computations).
+    compute_dtype = (jnp.float32 if backend == "pallas"
+                     else params["w"].dtype)
+    xt = x.astype(compute_dtype).T
     xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
     main = (_pallas_main if backend == "pallas" else _xla_main)(
         meta, params["w"], xt_pad).T
-    rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
-    y = main.at[params["rem_rows"]].add(
-        rem_c.astype(main.dtype), mode="drop")
-    y = y + params["diag"][:, None] * x
+    if params["rem_rows"].shape[0]:
+        rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
+        main = main.at[params["rem_rows"]].add(
+            rem_c.astype(main.dtype), mode="drop")
+    y = main + params["diag"][:, None] * x
     y = y.astype(x.dtype)
     return y[:, 0] if squeeze else y
 

@@ -74,6 +74,8 @@ class CoreSystem:
     border: BorderSpec
     r_core: np.ndarray    # (n,)
     ground_var: int       # border variable index of the ground pin
+    coords: Optional[np.ndarray] = None  # (n, 2) node coordinates (mm);
+    # enables the Hilbert-ordered DIA fast path (ops.dia)
 
 
 @dataclass
@@ -109,6 +111,8 @@ def solve_bordered(
     device_dtype=None,
     mesh=None,
     dispatch_cap="auto",
+    operator: str = "auto",
+    dia_threshold: int = 200_000,
 ) -> BorderedSolution:
     """Solve the full bordered system.  Host-side driver around jitted
     device stages; the refinement loop reuses the same CG machinery.
@@ -140,8 +144,30 @@ def solve_bordered(
     a tp multiple; padding rows form their own deflation component so
     they carry exactly zero through the solve.  The small dense Schur
     block and the f64 refinement residuals stay replicated.
+
+    operator: "auto" routes large single-device mixed-precision solves
+    with coordinates through the block-offset-DIA fast path (ops.dia +
+    aligned AMG, ~20x faster SpMV on TPU); "dia" forces it (any
+    backend); "ell" forces the gather path.
     """
     n, m = system.n, system.border.m
+    use_dia = operator == "dia" or (
+        operator == "auto"
+        and mesh is None
+        and device_dtype is not None
+        and system.coords is not None
+        and n >= dia_threshold
+    )
+    if use_dia:
+        result = _solve_bordered_dia(
+            system, tol=tol, maxiter=maxiter,
+            max_refinements=max_refinements,
+            target_residual=target_residual,
+            dispatch_cap=dispatch_cap,
+        )
+        if result is not None:
+            return result
+        # fall through (hierarchy unavailable, e.g. tiny system)
     cols, vals, diag = system.ell.to_device()
     comp_id = jnp.asarray(system.comp_id)
     p = system.num_components
@@ -326,5 +352,206 @@ def solve_bordered(
         residual_norm=res_norm,
         ground_current=gc,
         cg_iterations=total_cg_iters,
+        refinement_steps=refinements,
+    )
+
+
+def _solve_bordered_dia(
+    system: CoreSystem,
+    tol: float,
+    maxiter: int,
+    max_refinements: int,
+    target_residual: float,
+    dispatch_cap="auto",
+) -> Optional[BorderedSolution]:
+    """The block-offset-DIA fast path (large meshes, single device).
+
+    Same Schur-complement algorithm as the generic path, engineered for
+    the TPU + slow-host-tunnel reality:
+
+    * the inner CG matvec and the whole AMG V-cycle are ops.dia
+      operators (pallas kernel on TPU) on Hilbert/aggregate-aligned row
+      positions — no XLA gathers in the hot loop;
+    * nothing (n x m)-dense ever crosses the host<->device link: the
+      border products B X are computed on device from the nnz border
+      triplets, the Schur RHS block is scattered on device, and only
+      (np0,)-vectors are downloaded;
+    * the f64 full-system refinement residual is computed on the host
+      CSR (one SpMV per refinement pass) — the device stays f32.
+
+    Returns None when no DIA hierarchy can be built (tiny system).
+    """
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse
+
+    from . import amg, cg, dia
+
+    n, m = system.n, system.border.m
+    p = system.num_components
+    b = system.border
+    log = logging.getLogger(__name__)
+
+    hierarchy = amg.build_hierarchy_dia(system.ell, system.coords)
+    if not hierarchy.levels:
+        return None
+    backend = dia.default_backend()
+    vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy, backend=backend)
+    posmap = hierarchy.posmap0
+    np0 = hierarchy.np0
+    level0 = hierarchy.levels[0]
+    meta0 = level0.pack.meta
+    log.info(
+        "DIA solve: np0=%d offsets=%s remainder=%d levels=%s backend=%s",
+        np0, level0.pack.offs, len(level0.pack.rem_rows),
+        [lv.pack.np_ for lv in hierarchy.levels], backend,
+    )
+
+    # Deflation over padded rows: dummies form one extra component.
+    comp_pad = np.full(np0, p, dtype=np.int32)
+    comp_pad[posmap] = system.comp_id
+    p_cg = p + 1
+
+    def a_apply(prm, x):
+        return dia.dia_matvec(meta0, prm, x, backend=backend)
+
+    op_params = amg.make_dia_cg_operator(hierarchy, vparams)
+    cg_solver = cg.make_pcg(
+        None, None, None, jnp.asarray(comp_pad), p_cg,
+        precond=(vcycle_apply, vparams),
+        operator=(a_apply, op_params),
+    )
+    inner_tol = max(tol, 1e-5)
+    # f32 CG gains stall after a few dozen V-cycles (noise floor); the
+    # outer refinement multiplies per-pass gains, so cap the inner solve
+    # instead of letting a floor-limited CG spin to `maxiter`.
+    maxiter = min(maxiter, 300)
+
+    if dispatch_cap == "auto":
+        platform = jax.default_backend()
+        per_iter_rows = max(np0, 1) * 5
+        dispatch_cap = (
+            None if platform == "cpu"
+            else int(np.clip(60_000_000 // per_iter_rows, 30, 4000))
+        )
+
+    # Device-side border products from nnz triplets (tiny uploads).
+    posmap_dev = jnp.asarray(posmap.astype(np.int32))
+    row_node_pos = jnp.asarray(posmap[b.row_node].astype(np.int32))
+    row_idx_dev = jnp.asarray(b.row_idx.astype(np.int32))
+    row_val_dev = jnp.asarray(b.row_val.astype(np.float32))
+    col_node_pos = jnp.asarray(posmap[b.col_node].astype(np.int32))
+    col_idx_dev = jnp.asarray(b.col_idx.astype(np.int32))
+    col_val_dev = jnp.asarray(b.col_val.astype(np.float32))
+
+    @jax.jit
+    def build_rhs(rc_pad):
+        """[C | rc] as a padded (np0, m+1) f32 block, on device."""
+        rhs = jnp.zeros((np0, m + 1), jnp.float32)
+        rhs = rhs.at[col_node_pos, col_idx_dev].add(col_val_dev)
+        return rhs.at[:, m].set(rc_pad)
+
+    @jax.jit
+    def border_products(X):
+        """(B Xc, B xr) from the sparse border rows: (m, m), (m,)."""
+        g = X[row_node_pos] * row_val_dev[:, None]       # (nnzB, m+1)
+        bx = jax.ops.segment_sum(g, row_idx_dev, num_segments=m)
+        return bx[:, :m], bx[:, m]
+
+    comp_pad_dev = jnp.asarray(comp_pad)
+
+    @jax.jit
+    def combine(X, j_dev, c_full, comp_dev):
+        """v_pad = Xc @ j - xr + c[comp]."""
+        return X[:, :m] @ j_dev - X[:, m] + c_full[comp_dev]
+
+    # Host-side small dense pieces.
+    BZ = np.zeros((m, p))
+    np.add.at(BZ, (b.row_idx, system.comp_id[b.row_node]), b.row_val)
+    ZtC = np.zeros((p, m))
+    np.add.at(ZtC, (system.comp_id[b.col_node], b.col_idx), b.col_val)
+
+    A_host = system.ell.to_scipy()
+    C_host = scipy.sparse.coo_matrix(
+        (b.col_val, (b.col_node, b.col_idx)), shape=(n, m)).tocsr()
+    B_host = scipy.sparse.coo_matrix(
+        (b.row_val, (b.row_idx, b.row_node)), shape=(m, n)).tocsr()
+
+    total_cg_iters = 0
+
+    def run_cg(rhs_dev):
+        nonlocal total_cg_iters
+        if dispatch_cap is None or maxiter <= dispatch_cap:
+            res = cg_solver(rhs_dev, inner_tol, maxiter)
+            total_cg_iters += int(res.iterations)
+            return res.x
+        total = 0
+        state = None
+        while True:
+            it = int(min(dispatch_cap, maxiter - total))
+            res, state = cg_solver.stateful(rhs_dev, inner_tol, it, state)
+            chunk = int(res.iterations)
+            total += chunk
+            if chunk < it or total >= maxiter:
+                break
+        total_cg_iters += total
+        return res.x
+
+    def solve_once(rc, rb):
+        """One Schur pass; rc (n,) rb (m,) host f64 -> (dv, dj) host f64."""
+        rc_pad = jnp.zeros(np0, jnp.float32).at[posmap_dev].set(
+            jnp.asarray(rc.astype(np.float32)))
+        X = run_cg(build_rhs(rc_pad))                    # (np0, m+1) f32
+        BXc, Bxr = border_products(X)
+        BXc = np.asarray(BXc, dtype=np.float64)
+        Bxr = np.asarray(Bxr, dtype=np.float64)
+        Ztr = np.zeros(p)
+        np.add.at(Ztr, system.comp_id, rc)
+
+        if p > 256:
+            j, *_ = np.linalg.lstsq(ZtC, Ztr, rcond=None)
+            c, *_ = np.linalg.lstsq(BZ, (rb + Bxr) - BXc @ j, rcond=None)
+        else:
+            top = np.concatenate([BXc, BZ], axis=1)
+            bot = np.concatenate([ZtC, np.zeros((p, p))], axis=1)
+            M = np.concatenate([top, bot], axis=0)
+            rhs_small = np.concatenate([rb + Bxr, Ztr])
+            sol, *_ = np.linalg.lstsq(M, rhs_small, rcond=None)
+            j, c = sol[:m], sol[m:]
+
+        c_full = jnp.asarray(
+            np.concatenate([c, [0.0]]).astype(np.float32))  # dummy comp
+        v_pad = combine(X, jnp.asarray(j.astype(np.float32)), c_full,
+                        comp_pad_dev)
+        v = np.asarray(v_pad, dtype=np.float64)[posmap]
+        return v, j
+
+    def full_residual(v, j):
+        res_core = system.r_core + A_host @ v - C_host @ j
+        res_border = b.rhs - B_host @ v
+        return res_core, res_border
+
+    v, j = solve_once(system.r_core, b.rhs)
+    refinements = 0
+    res_core, res_border = full_residual(v, j)
+    res_norm = float(np.sqrt((res_core**2).sum() + (res_border**2).sum()))
+    while res_norm > target_residual and refinements < max_refinements:
+        dv, dj = solve_once(res_core, res_border)
+        v_new, j_new = v + dv, j + dj
+        rc_new, rb_new = full_residual(v_new, j_new)
+        new_norm = float(np.sqrt((rc_new**2).sum() + (rb_new**2).sum()))
+        refinements += 1
+        if new_norm >= res_norm:
+            break
+        v, j = v_new, j_new
+        res_core, res_border = rc_new, rb_new
+        res_norm = new_norm
+
+    gc = float(j[system.ground_var]) if m > 0 else 0.0
+    return BorderedSolution(
+        v=v, j=np.asarray(j), residual_norm=res_norm,
+        ground_current=gc, cg_iterations=total_cg_iters,
         refinement_steps=refinements,
     )

@@ -415,6 +415,20 @@ def assemble_core_system(
     ell = ops_assembly.build_ell(n, edges, weights)
     comp_id, num_comp = ops_assembly.connected_components(n, edges, weights)
 
+    # Node coordinates for the Hilbert-ordered DIA fast path: mesh
+    # vertices carry their positions; internal lumped nodes borrow the
+    # coordinates of any node they share an edge with (they are few and
+    # only need to land *somewhere* local in the ordering).
+    coords = np.zeros((n, 2))
+    nv = vindex.total
+    coords[:nv] = np.concatenate([m.vertices for m in meshes]) if meshes \
+        else np.zeros((0, 2))
+    if n > nv and len(edges):
+        internal = (edges >= nv)
+        for a_col, b_col in ((0, 1), (1, 0)):
+            sel = internal[:, a_col] & ~internal[:, b_col]
+            coords[edges[sel, a_col]] = coords[edges[sel, b_col]]
+
     border = ops_schur.BorderSpec(
         m=g + 1,
         row_idx=np.array([x[0] for x in border_rows], dtype=np.int64),
@@ -433,6 +447,7 @@ def assemble_core_system(
         border=border,
         r_core=r_core,
         ground_var=g,
+        coords=coords,
     )
     return system, extra_var_elements
 

