@@ -76,25 +76,29 @@ def main():
     tol = 1e-8  # BASELINE.md row 1: 1e-8 relative residual
 
     t_setup0 = time.time()
-    hierarchy = amg.build_hierarchy_dia(ell, m.vertices)
+    import os
+    theta = float(os.environ.get("PADNE_BENCH_THETA", "0.02"))
+    lump = os.environ.get("PADNE_BENCH_LUMP", "0") == "1"
+    hierarchy = amg.build_hierarchy_dia(ell, m.vertices, theta=theta)
     _progress("hierarchy built")
     backend = dia.default_backend()
-    vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy, backend=backend)
+    vcycle_apply, vparams = amg.make_vcycle_dia_t(
+        hierarchy, backend=backend, lump_smoothing=lump)
     _progress("vcycle params on device")
     posmap = hierarchy.posmap0
     np0 = hierarchy.np0
     meta0 = hierarchy.levels[0].pack.meta
 
-    def a_apply(prm, x):
-        return dia.dia_matvec(meta0, prm, x, backend=backend)
+    def a_apply(prm, xt):
+        return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
 
     comp_pad = np.full(np0, 1, dtype=np.int32)
     comp_pad[posmap] = 0
     op_params = amg.make_dia_cg_operator(hierarchy, vparams)
-    solver = cg.make_pcg(
-        None, None, None, jnp.asarray(comp_pad), 2,
-        precond=(vcycle_apply, vparams),
+    solver = cg.make_pcg_t(
         operator=(a_apply, op_params),
+        precond=(vcycle_apply, vparams),
+        comp_id=jnp.asarray(comp_pad), num_components=2,
     )
 
     # Device-resident f64 refinement: the padded gather-ELL (exact f64

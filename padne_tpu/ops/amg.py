@@ -361,10 +361,16 @@ def build_hierarchy_dia(
             break
         nl = A.shape[0]
         cap_l = cap
-        agg, nc = _aggregate_capped(A, cap_l, theta)
+        # Deep levels: relax the strength filter.  Galerkin operators a
+        # few levels down are denser and more heterogeneous; theta tuned
+        # for the fine mesh leaves their strength graph too sparse and
+        # stalls coarsening into crude pairwise fallbacks (weak coarse
+        # solves cost 2-3x in CG iterations).
+        theta_l = theta if level_i < 3 else theta / 4.0
+        agg, nc = _aggregate_capped(A, cap_l, theta_l)
         while cap_l > 2 and nl / nc < 0.7 * cap_l:
             cap_l //= 2
-            agg, nc = _aggregate_capped(A, cap_l, theta)
+            agg, nc = _aggregate_capped(A, cap_l, theta_l)
         if nc >= nl or nc == 0:
             break
         if nc > 0.6 * nl:
@@ -604,7 +610,101 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     def apply(p, r):
         return cycle(0, p, r)
 
+    apply.cycle = cycle   # entry point at any level (used by the
+    # transposed wrapper, which handles level 0 itself)
     return apply, params
+
+
+def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
+                      backend: Optional[str] = None,
+                      lump_smoothing: bool = True):
+    """Transposed-layout V-cycle: z = apply(params, rt) on (R, np0).
+
+    Level 0 — where ~85% of the cycle's work lives — runs in the (R, n)
+    layout (full lane utilization for every elementwise op, no
+    transposes around the pallas kernel).  Deeper levels are small and
+    reuse the normal-layout cycle via a cheap transpose at the level
+    boundary.
+
+    lump_smoothing: the level-0 prolongation/restriction smoothing
+    applications use the remainder-lumped operator (the remainder
+    gather+scatter costs ~3x the slab SpMV; the residual and
+    post-smoothing keep the exact operator, so the coarse grid still
+    sees exact residuals and the cycle stays symmetric — the smoothed
+    transfer pair P/P^T remains an exact transpose pair)."""
+    import jax.numpy as jnp
+
+    from . import dia
+
+    backend = backend or dia.default_backend()
+    apply_n, params = make_vcycle_dia(
+        h, dtype=dtype, backend=backend, lump_remainder=False)
+    lv0 = h.levels[0]
+    e0 = params[0]
+    nnz_total = len(lv0.pack.widx) + len(lv0.pack.rem_rows)
+    lump = (lump_smoothing
+            and 0 < len(lv0.pack.rem_rows) <= 0.08 * max(nnz_total, 1))
+    if lump:
+        # The lumped (D~, A~) pair is used ONLY inside the transfer
+        # smoothing sandwich (PSD for any operator pair there).  The
+        # pre/post smoother must keep the EXACT (D, A) pair: mixing the
+        # smaller lumped diagonal with the exact operator violates
+        # 2D - omega*A > 0 and turns M indefinite (observed: CG
+        # divergence).
+        diag_sm = lv0.pack.diag.copy()
+        np.add.at(diag_sm, lv0.pack.rem_rows, lv0.pack.rem_vals)
+        e0["diag_sm"] = jnp.asarray(diag_sm).astype(dtype or jnp.float32)
+        dinv_sm = np.where(diag_sm > 0,
+                           1.0 / np.where(diag_sm > 0, diag_sm, 1.0), 0.0)
+        e0["dinv_sm"] = jnp.asarray(dinv_sm).astype(dtype or jnp.float32)
+
+    meta0 = lv0.pack.meta
+    om_p, om_s = lv0.omega_p, lv0.omega_s
+    cap0 = lv0.cap
+    nc0, clen0 = len(lv0.child_perm), lv0.child_len
+    np0 = lv0.pack.np_
+
+    def apply_t(p, bt):
+        e = p[0]
+        r_cols = bt.shape[0]
+
+        def mv(xt):
+            return dia.dia_matvec_t(meta0, e, xt, backend=backend)
+
+        if lump:
+            e_sm = dict(e)
+            e_sm["diag"] = e["diag_sm"]
+
+            def mv_sm(xt):
+                return dia.dia_matvec_t(meta0, e_sm, xt,
+                                        backend=backend,
+                                        skip_remainder=True)
+        else:
+            mv_sm = mv
+
+        dinv = e["dinv"][None, :]
+        dinv_sm = e["dinv_sm"][None, :] if lump else dinv
+        x = om_s * dinv * bt
+        r1 = bt - mv(x)
+        t = r1 - om_p * mv_sm(dinv_sm * r1) if om_p else r1
+        rc_t = t.reshape(r_cols, np0 // cap0, cap0).sum(axis=2)
+        rc = rc_t.T[:nc0]                                # (nc, R)
+        bc = jnp.zeros((clen0, r_cols), rc.dtype).at[
+            p[0]["child_perm"]].set(rc, mode="drop", unique_indices=True)
+        xc = apply_n.cycle(1, p, bc)
+        xcb = xc[p[0]["child_perm"]]                     # (nc, R)
+        pad = np0 // cap0 - nc0
+        xct = xcb.T
+        if pad:
+            xct = jnp.pad(xct, ((0, 0), (0, pad)))
+        px = jnp.broadcast_to(
+            xct[:, :, None], (r_cols, np0 // cap0, cap0)
+        ).reshape(r_cols, np0)
+        x = x + (px - om_p * dinv_sm * mv_sm(px) if om_p else px)
+        x = x + om_s * dinv * (bt - mv(x))
+        return x
+
+    return apply_t, params
 
 
 def make_dia_cg_operator(h: AlignedHierarchy, vparams, dtype=None):

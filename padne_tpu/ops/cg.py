@@ -306,6 +306,111 @@ def make_pcg(
     return solve
 
 
+def make_pcg_t(
+    operator,
+    precond,
+    comp_id: jnp.ndarray,
+    num_components: int,
+):
+    """Transposed-layout deflated PCG: state kept as (R, N) so every
+    elementwise op runs at full lane utilization (in (N, R) layout an
+    R=8 column block uses 8 of 128 lanes — a 16x tax paid by every
+    axpy/dot of the hot loop).
+
+    operator: (apply, params) with yt = apply(params, xt) on (R, N) —
+    e.g. ops.dia.dia_matvec_t.  precond: (apply, params) in the same
+    layout (ops.amg.make_vcycle_dia_t).  Single-device only; the
+    sharded/TP path lives in make_pcg.
+
+    The external interface stays (N, R): solve(b, tol, maxiter) takes b
+    of shape (N, R) and returns CGResult with x of shape (N, R) — one
+    transpose each way per solve.
+    """
+    a_apply, a_params = operator
+    m_apply, m_params = precond
+    onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float32)
+    counts = onehot.sum(axis=0).astype(jnp.float64)
+
+    def dot(a, b2):
+        return (a * b2).sum(axis=1)             # (R,)
+
+    def norm(a):
+        return jnp.sqrt(dot(a, a))
+
+    @partial(jax.jit, static_argnames=("maxiter", "state_in", "state_out"))
+    def _solve(op, mp, oh32, b, tol, maxiter: int,
+               state_in: bool = False, state_out: bool = False,
+               state=None):
+        def project(xt):
+            oh = oh32.astype(xt.dtype)
+            sums = xt @ oh                      # (R, p)
+            means = (sums / counts[None, :].astype(xt.dtype)
+                     ).astype(xt.dtype)
+            return xt - means @ oh.T
+
+        bt = project(b.T)
+        bnorm = norm(bt)
+        target = tol * jnp.maximum(bnorm, 1e-300)
+
+        def matvec(xt):
+            return a_apply(op, xt)
+
+        def apply_m(rt):
+            return m_apply(mp, rt)
+
+        if state_in:
+            (x0, r0, z0, p0, rz0) = state
+        else:
+            x0 = jnp.zeros_like(bt)
+            r0 = bt
+            z0 = project(apply_m(r0))
+            p0 = z0
+            rz0 = dot(r0, z0)
+
+        def cond(s):
+            _, r, _, _, k, _ = s
+            return jnp.logical_and(k < maxiter, jnp.any(norm(r) > target))
+
+        def body(s):
+            x, r, z, p, k, rz = s
+            active = norm(r) > target
+            ap = matvec(p)
+            pap = dot(p, ap)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0),
+                              0.0)
+            alpha = jnp.where(active, alpha, 0.0)
+            x = x + alpha[:, None] * p
+            r = r - alpha[:, None] * ap
+            r = jax.lax.cond(k % 50 == 49, project, lambda v: v, r)
+            z = project(apply_m(r))
+            rz_new = dot(r, z)
+            beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0),
+                             0.0)
+            beta = jnp.where(active & (beta > 0), beta, 0.0)
+            p = z + beta[:, None] * p
+            return (x, r, z, p, k + 1, rz_new)
+
+        x, r, z, p_dir, iters, rz = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, p0, jnp.int64(0), rz0))
+        rtrue = bt - matvec(x)
+        result = CGResult(x=project(x).T, iterations=iters,
+                          residual_norms=norm(rtrue))
+        if state_out:
+            return result, (x, r, z, p_dir, rz)
+        return result
+
+    def solve(b, tol, maxiter: int = 10000) -> CGResult:
+        return _solve(a_params, m_params, onehot, b, tol, maxiter=maxiter)
+
+    def solve_stateful(b, tol, maxiter: int, state=None):
+        return _solve(a_params, m_params, onehot, b, tol,
+                      maxiter=maxiter, state_in=state is not None,
+                      state_out=True, state=state)
+
+    solve.stateful = solve_stateful
+    return solve
+
+
 def pcg(
     cols: jnp.ndarray,
     vals: jnp.ndarray,

@@ -369,6 +369,41 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None):
     return y[:, 0] if squeeze else y
 
 
+def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
+                 skip_remainder: bool = False):
+    """Transposed-layout matvec: yt = ((Diag + OffDiag) @ xt.T).T for
+    xt of shape (R, np_).
+
+    The (R, n) layout puts R on the sublane axis, so every elementwise
+    op runs at full lane utilization — in (n, R) layout each op pays a
+    16x padding tax (R=8 of 128 lanes).  The pallas kernel is already
+    transposed internally; only the remainder scatter needs the row
+    layout and runs inside a transpose sandwich (axis-1 scatters are
+    ~25x slower than axis-0 on TPU).
+
+    skip_remainder: apply only slab + diagonal (used for the V-cycle
+    smoothing applications against the remainder-lumped diagonal)."""
+    import jax.numpy as jnp
+
+    np_, b, g, ng, offs = meta
+    backend = backend or default_backend()
+    dmax = _dmax(offs)
+    compute_dtype = (jnp.float32 if backend == "pallas"
+                     else params["w"].dtype)
+    xt32 = xt.astype(compute_dtype)
+    xt_pad = jnp.pad(xt32, ((0, 0), (dmax * b, dmax * b)))
+    yt = (_pallas_main if backend == "pallas" else _xla_main)(
+        meta, params["w"], xt_pad)
+    yt = yt + params["diag"][None, :] * xt32
+    if not skip_remainder and params["rem_rows"].shape[0]:
+        x = xt32.T
+        rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
+        rem = jnp.zeros_like(x).at[params["rem_rows"]].add(
+            rem_c.astype(x.dtype), mode="drop")
+        yt = yt + rem.T
+    return yt.astype(xt.dtype)
+
+
 def pad_to(x, np_: int):
     """Zero-pad axis 0 of an (n, ...) array to the DIA padded length."""
     import jax.numpy as jnp

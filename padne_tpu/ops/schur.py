@@ -398,7 +398,13 @@ def _solve_bordered_dia(
     if not hierarchy.levels:
         return None
     backend = dia.default_backend()
-    vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy, backend=backend)
+    use_t = system.num_components + 1 <= 64
+    if use_t:
+        vcycle_apply, vparams = amg.make_vcycle_dia_t(
+            hierarchy, backend=backend, lump_smoothing=False)
+    else:
+        vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy,
+                                                    backend=backend)
     posmap = hierarchy.posmap0
     np0 = hierarchy.np0
     level0 = hierarchy.levels[0]
@@ -418,11 +424,21 @@ def _solve_bordered_dia(
         return dia.dia_matvec(meta0, prm, x, backend=backend)
 
     op_params = amg.make_dia_cg_operator(hierarchy, vparams)
-    cg_solver = cg.make_pcg(
-        None, None, None, jnp.asarray(comp_pad), p_cg,
-        precond=(vcycle_apply, vparams),
-        operator=(a_apply, op_params),
-    )
+    if use_t:
+        def a_apply_t(prm, xt):
+            return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
+
+        cg_solver = cg.make_pcg_t(
+            operator=(a_apply_t, op_params),
+            precond=(vcycle_apply, vparams),
+            comp_id=jnp.asarray(comp_pad), num_components=p_cg,
+        )
+    else:
+        cg_solver = cg.make_pcg(
+            None, None, None, jnp.asarray(comp_pad), p_cg,
+            precond=(vcycle_apply, vparams),
+            operator=(a_apply, op_params),
+        )
     inner_tol = max(tol, 1e-5)
     # f32 CG gains stall after a few dozen V-cycles (noise floor); the
     # outer refinement multiplies per-pass gains, so cap the inner solve

@@ -112,3 +112,81 @@ class TestVcycleDiaPCG:
         # AMG: iteration count roughly flat with mesh size
         assert it_large <= it_small * 2
         assert it_large < 80
+
+
+class TestTransposedPath:
+    def test_pcg_t_matches_normal(self):
+        """Transposed-layout CG + V-cycle == normal layout on the same
+        hierarchy (same preconditioner math, different data layout)."""
+        import jax
+
+        ell, coords = grid_laplacian(48)
+        n = 48 * 48
+        h = amg.build_hierarchy_dia(ell, coords, coarse_size=100)
+        meta0 = h.levels[0].pack.meta
+
+        va, vp = amg.make_vcycle_dia(h, backend="xla")
+        op = amg.make_dia_cg_operator(h, vp)
+        va_t, vp_t = amg.make_vcycle_dia_t(h, backend="xla",
+                                           lump_smoothing=False)
+
+        rng = np.random.default_rng(3)
+        b = rng.standard_normal((n, 2))
+        b -= b.mean(axis=0, keepdims=True)
+        b_pad = np.zeros((h.np0, 2), np.float32)
+        b_pad[h.posmap0] = b
+        comp = np.ones(h.np0, np.int32)
+        comp[h.posmap0] = 0
+
+        s_n = cg.make_pcg(
+            None, None, None, jnp.asarray(comp), 2,
+            precond=(va, vp),
+            operator=(lambda p, x: dia.dia_matvec(
+                meta0, p, x, backend="xla"), op),
+        )
+        s_t = cg.make_pcg_t(
+            operator=(lambda p, xt: dia.dia_matvec_t(
+                meta0, p, xt, backend="xla"), op),
+            precond=(va_t, vp_t),
+            comp_id=jnp.asarray(comp), num_components=2,
+        )
+        rn = s_n(jnp.asarray(b_pad), 3e-6, 60)
+        rt = s_t(jnp.asarray(b_pad), 3e-6, 60)
+        xn = np.asarray(rn.x, np.float64)[h.posmap0]
+        xt = np.asarray(rt.x, np.float64)[h.posmap0]
+        # same math modulo f32 rounding: solutions agree closely
+        scale = max(np.abs(xn).max(), 1e-12)
+        assert np.abs(xn - xt).max() < 5e-4 * scale
+        A = ell.to_scipy()
+        rel = np.linalg.norm(b - A @ xt) / np.linalg.norm(b)
+        assert rel < 5e-5
+
+    def test_lumped_smoothing_still_converges(self):
+        import jax
+
+        ell, coords = grid_laplacian(64)
+        n = 64 * 64
+        h = amg.build_hierarchy_dia(ell, coords, coarse_size=100)
+        meta0 = h.levels[0].pack.meta
+        va_t, vp_t = amg.make_vcycle_dia_t(h, backend="xla",
+                                           lump_smoothing=True)
+        op = amg.make_dia_cg_operator(h, vp_t)
+        rng = np.random.default_rng(5)
+        b = rng.standard_normal((n, 2))
+        b -= b.mean(axis=0, keepdims=True)
+        b_pad = np.zeros((h.np0, 2), np.float32)
+        b_pad[h.posmap0] = b
+        comp = np.ones(h.np0, np.int32)
+        comp[h.posmap0] = 0
+        s_t = cg.make_pcg_t(
+            operator=(lambda p, xt: dia.dia_matvec_t(
+                meta0, p, xt, backend="xla"), op),
+            precond=(va_t, vp_t),
+            comp_id=jnp.asarray(comp), num_components=2,
+        )
+        rt = s_t(jnp.asarray(b_pad), 3e-6, 120)
+        xt = np.asarray(rt.x, np.float64)[h.posmap0]
+        A = ell.to_scipy()
+        rel = np.linalg.norm(b - A @ xt) / np.linalg.norm(b)
+        assert rel < 5e-5
+        assert int(rt.iterations) < 120
