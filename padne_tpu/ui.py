@@ -181,25 +181,34 @@ class SolutionViewer:
                 self.scale_override = (lo, self.last_probe)
             self.redraw()
 
+    def _probe_index(self):
+        """Lazily built KD-tree picker for the current layer (replaces
+        an O(V) scan per click; same index the reference wires into its
+        tools, reference ui.py:191-267)."""
+        from . import spatial
+
+        key = id(self.layer_solution)
+        if getattr(self, "_probe_key", None) != key:
+            self._probe_key = key
+            self._probe_tree = spatial.VertexSpatialIndex(
+                self.layer_solution)
+        return self._probe_tree
+
     def on_click(self, event):
         if event.xdata is None:
             return
         x, y = float(event.xdata), -float(event.ydata)
         ls = self.layer_solution
-        best = (np.inf, None)
-        for mi, m in enumerate(ls.meshes):
-            d = np.hypot(m.vertices[:, 0] - x, m.vertices[:, 1] - y)
-            k = int(np.argmin(d)) if len(d) else None
-            if k is not None and d[k] < best[0]:
-                vals, kind = self.mode.values_for(ls, mi)
-                value = (
-                    float(vals[k]) if kind == "vertex"
-                    else float(vals[min(k, len(vals) - 1)])
-                )
-                best = (float(d[k]), value)
-        if best[1] is not None:
-            self.last_probe = best[1]
-            txt = units.Value(best[1], self.mode.unit).pretty_format(4)
+        pick = self._probe_index().query(x, y)
+        if pick is not None:
+            vals, kind = self.mode.values_for(ls, pick.mesh_index)
+            k = pick.item_index
+            value = (
+                float(vals[k]) if kind == "vertex"
+                else float(vals[min(k, len(vals) - 1)])
+            )
+            self.last_probe = value
+            txt = units.Value(value, self.mode.unit).pretty_format(4)
             log.info("Probe at (%.3f, %.3f): %s", x, y, txt)
             self.ax.set_xlabel(f"probe: {txt}")
             self.fig.canvas.draw_idle()

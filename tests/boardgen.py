@@ -184,10 +184,124 @@ def gen_rotated_pads(out_dir: pathlib.Path):
                   ["!padne CURRENT i=1A f=R1.1 t=R1.2"])
 
 
+def gen_overlapping_vias(out_dir: pathlib.Path):
+    """Two vias whose drill holes overlap: hole punching must union the
+    holes without degenerate slivers (reference scenario:
+    overlapping_vias, reference test_kicad.py:939-1002)."""
+    body = gr_rect(95, 95, 130, 110)
+    body += segment(100, 100, 115, 100, 2.0, "F.Cu")
+    body += segment(115, 100, 125, 100, 2.0, "B.Cu")
+    body += via(115.0, 100, 0.9, 0.5)
+    body += via(115.3, 100, 0.9, 0.5)  # overlaps the first
+    body += footprint("TPA", 100, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (1.0, 1.0)}
+    ])
+    body += footprint("TPB", 125, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (1.0, 1.0),
+         "layers": '"B.Cu"'}
+    ], layer="B.Cu")
+    write_project(out_dir, "gen_overlapping_vias", body,
+                  ["!padne CURRENT i=0.25A f=TPA.1 t=TPB.1"])
+
+
+def gen_via_stack_4layer(out_dir: pathlib.Path):
+    """A via through a 4-layer stackup builds the full resistor chain
+    (reference scenario: via_tht_4layer, reference kicad.py:1497-1585)."""
+    header_4l = PCB_HEADER.replace(
+        '(0 "F.Cu" signal)\n    (31 "B.Cu" signal)',
+        '(0 "F.Cu" signal)\n    (1 "In1.Cu" signal)\n'
+        '    (2 "In2.Cu" signal)\n    (31 "B.Cu" signal)',
+    ).replace(
+        '(layer "dielectric 1" (type "core") (thickness 1.51) (material "FR4"))',
+        '(layer "dielectric 1" (type "prepreg") (thickness 0.2) (material "FR4"))\n'
+        '      (layer "In1.Cu" (type "copper") (thickness 0.0175))\n'
+        '      (layer "dielectric 2" (type "core") (thickness 1.0) (material "FR4"))\n'
+        '      (layer "In2.Cu" (type "copper") (thickness 0.0175))\n'
+        '      (layer "dielectric 3" (type "prepreg") (thickness 0.2) (material "FR4"))',
+    )
+    body = gr_rect(95, 95, 130, 110)
+    body += segment(100, 100, 115, 100, 1.5, "F.Cu")
+    body += segment(115, 100, 125, 100, 1.5, "B.Cu")
+    body += via(115, 100, 0.8, 0.4)
+    body += footprint("TPA", 100, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (1.0, 1.0)}
+    ])
+    body += footprint("TPB", 125, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "rect", "size": (1.0, 1.0),
+         "layers": '"B.Cu"'}
+    ], layer="B.Cu")
+    d = out_dir / "gen_via_stack_4layer"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "gen_via_stack_4layer.kicad_pcb").write_text(
+        header_4l + body + ")\n")
+    (d / "gen_via_stack_4layer.kicad_sch").write_text(
+        sch_with_text(["!padne VOLTAGE v=1V p=TPA.1 n=TPB.1"]))
+    (d / "gen_via_stack_4layer.kicad_pro").write_text(
+        json.dumps({"meta": {"filename": "gen_via_stack_4layer.kicad_pro"}}))
+
+
+def gen_floating_island(out_dir: pathlib.Path):
+    """Copper island with no electrical connection: must be dropped from
+    the solve and triangulated for display (reference scenario:
+    floating_copper; dead-network filtering solver.py:654-668)."""
+    body = gr_rect(95, 95, 130, 112)
+    body += segment(100, 100, 120, 100, 2.0)
+    # floating island below the trace
+    body += segment(100, 108, 120, 108, 2.0)
+    body += footprint("TP1", 100, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "circle", "size": (1.0, 1.0)}
+    ])
+    body += footprint("TP2", 120, 100, 0, [
+        {"name": "1", "kind": "smd", "shape": "circle", "size": (1.0, 1.0)}
+    ])
+    write_project(out_dir, "gen_floating_island", body,
+                  ["!padne VOLTAGE v=2V p=TP2.1 n=TP1.1"])
+
+
+def gen_regulator(out_dir: pathlib.Path):
+    """Linear-regulator directive: feedback-sensed voltage source with
+    gain (reference RegulatorSpec, kicad.py:720-733)."""
+    body = gr_rect(95, 95, 135, 110)
+    body += segment(100, 100, 112, 100, 1.5)
+    body += segment(118, 100, 130, 100, 1.5)
+    for ref, x in (("U1", 112), ("U2", 118), ("TPI", 100), ("TPO", 130)):
+        body += footprint(ref, x, 100, 0, [
+            {"name": "1", "kind": "smd", "shape": "rect",
+             "size": (1.0, 1.0)}
+        ])
+    write_project(out_dir, "gen_regulator", body, [
+        "!padne VOLTAGE v=5V p=TPI.1 n=TPO.1",
+        "!padne REGULATOR v=3.3V p=U2.1 n=TPO.1 f=U1.1 t=TPO.1 gain=0.9",
+        "!padne RESISTOR r=10R p=U1.1 n=TPO.1",
+    ])
+
+
+def gen_resistor_divider(out_dir: pathlib.Path):
+    """Lumped resistors bridging two trace islands: MNA resistor stamps
+    (reference solver.py:475-484)."""
+    body = gr_rect(95, 95, 135, 110)
+    body += segment(100, 100, 112, 100, 1.5)
+    body += segment(120, 100, 132, 100, 1.5)
+    for ref, x in (("A1", 100), ("A2", 112), ("B1", 120), ("B2", 132)):
+        body += footprint(ref, x, 100, 0, [
+            {"name": "1", "kind": "smd", "shape": "rect",
+             "size": (1.0, 1.0)}
+        ])
+    write_project(out_dir, "gen_resistor_divider", body, [
+        "!padne VOLTAGE v=1V p=A1.1 n=B2.1",
+        "!padne RESISTOR r=100R p=A2.1 n=B1.1",
+    ])
+
+
 def generate_all(out_dir) -> pathlib.Path:
     out_dir = pathlib.Path(out_dir)
     gen_strip(out_dir)
     gen_two_layer_via(out_dir)
     gen_zone_plane(out_dir)
     gen_rotated_pads(out_dir)
+    gen_overlapping_vias(out_dir)
+    gen_via_stack_4layer(out_dir)
+    gen_floating_island(out_dir)
+    gen_regulator(out_dir)
+    gen_resistor_divider(out_dir)
     return out_dir

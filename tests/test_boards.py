@@ -4,8 +4,8 @@ Mirrors the reference test strategy tier 3 (test_solver.py:1117-1444):
 finite potentials everywhere, residual gates, and per-board physics
 checks (trace resistance, ESR divider, LDO rails).
 
-A representative subset runs by default; set PADNE_TPU_ALL_BOARDS=1 to
-sweep every solvable fixture board.
+The full solvable-board sweep runs by default; set
+PADNE_TPU_QUICK_BOARDS=1 to restrict to a representative fast subset.
 """
 
 import os
@@ -64,9 +64,12 @@ def all_board_names():
 
 
 def board_params():
-    if os.environ.get("PADNE_TPU_ALL_BOARDS"):
-        return all_board_names()
-    return [b for b in QUICK_BOARDS if (REF_BOARDS / b).exists()]
+    # Full sweep by default (the gate that does not run by default
+    # rots); PADNE_TPU_QUICK_BOARDS=1 restricts to the fast subset for
+    # local iteration.
+    if os.environ.get("PADNE_TPU_QUICK_BOARDS"):
+        return [b for b in QUICK_BOARDS if (REF_BOARDS / b).exists()]
+    return all_board_names()
 
 
 def load_and_solve(name, **kw):
@@ -172,16 +175,17 @@ class TestBoardPhysics:
         assert len(solution.layer_solutions) == 4
         assert solution.solver_info.residual_norm < 1e-9
 
-    def test_scipy_parity_on_board(self):
+    @pytest.mark.parametrize("board", board_params())
+    def test_scipy_parity_on_board(self, board):
         """1e-6 V parity gate vs scipy direct solve of the same system
-        (BASELINE.md) on a real board."""
+        (BASELINE.md) — swept over the fixture boards."""
         import scipy.sparse.linalg
 
         from padne_tpu import mesh as mesh_mod
         from padne_tpu.ops import schur
 
         prob = kicad.load_kicad_project(
-            REF_BOARDS / "simple_via" / "simple_via.kicad_pro"
+            REF_BOARDS / board / f"{board}.kicad_pro"
         )
         indices, _, pairs = solver.compute_connectivity(prob)
         meshes, m2l = solver.generate_meshes_for_problem(
@@ -193,7 +197,15 @@ class TestBoardPhysics:
         system, _ = solver.assemble_core_system(
             prob, meshes, m2l, vindex, filtered, ni
         )
-        result = schur.solve_bordered(system)
+        if system.n == 0 or system.border.m <= 1:
+            pytest.skip("degenerate/dead board: no live core system")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            result = schur.solve_bordered(system)
         L, r = solver.system_to_scipy(system)
-        z = scipy.sparse.linalg.spsolve(L.tocsc(), r)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            z = scipy.sparse.linalg.spsolve(L.tocsc(), r)
+        if not np.isfinite(z).all():
+            pytest.skip("scipy direct solve is singular for this board")
         assert np.abs(z[: system.n] - result.v).max() < 1e-6
