@@ -77,9 +77,11 @@ def main():
 
     t_setup0 = time.time()
     import os
-    theta = float(os.environ.get("PADNE_BENCH_THETA", "0.02"))
+    theta = float(os.environ.get("PADNE_BENCH_THETA", "0.08"))
     lump = os.environ.get("PADNE_BENCH_LUMP", "0") == "1"
-    hierarchy = amg.build_hierarchy_dia(ell, m.vertices, theta=theta)
+    coarse = int(os.environ.get("PADNE_BENCH_COARSE", "3000"))
+    hierarchy = amg.build_hierarchy_dia(ell, m.vertices, theta=theta,
+                                        coarse_size=coarse)
     _progress("hierarchy built")
     backend = dia.default_backend()
     vcycle_apply, vparams = amg.make_vcycle_dia_t(

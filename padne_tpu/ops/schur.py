@@ -394,7 +394,10 @@ def _solve_bordered_dia(
     b = system.border
     log = logging.getLogger(__name__)
 
-    hierarchy = amg.build_hierarchy_dia(system.ell, system.coords)
+    # coarse_size 3000: a strong dense bottom measured 43 vs 56-67 CG
+    # iterations at 1M DoF; its pinvh costs a few setup seconds.
+    hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
+                                        coarse_size=3000)
     if not hierarchy.levels:
         return None
     backend = dia.default_backend()
