@@ -9,8 +9,8 @@ filenames.  Additionally exports the per-face "power_density" cell field
 
 from __future__ import annotations
 
+import itertools
 import logging
-import re
 from pathlib import Path
 from typing import Set
 
@@ -23,24 +23,28 @@ from .. import solver as solver_mod
 log = logging.getLogger(__name__)
 
 
+_FILENAME_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-"
+)
+
+
 def sanitize_filename(name: str, used_names: Set[str],
                       fallback_prefix: str = "layer") -> str:
-    if not name or not name.strip():
-        base = fallback_prefix
-    else:
-        base = re.sub(r"[^a-zA-Z0-9_.-]", "_", name.strip())
-        base = re.sub(r"_+", "_", base).strip("_")
-        if not base:
-            base = fallback_prefix
-    if base not in used_names:
-        used_names.add(base)
-        return base
-    counter = 2
-    while f"{base}_{counter}" in used_names:
-        counter += 1
-    result = f"{base}_{counter}"
-    used_names.add(result)
-    return result
+    """Turn a KiCad layer name into a unique filesystem-safe stem.
+
+    Unsafe characters become "_"; runs of "_" (including at the ends)
+    collapse away; an empty result falls back to `fallback_prefix`; a
+    stem already present in `used_names` gets a "_<k>" suffix.
+    """
+    mapped = "".join(c if c in _FILENAME_SAFE else "_" for c in name.strip())
+    stem = "_".join(piece for piece in mapped.split("_") if piece)
+    stem = stem or fallback_prefix
+    candidates = itertools.chain(
+        [stem], (f"{stem}_{k}" for k in itertools.count(2))
+    )
+    chosen = next(c for c in candidates if c not in used_names)
+    used_names.add(chosen)
+    return chosen
 
 
 def _data_array(parent, data_type: str, values, name=None, components=None):

@@ -26,7 +26,7 @@ import pathlib
 import warnings
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, ClassVar, Optional
+from typing import Any, Optional
 
 import numpy as np
 
@@ -1023,188 +1023,185 @@ def _parse_endpoints_param(param_str: Optional[str]) -> list[Endpoint]:
     ]
 
 
-@dataclass
-class BaseLumpedSpec:
-    """One lumped element wired to PCB pads; multi-pad terminals couple
-    through a star of small resistors (reference kicad.py:432-557)."""
+# --- Lumped-element directive grammar --------------------------------------
+#
+# Each directive kind (VOLTAGE / CURRENT / RESISTANCE / REGULATOR) is one
+# declarative row in LUMPED_RULES; a single builder walks the row.  The
+# wiring semantics mirror the reference (kicad.py:432-733): a terminal
+# that resolves to several pads is coupled through a star of small
+# resistors, EXCEPT voltage-source terminals, which ride 0 V glue sources
+# (a resistor star would soften the forced rail); VOLTAGE additionally
+# supports a series ESR resistor.
 
-    endpoints: dict[str, list[Endpoint]] = field(
-        default_factory=lambda: collections.defaultdict(list)
-    )
-    values: dict[str, float] = field(default_factory=dict)
-    coupling: float = 0.001
+COUPLING_RESISTANCE_DEFAULT = 0.001  # 1 mOhm star legs (reference :444)
 
-    endpoint_names: ClassVar[dict[str, str]] = {}
-    value_names: ClassVar[dict[str, Optional[str]]] = {}
-    lumped_type: ClassVar[Optional[type]] = None
-    default_values: ClassVar[dict[str, float]] = {}
+
+@dataclass(frozen=True)
+class TerminalRule:
+    param: str  # directive parameter carrying the endpoint list
+    kwarg: str  # element-constructor keyword receiving the node
+
+
+@dataclass(frozen=True)
+class ScalarRule:
+    param: str
+    kwarg: Optional[str]  # None: parsed/validated but wired specially (esr)
+    default: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class LumpedRule:
+    """Grammar + wiring style for one lumped directive kind."""
+
+    element: type
+    terminals: tuple[TerminalRule, ...]
+    scalars: tuple[ScalarRule, ...]
+    zero_volt_glue: bool = False
+
+
+LUMPED_RULES: dict[str, LumpedRule] = {
+    "RESISTANCE": LumpedRule(
+        element=problem.Resistor,
+        terminals=(TerminalRule("a", "a"), TerminalRule("b", "b")),
+        scalars=(ScalarRule("r", "resistance"),),
+    ),
+    "CURRENT": LumpedRule(
+        element=problem.CurrentSource,
+        terminals=(TerminalRule("f", "f"), TerminalRule("t", "t")),
+        scalars=(ScalarRule("i", "current"),),
+    ),
+    "VOLTAGE": LumpedRule(
+        element=problem.VoltageSource,
+        terminals=(TerminalRule("p", "p"), TerminalRule("n", "n")),
+        scalars=(ScalarRule("v", "voltage"), ScalarRule("esr", None, 0.0)),
+        zero_volt_glue=True,
+    ),
+    "REGULATOR": LumpedRule(
+        element=problem.VoltageRegulator,
+        terminals=(
+            TerminalRule("p", "v_p"), TerminalRule("n", "v_n"),
+            TerminalRule("f", "s_f"), TerminalRule("t", "s_t"),
+        ),
+        scalars=(ScalarRule("v", "voltage"), ScalarRule("gain", "gain")),
+    ),
+}
+
+
+def _star_terminal(layerpoints, layer_dict, coupling: float):
+    """Wire one terminal to copper; several pads couple through a
+    resistor star.  Returns (element node, connections, glue elements)."""
+    node = problem.NodeID()
+    if len(layerpoints) == 1:
+        lp = layerpoints[0]
+        conn = problem.Connection(
+            layer=layer_dict[lp.layer], point=lp.point, node_id=node
+        )
+        return node, [conn], []
+    conns, glue = [], []
+    for lp in layerpoints:
+        leg = problem.Resistor(
+            a=problem.NodeID(), b=node, resistance=coupling
+        )
+        glue.append(leg)
+        conns.append(problem.Connection(
+            layer=layer_dict[lp.layer], point=lp.point, node_id=leg.a
+        ))
+    return node, conns, glue
+
+
+def _glued_terminal(layerpoints, layer_dict, coupling: float):
+    """Source-style terminal: the first pad carries the element node,
+    extra pads are pinned to it with 0 V sources."""
+    conns = [
+        problem.Connection(layer=layer_dict[lp.layer], point=lp.point)
+        for lp in layerpoints
+    ]
+    glue = [
+        problem.VoltageSource(
+            p=extra.node_id, n=conns[0].node_id, voltage=0.0
+        )
+        for extra in conns[1:]
+    ]
+    return conns[0].node_id, conns, glue
+
+
+@dataclass(frozen=True)
+class LumpedSpec:
+    """A parsed lumped directive, ready to be wired into a Network."""
+
+    kind: str
+    pads: dict[str, list[Endpoint]]  # keyed by directive param
+    scalars: dict[str, float]        # keyed by directive param
+    coupling: float = COUPLING_RESISTANCE_DEFAULT
+
+    @property
+    def rule(self) -> LumpedRule:
+        return LUMPED_RULES[self.kind]
 
     @classmethod
-    def from_directive(cls, directive: Directive) -> "BaseLumpedSpec":
-        spec = cls()
-        for name in cls.endpoint_names:
-            if name not in directive.params:
+    def from_directive(cls, directive: Directive) -> "LumpedSpec":
+        rule = LUMPED_RULES[directive.name]
+        pads = {}
+        for t in rule.terminals:
+            raw = directive.params.get(t.param)
+            endpoints = _parse_endpoints_param(raw) if raw is not None else []
+            if not endpoints:
                 raise ValueError(
-                    f"Missing endpoint parameter: {name} for {directive.name}"
+                    f"{directive.name} directive needs a non-empty "
+                    f"'{t.param}=' endpoint list"
                 )
-            spec.endpoints[name].extend(
-                _parse_endpoints_param(directive.params[name])
-            )
-        for name in cls.value_names:
-            if name in directive.params:
-                spec.values[name] = units.Value.parse(directive.params[name]).value
-            elif name in cls.default_values:
-                spec.values[name] = cls.default_values[name]
+            pads[t.param] = endpoints
+        scalars = {}
+        for s in rule.scalars:
+            raw = directive.params.get(s.param)
+            if raw is not None:
+                scalars[s.param] = units.Value.parse(raw).value
+            elif s.default is not None:
+                scalars[s.param] = s.default
             else:
                 raise ValueError(
-                    f"Missing value parameter: {name} for {directive.name}"
+                    f"{directive.name} directive needs a "
+                    f"'{s.param}=' value"
                 )
+        coupling = COUPLING_RESISTANCE_DEFAULT
         if "coupling" in directive.params:
-            spec.coupling = units.Value.parse(directive.params["coupling"]).value
-        return spec
+            coupling = units.Value.parse(directive.params["coupling"]).value
+        return cls(kind=directive.name, pads=pads, scalars=scalars,
+                   coupling=coupling)
 
-    def _construct_internal_nodes(self) -> dict[str, problem.NodeID]:
-        return {arg: problem.NodeID() for arg in self.endpoint_names.values()}
-
-    def _create_lumped_element(self, internal_nodes) -> problem.BaseLumped:
-        if not self.lumped_type:
-            raise NotImplementedError("lumped_type must be defined in subclasses")
-        kwargs = dict(internal_nodes)
-        kwargs.update(
-            {
-                arg: self.values[name]
-                for name, arg in self.value_names.items()
-                if arg is not None
-            }
-        )
-        return self.lumped_type(**kwargs)
-
-    def _construct_wiring(self, pad_index: PadIndex, layer_dict, internal_nodes):
-        connections = []
-        elements = []
-        for param_name, endpoints_list in self.endpoints.items():
-            if not endpoints_list:
-                raise ValueError(
-                    f"No endpoints specified for {param_name} in "
-                    f"{type(self).__name__}"
-                )
-            arg = self.endpoint_names[param_name]
+    def construct(self, pad_index: PadIndex, layer_dict) -> problem.Network:
+        rule = self.rule
+        wire = _glued_terminal if rule.zero_volt_glue else _star_terminal
+        connections, elements = [], []
+        kwargs: dict = {}
+        for t in rule.terminals:
             layerpoints = [
-                lp for ep in endpoints_list for lp in pad_index.find_by_endpoint(ep)
+                lp for ep in self.pads[t.param]
+                for lp in pad_index.find_by_endpoint(ep)
             ]
-            if len(layerpoints) == 1:
-                lp = layerpoints[0]
-                connections.append(
-                    problem.Connection(
-                        layer=layer_dict[lp.layer],
-                        point=lp.point,
-                        node_id=internal_nodes[arg],
-                    )
+            if not layerpoints:
+                raise ValueError(
+                    f"{self.kind} terminal '{t.param}' did not resolve to "
+                    "any pad on live copper"
                 )
-            else:
-                for lp in layerpoints:
-                    resistor = problem.Resistor(
-                        a=problem.NodeID(),
-                        b=internal_nodes[arg],
-                        resistance=self.coupling,
-                    )
-                    connections.append(
-                        problem.Connection(
-                            layer=layer_dict[lp.layer],
-                            point=lp.point,
-                            node_id=resistor.a,
-                        )
-                    )
-                    elements.append(resistor)
-        return connections, elements
-
-    def construct(self, pad_index: PadIndex, layer_dict) -> problem.Network:
-        internal = self._construct_internal_nodes()
-        connections, elements = self._construct_wiring(
-            pad_index, layer_dict, internal
-        )
-        elements.append(self._create_lumped_element(internal))
+            node, conns, glue = wire(layerpoints, layer_dict, self.coupling)
+            kwargs[t.kwarg] = node
+            connections.extend(conns)
+            elements.extend(glue)
+        kwargs.update({
+            s.kwarg: self.scalars[s.param]
+            for s in rule.scalars if s.kwarg is not None
+        })
+        esr = self.scalars.get("esr", 0.0)
+        if esr > 0.0:
+            # Series ESR between the positive pad and the ideal source.
+            inner = problem.NodeID()
+            elements.append(problem.Resistor(
+                a=kwargs["p"], b=inner, resistance=esr
+            ))
+            kwargs["p"] = inner
+        elements.append(rule.element(**kwargs))
         return problem.Network(connections=connections, elements=elements)
-
-
-class ResistorSpec(BaseLumpedSpec):
-    endpoint_names = {"a": "a", "b": "b"}
-    value_names = {"r": "resistance"}
-    lumped_type = problem.Resistor
-
-
-class CurrentSourceSpec(BaseLumpedSpec):
-    endpoint_names = {"f": "f", "t": "t"}
-    value_names = {"i": "current"}
-    lumped_type = problem.CurrentSource
-
-
-class VoltageSourceSpec(BaseLumpedSpec):
-    """Voltage sources glue multi-pad terminals with 0 V sources instead
-    of coupling resistors (reference kicad.py:599-710)."""
-
-    endpoint_names = {"p": "p", "n": "n"}
-    value_names = {"v": "voltage", "esr": None}
-    default_values = {"esr": 0.0}
-    lumped_type = problem.VoltageSource
-
-    def _construct_connections(self, pad_index: PadIndex, layer_dict):
-        p_eps = self.endpoints["p"]
-        n_eps = self.endpoints["n"]
-        if not p_eps:
-            raise ValueError("No positive endpoints specified for voltage source")
-        if not n_eps:
-            raise ValueError("No negative endpoints specified for voltage source")
-        out = []
-        for eps in (p_eps, n_eps):
-            conns = []
-            for ep in eps:
-                for lp in pad_index.find_by_endpoint(ep):
-                    conns.append(
-                        problem.Connection(
-                            layer=layer_dict[lp.layer], point=lp.point
-                        )
-                    )
-            out.append(conns)
-        return out[0], out[1]
-
-    def _construct_source(self, p_conn, n_conn):
-        if self.values.get("esr", 0.0) > 0.0:
-            internal = problem.NodeID()
-            return [
-                problem.Resistor(
-                    a=p_conn.node_id, b=internal,
-                    resistance=self.values["esr"],
-                ),
-                problem.VoltageSource(
-                    p=internal, n=n_conn.node_id, voltage=self.values["v"]
-                ),
-            ]
-        return [
-            problem.VoltageSource(
-                p=p_conn.node_id, n=n_conn.node_id, voltage=self.values["v"]
-            )
-        ]
-
-    def construct(self, pad_index: PadIndex, layer_dict) -> problem.Network:
-        p_conns, n_conns = self._construct_connections(pad_index, layer_dict)
-        elements = list(self._construct_source(p_conns[0], n_conns[0]))
-        for main, aux_list in ((p_conns[0], p_conns[1:]), (n_conns[0], n_conns[1:])):
-            for ac in aux_list:
-                elements.append(
-                    problem.VoltageSource(
-                        p=ac.node_id, n=main.node_id, voltage=0.0
-                    )
-                )
-        return problem.Network(
-            connections=(p_conns + n_conns), elements=elements
-        )
-
-
-class RegulatorSpec(BaseLumpedSpec):
-    endpoint_names = {"p": "v_p", "n": "v_n", "f": "s_f", "t": "s_t"}
-    value_names = {"v": "voltage", "gain": "gain"}
-    lumped_type = problem.VoltageRegulator
 
 
 @dataclass
@@ -1256,18 +1253,12 @@ class CopperSpec:
 
 @dataclass(frozen=True)
 class Directives:
-    lumped_specs: list[BaseLumpedSpec]
+    lumped_specs: list[LumpedSpec]
     copper_spec: Optional[CopperSpec] = None
     probe_specs: list[ProbeSpec] = field(default_factory=list)
 
 
 def process_directives(directives: list[Directive]) -> Directives:
-    spec_types = {
-        "VOLTAGE": VoltageSourceSpec,
-        "CURRENT": CurrentSourceSpec,
-        "RESISTANCE": ResistorSpec,
-        "REGULATOR": RegulatorSpec,
-    }
     lumped = []
     copper = None
     probes = []
@@ -1279,8 +1270,8 @@ def process_directives(directives: list[Directive]) -> Directives:
             copper = CopperSpec.from_directive(d)
         elif d.name == "PROBE":
             probes.append(ProbeSpec.from_directive(d))
-        elif d.name in spec_types:
-            lumped.append(spec_types[d.name].from_directive(d))
+        elif d.name in LUMPED_RULES:
+            lumped.append(LumpedSpec.from_directive(d))
         else:
             warnings.warn(f"Unknown directive: {d.name}")
     return Directives(lumped_specs=lumped, copper_spec=copper, probe_specs=probes)

@@ -79,7 +79,7 @@ def make_projector(comp_id: jnp.ndarray, num_components: int, gsum=None):
     # dtype at use: keeps f32 CG state in f32 under jax_enable_x64 while
     # staying exact for f64 solves.
     onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float32)
-    counts = gsum(onehot.sum(axis=0).astype(jnp.float64))
+    counts = jnp.maximum(gsum(onehot.sum(axis=0).astype(jnp.float64)), 1.0)
 
     def project(x):
         oh = onehot.astype(x.dtype)
@@ -144,8 +144,16 @@ def make_pcg(
     if operator is not None and mesh is not None:
         raise ValueError("custom operator does not support mesh sharding")
     if precond is None:
+        if operator is not None and not (
+            isinstance(operator[1], dict) and "diag" in operator[1]
+        ):
+            raise ValueError(
+                "Jacobi fallback needs the operator's diagonal: pass "
+                "precond=, or an operator params dict with a 'diag' key"
+            )
+
         def apply_m(op, r):
-            _, _, dg = op[0]
+            dg = op[0]["diag"] if operator is not None else op[0][2]
             minv = jnp.where(dg > 0, 1.0 / jnp.where(dg > 0, dg, 1.0), 1.0)
             return minv[:, None] * r
         precond_params = None
@@ -329,7 +337,9 @@ def make_pcg_t(
     a_apply, a_params = operator
     m_apply, m_params = precond
     onehot = jax.nn.one_hot(comp_id, num_components, dtype=jnp.float32)
-    counts = onehot.sum(axis=0).astype(jnp.float64)
+    # Clamp: an empty component (e.g. a dummy padding component when the
+    # padded size happens to equal n) must not turn means into NaN.
+    counts = jnp.maximum(onehot.sum(axis=0).astype(jnp.float64), 1.0)
 
     def dot(a, b2):
         return (a * b2).sum(axis=1)             # (R,)

@@ -168,6 +168,9 @@ def pack_dia(
     if offs is None:
         offs = choose_offsets(rows, cols, b=b, coverage=coverage,
                               max_offsets=max_offsets)
+    # The searchsorted slot assignment below requires sorted offsets; an
+    # unsorted caller-supplied tuple would silently misassign slots.
+    offs = tuple(sorted(offs))
     d = len(offs)
     if np_override is not None:
         if np_override % b or np_override < n:

@@ -151,6 +151,17 @@ def solve_bordered(
     backend); "ell" forces the gather path.
     """
     n, m = system.n, system.border.m
+    if operator == "dia":
+        if system.coords is None:
+            raise ValueError(
+                "operator='dia' needs node coordinates (CoreSystem.coords) "
+                "for the Hilbert ordering"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "operator='dia' is single-device; drop mesh= or use "
+                "operator='ell' for the tensor-parallel path"
+            )
     use_dia = operator == "dia" or (
         operator == "auto"
         and mesh is None

@@ -259,20 +259,32 @@ def gen_floating_island(out_dir: pathlib.Path):
 
 
 def gen_regulator(out_dir: pathlib.Path):
-    """Linear-regulator directive: feedback-sensed voltage source with
-    gain (reference RegulatorSpec, kicad.py:720-733)."""
-    body = gr_rect(95, 95, 135, 110)
+    """Linear-regulator LDO scenario: three copper islands (input rail,
+    regulated output rail, ground return), a 5 V input source, a
+    REGULATOR holding the output at 3.3 V while mirroring gain-scaled
+    load current into the input rail, and a 10 R load (reference
+    RegulatorSpec kicad.py:720-733, stamps solver.py:512-538).
+
+    Island rows (each a 12 mm x 1.5 mm trace):
+      y=100: IN   TPI(100) -- U1(112)   (U1 = regulator input pin)
+      y=104: OUT  U2(100)  -- TPO(112)  (U2 = regulator output pin)
+      y=108: GND  NG(100)  -- UG(106) -- TPG(112)
+    """
+    body = gr_rect(95, 95, 120, 112)
     body += segment(100, 100, 112, 100, 1.5)
-    body += segment(118, 100, 130, 100, 1.5)
-    for ref, x in (("U1", 112), ("U2", 118), ("TPI", 100), ("TPO", 130)):
-        body += footprint(ref, x, 100, 0, [
-            {"name": "1", "kind": "smd", "shape": "rect",
-             "size": (1.0, 1.0)}
-        ])
+    body += segment(100, 104, 112, 104, 1.5)
+    body += segment(100, 108, 112, 108, 1.5)
+    pads = [{"name": "1", "kind": "smd", "shape": "rect",
+             "size": (1.0, 1.0)}]
+    for ref, x, y in (("TPI", 100, 100), ("U1", 112, 100),
+                      ("U2", 100, 104), ("TPO", 112, 104),
+                      ("NG", 100, 108), ("UG", 106, 108),
+                      ("TPG", 112, 108)):
+        body += footprint(ref, x, y, 0, pads)
     write_project(out_dir, "gen_regulator", body, [
-        "!padne VOLTAGE v=5V p=TPI.1 n=TPO.1",
-        "!padne REGULATOR v=3.3V p=U2.1 n=TPO.1 f=U1.1 t=TPO.1 gain=0.9",
-        "!padne RESISTOR r=10R p=U1.1 n=TPO.1",
+        "!padne VOLTAGE v=5V p=TPI.1 n=NG.1",
+        "!padne REGULATOR v=3.3V p=U2.1 n=UG.1 f=U1.1 t=UG.1 gain=0.9",
+        "!padne RESISTANCE r=10R a=TPO.1 b=TPG.1",
     ])
 
 
@@ -289,7 +301,7 @@ def gen_resistor_divider(out_dir: pathlib.Path):
         ])
     write_project(out_dir, "gen_resistor_divider", body, [
         "!padne VOLTAGE v=1V p=A1.1 n=B2.1",
-        "!padne RESISTOR r=100R p=A2.1 n=B1.1",
+        "!padne RESISTANCE r=100R a=A2.1 b=B1.1",
     ])
 
 
