@@ -294,6 +294,7 @@ class AlignedLevel:
     cap: int                # slots per aggregate at this level
     child_len: int          # padded length of the child level's vectors
     child_perm: np.ndarray  # (nc,) child row -> child padded position
+    shard: bool = False     # row-shardable over the tp axis (ops.dia_sharded)
 
 
 @dataclass
@@ -320,6 +321,8 @@ def build_hierarchy_dia(
     max_offsets: int = 8,
     smooth_levels: int = 2,
     drop_tol: float = 1e-4,
+    tp: int = 1,
+    shard_min: int = 32768,
 ) -> AlignedHierarchy:
     """Gather-free AMG setup.
 
@@ -421,6 +424,14 @@ def build_hierarchy_dia(
         slot[order] = np.arange(nl) - starts[agg[order]]
         pos = agg * cap_l + slot
         np_l = max(((cap_l * nc + 1023) // 1024) * 1024, 1024)
+        # Multi-chip: sharded levels pad to whole grid steps per shard
+        # (tp * g * b rows).  Only a prefix of levels shards — once a
+        # level is too small (or structurally unshardable), it and every
+        # deeper level run replicated (ops.dia_sharded design).
+        shard_l = (tp > 1 and cap_l * nc >= max(shard_min, tp * 1024)
+                   and (not levels or levels[-1].shard))
+        if shard_l:
+            np_l = -(-np_l // (tp * 1024)) * (tp * 1024)
 
         coo = A.tocoo()
         mask = coo.row != coo.col
@@ -431,6 +442,10 @@ def build_hierarchy_dia(
             diag=diag_pad, coverage=coverage, max_offsets=max_offsets,
             np_override=np_l,
         )
+        if shard_l:
+            from . import dia_sharded
+
+            shard_l = dia_sharded.shardable(pack, tp)
         dinv_pad = np.zeros(np_l)
         dinv_pad[pos] = dinv
         all_pos.append(pos)
@@ -469,6 +484,7 @@ def build_hierarchy_dia(
         levels.append(AlignedLevel(
             pack=pack, dinv=dinv_pad, omega_p=omega_p, omega_s=omega_s,
             cap=cap_l, child_len=0, child_perm=None,   # patched below
+            shard=shard_l,
         ))
         A = Ac
         lvl_coords = coords_c
@@ -516,7 +532,8 @@ def build_hierarchy_dia(
 
 def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
                     backend: Optional[str] = None,
-                    lump_remainder: bool = False):
+                    lump_remainder: bool = False,
+                    params: Optional[list] = None):
     """(apply, params) for the aligned hierarchy: z = apply(params, r)
     with r, z of shape (np0, R) in level-0 positions.
 
@@ -534,12 +551,19 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     remainder destroys the preconditioner (every dropped coupling is a
     cut edge), so levels with > 8% remainder keep it.  Use
     `make_dia_cg_operator` for the exact level-0 operator (shares the
-    weight slab with these params)."""
+    weight slab with these params).
+
+    params: prebuilt device parameter list (e.g. the sharded builder's)
+    — entries for levels this cycle actually visits must have the
+    to_device dict structure; skipping the build avoids double-uploading
+    multi-GB slabs."""
     import jax.numpy as jnp
 
     from . import dia
 
     backend = backend or dia.default_backend()
+    if params is not None:
+        return _finish_vcycle_dia(h, params, backend), params
     params = []
     for lv in h.levels:
         entry = lv.pack.to_device(dtype=dtype)
@@ -564,6 +588,15 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     params.append({
         "coarse_inv": jnp.asarray(h.coarse_inv).astype(dtype or jnp.float32)
     })
+    return _finish_vcycle_dia(h, params, backend), params
+
+
+def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
+    """The jittable V-cycle over a prebuilt parameter list."""
+    import jax.numpy as jnp
+
+    from . import dia
+
     metas = [lv.pack.meta for lv in h.levels]
     omegas = [(lv.omega_p, lv.omega_s) for lv in h.levels]
     caps = [lv.cap for lv in h.levels]
@@ -612,7 +645,7 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
 
     apply.cycle = cycle   # entry point at any level (used by the
     # transposed wrapper, which handles level 0 itself)
-    return apply, params
+    return apply
 
 
 def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
@@ -705,6 +738,136 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
         return x
 
     return apply_t, params
+
+
+def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
+                            dtype=None, backend: Optional[str] = None):
+    """Multi-chip V-cycle: the sharded-prefix levels run row-sharded over
+    `axis_name` (ops.dia_sharded: ppermute halos, compressed far
+    exchange), the replicated tail reuses the normal-layout cycle.
+
+    Returns (apply_local, params, specs, n_sharded, plans):
+
+    * apply_local(params, rt) operates on the LOCAL transposed shard
+      (R, np0 / tp) and must run inside shard_map over `axis_name`;
+    * params — device parameter list (sharded levels' slabs built on
+      their target devices, replicated tail on the default device);
+    * specs — the matching PartitionSpec pytree for shard_map in_specs;
+    * n_sharded — how many levels (from the top) are sharded;
+    * plans — per-level ops.dia_sharded.ShardPlan (None when replicated),
+      e.g. for binding the level-0 CG matvec.
+
+    Level transfers: within the sharded prefix, restriction all-gathers
+    the (R, n_l / cap) aggregate residual (small: cap-fold reduced) and
+    each child shard slices its rows; the boundary into the replicated
+    tail computes the child RHS replicated.  Prolongation mirrors it.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from . import dia, dia_sharded
+
+    backend = backend or dia.default_backend()
+    tp = int(mesh.shape[axis_name])
+    n_sh = 0
+    while n_sh < len(h.levels) and h.levels[n_sh].shard:
+        n_sh += 1
+    if n_sh == 0:
+        raise ValueError(
+            "hierarchy has no shardable levels (build_hierarchy_dia with "
+            "tp= and a reachable shard_min)"
+        )
+
+    rep = P()
+    params, specs, plans = [], [], []
+    for i, lv in enumerate(h.levels):
+        if i < n_sh:
+            plan = dia_sharded.plan_shards(lv.pack, tp)
+            e = dia_sharded.upload_sharded(
+                lv.pack, plan, mesh, axis_name, dtype=dtype)
+            sp = dia_sharded.param_specs(axis_name)
+            e["dinv"] = jax.device_put(
+                jnp.asarray(lv.dinv), NamedSharding(mesh, P(axis_name))
+            ).astype(dtype or jnp.float32)
+            sp["dinv"] = P(axis_name)
+            plans.append(plan)
+        else:
+            e = lv.pack.to_device(dtype=dtype)
+            e["dinv"] = jnp.asarray(lv.dinv).astype(dtype or jnp.float32)
+            sp = {k: rep for k in e} | {"child_perm": rep}
+            plans.append(None)
+        e["child_perm"] = jnp.asarray(lv.child_perm)
+        if i < n_sh:
+            sp["child_perm"] = rep
+        params.append(e)
+        specs.append(sp)
+    params.append({
+        "coarse_inv": jnp.asarray(h.coarse_inv).astype(dtype or jnp.float32)
+    })
+    specs.append({"coarse_inv": rep})
+
+    apply_n = _finish_vcycle_dia(h, params, backend)
+    metas = [lv.pack.meta for lv in h.levels]
+
+    def cyc(level: int, p, bt):
+        lv = h.levels[level]
+        e = p[level]
+        om_p, om_s = lv.omega_p, lv.omega_s
+        cap = lv.cap
+        nc, clen = len(lv.child_perm), lv.child_len
+        np_l = lv.pack.np_
+        np_local = np_l // tp
+        aggs_local = np_local // cap
+        r_cols = bt.shape[0]
+        plan_meta = plans[level].meta_local
+
+        def mv(xt):
+            return dia_sharded.dia_matvec_t_local(
+                metas[level], plan_meta, e, xt, axis_name, backend)
+
+        dinv = e["dinv"][None, :]
+        x = om_s * dinv * bt
+        r1 = bt - mv(x)
+        t = r1 - om_p * mv(dinv * r1) if om_p else r1
+        rc_l = t.reshape(r_cols, aggs_local, cap).sum(axis=2)
+        rc_full = jax.lax.all_gather(
+            rc_l, axis_name, axis=1, tiled=True)          # (R, np_l/cap)
+        bc = jnp.zeros((clen, r_cols), rc_full.dtype).at[
+            e["child_perm"]].set(rc_full.T[:nc], mode="drop",
+                                 unique_indices=True)
+        if level + 1 < n_sh:
+            clen_local = clen // tp
+            idx = jax.lax.axis_index(axis_name)
+            bc_l = jax.lax.dynamic_slice(
+                bc, (idx * clen_local, jnp.int32(0)),
+                (clen_local, r_cols))
+            xc_l = cyc(level + 1, p, bc_l.T)
+            xc = jax.lax.all_gather(
+                xc_l, axis_name, axis=1, tiled=True).T     # (clen, R)
+        else:
+            # Replicated tail: every shard runs the identical sub-cycle.
+            xc = apply_n.cycle(level + 1, p, bc)
+        xcb = xc[e["child_perm"]]                          # (nc, R)
+        pad = np_l // cap - nc
+        if pad:
+            xcb = jnp.concatenate(
+                [xcb, jnp.zeros((pad, r_cols), xcb.dtype)], axis=0)
+        idx = jax.lax.axis_index(axis_name)
+        xcb_l = jax.lax.dynamic_slice(
+            xcb, (idx * aggs_local, jnp.int32(0)),
+            (aggs_local, r_cols))
+        px = jnp.broadcast_to(
+            xcb_l.T[:, :, None], (r_cols, aggs_local, cap)
+        ).reshape(r_cols, np_local)
+        x = x + (px - om_p * dinv * mv(px) if om_p else px)
+        x = x + om_s * dinv * (bt - mv(x))
+        return x
+
+    def apply_local(p, rt):
+        return cyc(0, p, rt)
+
+    return apply_local, params, specs, n_sh, plans
 
 
 def make_dia_cg_operator(h: AlignedHierarchy, vparams, dtype=None):

@@ -421,6 +421,158 @@ def make_pcg_t(
     return solve
 
 
+def make_pcg_t_sharded(
+    operator,
+    precond,
+    comp_id,
+    num_components: int,
+    mesh,
+    op_specs,
+    pp_specs,
+    axis_name: str = "tp",
+):
+    """Multi-chip transposed-layout deflated PCG (the sharded DIA path).
+
+    operator: (apply_local, params) where
+    yt_local = apply_local(params, xt_local) on LOCAL (R, n/tp) shards,
+    written for execution inside shard_map over `axis_name` — e.g.
+    ops.dia_sharded.dia_matvec_t_local bound to a pack's meta.  precond:
+    same contract (ops.amg.make_vcycle_dia_sharded).  op_specs /
+    pp_specs: PartitionSpec pytrees matching the two parameter pytrees
+    (the sharded builders return them).
+
+    The external interface matches make_pcg_t: solve(b, tol, maxiter)
+    takes (N, R) and returns CGResult with x of shape (N, R); jit
+    reshards inputs/outputs per the specs.  Inner products psum over the
+    axis; the deflation projector completes component sums the same way.
+    """
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from .spmv import shard_map_unchecked
+
+    a_apply, a_params = operator
+    m_apply, m_params = precond
+    n = int(np.asarray(comp_id).shape[0])
+    onehot_np = np.zeros((n, num_components), np.float32)
+    onehot_np[np.arange(n), np.asarray(comp_id)] = 1.0
+    onehot = jnp.asarray(onehot_np)
+
+    colspec = P(None, axis_name)          # (R, n) row-sharded along n
+    oh_spec = P(axis_name, None)
+    state_specs = (colspec,) * 4 + (P(),)
+
+    def body(op, mp, oh_l, bt_l, tol, *maybe_state):
+        def gsum(v):
+            return jax.lax.psum(v, axis_name)
+
+        counts = jnp.maximum(
+            gsum(oh_l.sum(axis=0)).astype(jnp.float64), 1.0)
+
+        def project(xt):
+            oh = oh_l.astype(xt.dtype)
+            sums = gsum(xt @ oh)                       # (R, p)
+            means = (sums / counts[None, :].astype(xt.dtype)
+                     ).astype(xt.dtype)
+            return xt - means @ oh.T
+
+        def dot(a, b2):
+            return gsum((a * b2).sum(axis=1))          # (R,)
+
+        def norm(a):
+            return jnp.sqrt(dot(a, a))
+
+        def matvec(xt):
+            return a_apply(op, xt)
+
+        def apply_m(rt):
+            return m_apply(mp, rt)
+
+        bt = project(bt_l)
+        bnorm = norm(bt)
+        target = tol * jnp.maximum(bnorm, 1e-300)
+
+        if maybe_state:
+            (x0, r0, z0, p0, rz0) = maybe_state[0]
+        else:
+            x0 = jnp.zeros_like(bt)
+            r0 = bt
+            z0 = project(apply_m(r0))
+            p0 = z0
+            rz0 = dot(r0, z0)
+
+        def cond(s):
+            _, r, _, _, k, _ = s
+            return jnp.logical_and(k < maxiter_static[0],
+                                   jnp.any(norm(r) > target))
+
+        def loop(s):
+            x, r, z, p, k, rz = s
+            active = norm(r) > target
+            ap = matvec(p)
+            pap = dot(p, ap)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0),
+                              0.0)
+            alpha = jnp.where(active, alpha, 0.0)
+            x = x + alpha[:, None] * p
+            r = r - alpha[:, None] * ap
+            r = jax.lax.cond(k % 50 == 49, project, lambda v: v, r)
+            z = project(apply_m(r))
+            rz_new = dot(r, z)
+            beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0),
+                             0.0)
+            beta = jnp.where(active & (beta > 0), beta, 0.0)
+            p = z + beta[:, None] * p
+            return (x, r, z, p, k + 1, rz_new)
+
+        x, r, z, p_dir, iters, rz = jax.lax.while_loop(
+            cond, loop, (x0, r0, z0, p0, jnp.int64(0), rz0))
+        rtrue = bt - matvec(x)
+        result = CGResult(x=project(x), iterations=iters,
+                          residual_norms=norm(rtrue))
+        if state_out_static[0]:
+            return result, (x, r, z, p_dir, rz)
+        return result
+
+    # maxiter / state flags are static per compilation; threaded through
+    # mutable cells so `body` stays a plain shard_map callee.
+    maxiter_static = [0]
+    state_out_static = [False]
+
+    @partial(jax.jit,
+             static_argnames=("maxiter", "state_in", "state_out"))
+    def _solve(op, mp, oh, bt, tol, maxiter: int,
+               state_in: bool = False, state_out: bool = False,
+               state=None):
+        maxiter_static[0] = maxiter
+        state_out_static[0] = state_out
+        res_specs = CGResult(x=colspec, iterations=P(),
+                             residual_norms=P())
+        in_specs = (op_specs, pp_specs, oh_spec, colspec, P())
+        if state_in:
+            in_specs = in_specs + (state_specs,)
+        out_specs = (res_specs, state_specs) if state_out else res_specs
+        inner = shard_map_unchecked(
+            body, mesh, in_specs=in_specs, out_specs=out_specs)
+        args = (state,) if state_in else ()
+        return inner(op, mp, oh, bt, tol, *args)
+
+    def solve(b, tol, maxiter: int = 10000) -> CGResult:
+        res = _solve(a_params, m_params, onehot, b.T, tol, maxiter=maxiter)
+        return CGResult(x=res.x.T, iterations=res.iterations,
+                        residual_norms=res.residual_norms)
+
+    def solve_stateful(b, tol, maxiter: int, state=None):
+        res, st = _solve(a_params, m_params, onehot, b.T, tol,
+                         maxiter=maxiter, state_in=state is not None,
+                         state_out=True, state=state)
+        return CGResult(x=res.x.T, iterations=res.iterations,
+                        residual_norms=res.residual_norms), st
+
+    solve.stateful = solve_stateful
+    return solve
+
+
 def pcg(
     cols: jnp.ndarray,
     vals: jnp.ndarray,

@@ -113,6 +113,7 @@ def solve_bordered(
     dispatch_cap="auto",
     operator: str = "auto",
     dia_threshold: int = 200_000,
+    dia_shard_min: int = 32768,
 ) -> BorderedSolution:
     """Solve the full bordered system.  Host-side driver around jitted
     device stages; the refinement loop reuses the same CG machinery.
@@ -151,20 +152,13 @@ def solve_bordered(
     backend); "ell" forces the gather path.
     """
     n, m = system.n, system.border.m
-    if operator == "dia":
-        if system.coords is None:
-            raise ValueError(
-                "operator='dia' needs node coordinates (CoreSystem.coords) "
-                "for the Hilbert ordering"
-            )
-        if mesh is not None:
-            raise ValueError(
-                "operator='dia' is single-device; drop mesh= or use "
-                "operator='ell' for the tensor-parallel path"
-            )
+    if operator == "dia" and system.coords is None:
+        raise ValueError(
+            "operator='dia' needs node coordinates (CoreSystem.coords) "
+            "for the Hilbert ordering"
+        )
     use_dia = operator == "dia" or (
         operator == "auto"
-        and mesh is None
         and device_dtype is not None
         and system.coords is not None
         and n >= dia_threshold
@@ -175,6 +169,8 @@ def solve_bordered(
             max_refinements=max_refinements,
             target_residual=target_residual,
             dispatch_cap=dispatch_cap,
+            mesh=mesh,
+            shard_min=dia_shard_min,
         )
         if result is not None:
             return result
@@ -374,8 +370,16 @@ def _solve_bordered_dia(
     max_refinements: int,
     target_residual: float,
     dispatch_cap="auto",
+    mesh=None,
+    shard_min: int = 32768,
 ) -> Optional[BorderedSolution]:
-    """The block-offset-DIA fast path (large meshes, single device).
+    """The block-offset-DIA fast path (large meshes).
+
+    mesh: optional jax.sharding.Mesh — ALL its devices become one `tp`
+    row-sharding axis for the slab operator and the AMG V-cycle
+    (ops.dia_sharded: ppermute halo exchange, compressed far exchange;
+    ops.amg.make_vcycle_dia_sharded).  Falls back to the single-device
+    layout when the hierarchy's top level is too small to shard.
 
     Same Schur-complement algorithm as the generic path, engineered for
     the TPU + slow-host-tunnel reality:
@@ -405,15 +409,36 @@ def _solve_bordered_dia(
     b = system.border
     log = logging.getLogger(__name__)
 
+    # Multi-chip: flatten ALL the mesh's devices into one tp row-sharding
+    # axis (the DIA format row-shards; dp batching happens above this
+    # layer in sweep.py).
+    dia_mesh = None
+    tp = 1
+    if mesh is not None:
+        devs = np.asarray(mesh.devices).reshape(-1)
+        if devs.size > 1:
+            from jax.sharding import Mesh
+
+            dia_mesh = Mesh(devs, axis_names=("tp",))
+            tp = int(devs.size)
+
     # coarse_size 3000: a strong dense bottom measured 43 vs 56-67 CG
     # iterations at 1M DoF; its pinvh costs a few setup seconds.
     hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
-                                        coarse_size=3000)
+                                        coarse_size=3000, tp=tp,
+                                        shard_min=shard_min)
     if not hierarchy.levels:
         return None
     backend = dia.default_backend()
+    sharded = tp > 1 and hierarchy.levels[0].shard
     use_t = system.num_components + 1 <= 64
-    if use_t:
+    if sharded:
+        from . import dia_sharded
+
+        (vcycle_apply, vparams, vspecs, n_sh,
+         shard_plans) = amg.make_vcycle_dia_sharded(
+            hierarchy, dia_mesh, backend=backend)
+    elif use_t:
         vcycle_apply, vparams = amg.make_vcycle_dia_t(
             hierarchy, backend=backend, lump_smoothing=False)
     else:
@@ -424,9 +449,11 @@ def _solve_bordered_dia(
     level0 = hierarchy.levels[0]
     meta0 = level0.pack.meta
     log.info(
-        "DIA solve: np0=%d offsets=%s remainder=%d levels=%s backend=%s",
+        "DIA solve: np0=%d offsets=%s remainder=%d levels=%s backend=%s"
+        " tp=%d%s",
         np0, level0.pack.offs, len(level0.pack.rem_rows),
-        [lv.pack.np_ for lv in hierarchy.levels], backend,
+        [lv.pack.np_ for lv in hierarchy.levels], backend, tp,
+        f" (sharded levels: {n_sh})" if sharded else "",
     )
 
     # Deflation over padded rows: dummies form one extra component.
@@ -437,8 +464,24 @@ def _solve_bordered_dia(
     def a_apply(prm, x):
         return dia.dia_matvec(meta0, prm, x, backend=backend)
 
-    op_params = amg.make_dia_cg_operator(hierarchy, vparams)
-    if use_t:
+    if sharded:
+        plan0_meta = shard_plans[0].meta_local
+
+        def a_apply_local(prm, xt):
+            return dia_sharded.dia_matvec_t_local(
+                meta0, plan0_meta, prm, xt, "tp", backend)
+
+        # vparams[0] IS the exact level-0 operator (no lumping in the
+        # sharded cycle), so the CG matvec shares it outright.
+        cg_solver = cg.make_pcg_t_sharded(
+            operator=(a_apply_local, vparams[0]),
+            precond=(vcycle_apply, vparams),
+            comp_id=comp_pad, num_components=p_cg,
+            mesh=dia_mesh, op_specs=vspecs[0], pp_specs=vspecs,
+        )
+    elif use_t:
+        op_params = amg.make_dia_cg_operator(hierarchy, vparams)
+
         def a_apply_t(prm, xt):
             return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
 
@@ -448,6 +491,7 @@ def _solve_bordered_dia(
             comp_id=jnp.asarray(comp_pad), num_components=p_cg,
         )
     else:
+        op_params = amg.make_dia_cg_operator(hierarchy, vparams)
         cg_solver = cg.make_pcg(
             None, None, None, jnp.asarray(comp_pad), p_cg,
             precond=(vcycle_apply, vparams),
