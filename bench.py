@@ -1,15 +1,19 @@
-"""North-star benchmark: FEM PDN solve throughput on the current device.
+"""North-star benchmark: the BASELINE.md target workload — a 1M-DoF
+4-layer board solved to 1e-8 relative residual on the current device.
 
-Meshes a large copper plane (the "high-current heating-element plane"
-config, BASELINE.json configs[3]), assembles the ELL Laplacian, and
-times the mixed-precision solve to 1e-8 relative residual on the
-default JAX device (the real TPU under the driver; CPU elsewhere).
+The workload is generated (tests/boardgen.gen_bench_4layer): four
+full-area copper planes, a 7x7 through-via stitching grid (each via
+expands into the loader's hollow-cylinder resistor stack), two voltage
+sources and two high-current loads — so the solve carries a real MNA
+border (m > 1) and the meshes carry the full via-hole punching, exactly
+the shape BASELINE.md names ("1M-DoF 4-layer board").
 
-The solver is the production DIA fast path (ops.dia + aligned AMG,
-ops/schur.py:_solve_bordered_dia's machinery): Hilbert-ordered
-block-offset SpMV via the pallas kernel, gather-free V-cycle, f32
-AMG-PCG passes accumulated into an f64 solution with host-CSR f64
-residuals between passes.
+Pipeline timed per stage:
+  load     KiCad project -> problem IR (host)
+  mesh     connectivity + CDT meshing + FEM/MNA assembly (host)
+  setup    AMG hierarchy + device upload (ops.schur.DiaBorderedSolver)
+  solve    bordered Schur solve + f64 iterative refinement to
+           1e-8 * ||rhs|| (median of 3 compile-warm runs)
 
 Prints ONE JSON line:
   {"metric": "solve_dof_per_sec", "value": N, "unit": "DoF/s",
@@ -32,179 +36,107 @@ def _progress(msg, _t0=[None]):
           file=sys.stderr, flush=True)
 
 
-def build_system(target_dof: int):
-    from padne_tpu import geom, mesh
-    from padne_tpu.ops import assembly
-
-    # Plane size fixed; mesh density chosen to hit the DoF target
-    # (vertices ~ area / (0.43 * size^2) empirically).
-    side = 100.0
-    size = max(0.08, (side * side / (0.43 * target_dof)) ** 0.5)
-    poly = geom.box(0.0, 0.0, side, side)
-    cfg = mesh.Mesher.Config(
-        maximum_size=size, variable_size_maximum_factor=1.0
-    )
-    m = mesh.Mesher(cfg).poly_to_mesh(poly)
-    ell = assembly.build_ell(
-        m.num_vertices, m.edges.astype(np.int64), m.cotan_edge_weights
-    )
-    return m, ell
-
-
 def main():
     target_dof = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    t_mesh0 = time.time()
-    m, ell = build_system(target_dof)
-    t_mesh = time.time() - t_mesh0
-    _progress(f"meshed n={m.num_vertices} in {t_mesh:.1f}s")
-    n = m.num_vertices
+
+    sys.path.insert(0, "/root/repo")
+    from tests.boardgen import gen_bench_4layer
+
+    pro = gen_bench_4layer("/tmp/padne_bench_board")
 
     import jax
 
-    # Persistent compilation cache: the CG+V-cycle program compiles ~17
-    # Mosaic kernels through the (slow, remote) axon compile helper —
-    # ~10 minutes cold, seconds warm.
+    # Persistent compilation cache: the CG+V-cycle program compiles
+    # many Mosaic kernels through the (slow, remote) axon compile
+    # helper — minutes cold, seconds warm.
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
+    from padne_tpu import kicad, mesh, solver
+    from padne_tpu.ops import schur
 
-    from padne_tpu.ops import amg, cg, dia
+    t0 = time.time()
+    prob = kicad.load_kicad_project(pro)
+    t_load = time.time() - t0
+    _progress(f"loaded: {len(prob.layers)} layers, "
+              f"{len(prob.networks)} networks in {t_load:.1f}s")
 
-    R = 8
-    tol = 1e-8  # BASELINE.md row 1: 1e-8 relative residual
-
-    t_setup0 = time.time()
-    import os
-    theta = float(os.environ.get("PADNE_BENCH_THETA", "0.08"))
-    lump = os.environ.get("PADNE_BENCH_LUMP", "0") == "1"
-    coarse = int(os.environ.get("PADNE_BENCH_COARSE", "3000"))
-    hierarchy = amg.build_hierarchy_dia(ell, m.vertices, theta=theta,
-                                        coarse_size=coarse)
-    _progress("hierarchy built")
-    backend = dia.default_backend()
-    vcycle_apply, vparams = amg.make_vcycle_dia_t(
-        hierarchy, backend=backend, lump_smoothing=lump)
-    _progress("vcycle params on device")
-    posmap = hierarchy.posmap0
-    np0 = hierarchy.np0
-    meta0 = hierarchy.levels[0].pack.meta
-
-    def a_apply(prm, xt):
-        return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
-
-    comp_pad = np.full(np0, 1, dtype=np.int32)
-    comp_pad[posmap] = 0
-    op_params = amg.make_dia_cg_operator(hierarchy, vparams)
-    solver = cg.make_pcg_t(
-        operator=(a_apply, op_params),
-        precond=(vcycle_apply, vparams),
-        comp_id=jnp.asarray(comp_pad), num_components=2,
+    # Mesh density for the DoF target: vertices ~ area / (0.43 size^2).
+    area = sum(layer.shape.area for layer in prob.layers)
+    size = max(0.05, (area / (0.43 * target_dof)) ** 0.5)
+    cfg = mesh.Mesher.Config(
+        maximum_size=size, variable_size_maximum_factor=1.0
     )
 
-    # Device-resident f64 refinement: the padded gather-ELL (exact f64
-    # operator) lives on device, so a refinement pass costs one emulated
-    # f64 SpMV (~0.2 s) instead of host CSR work + a 40 MB download.
-    from padne_tpu.ops.spmv import ell_matvec
+    t0 = time.time()
+    system, meshes, *_ = solver.build_system(prob, mesher_config=cfg)
+    t_mesh = time.time() - t0
+    n = system.n
+    _progress(f"meshed+assembled n={n} (m={system.border.m}, "
+              f"{len(meshes)} meshes) in {t_mesh:.1f}s")
 
-    K = ell.cols.shape[1]
-    cols_pad = np.zeros((np0, K), np.int32)
-    vals_pad = np.zeros((np0, K))
-    diag_pad = np.zeros(np0)
-    cols_pad[posmap] = posmap[ell.cols.astype(np.int64)]
-    vals_pad[posmap] = ell.vals
-    diag_pad[posmap] = ell.diag
-    ell64 = (jnp.asarray(cols_pad), jnp.asarray(vals_pad),
-             jnp.asarray(diag_pad))
-    mask = np.zeros(np0); mask[posmap] = 1.0
-    nreal = float(len(posmap))
-    mask_dev = jnp.asarray(mask)
+    t0 = time.time()
+    import jax.numpy as jnp
 
-    @jax.jit
-    def residual64(e64, b64, x64):
-        c, v, dg = e64
-        # K-chunked f64 SpMV: one (np0, R) f64 temporary per column
-        # instead of the (np0, K, R) gather blow-up (HBM headroom is
-        # tight next to the multi-GB DIA slabs).
-        ax = dg[:, None] * x64
-        for k in range(K):
-            ax = ax + v[:, k, None] * x64[c[:, k]]
-        r = b64 - ax
-        r = r - (r * mask_dev[:, None]).sum(0) / nreal * mask_dev[:, None]
-        return r, jnp.linalg.norm(r)
+    dia_solver = schur.DiaBorderedSolver(system)
+    t_setup = time.time() - t0
+    _progress(f"AMG setup + upload in {t_setup:.1f}s")
 
-    t_setup = time.time() - t_setup0
+    bnorm = float(np.sqrt((system.r_core**2).sum()
+                          + (system.border.rhs**2).sum()))
+    tol_rel = 1e-8  # BASELINE.md row 1: 1e-8 relative residual
+    target_abs = tol_rel * bnorm
 
-    def mp_solve(b64_np: np.ndarray, max_passes: int = 12):
-        """f32 DIA-AMG-PCG passes + on-device f64 residuals.
-        Returns (x64 device, passes, iters, final_rel)."""
-        b_pad = np.zeros((np0, R))
-        b_pad[posmap] = b64_np
-        b64 = jnp.asarray(b_pad)
-        x64 = jnp.zeros_like(b64)
-        bn = float(jnp.linalg.norm(b64))
-        total_iters = 0
-        rel = np.inf
-        for p in range(max_passes):
-            r64, rn = residual64(ell64, b64, x64)
-            rel = float(rn) / bn
-            if rel < tol:
-                return x64, p, total_iters, rel
-            # Short inner passes: CG gains stall after ~20 f32 V-cycles
-            # (noise floor), so refine often instead of iterating deep.
-            res = solver(r64.astype(jnp.float32), 3e-4, 25)
-            total_iters += int(res.iterations)
-            _progress(f"pass {p}: rel={rel:.2e} iters={int(res.iterations)}")
-            x64 = x64 + res.x.astype(jnp.float64)
-        _, rn = residual64(ell64, b64, x64)
-        return x64, max_passes, total_iters, float(rn) / bn
+    _progress("warmup (compile)...")
+    t0 = time.time()
+    result = dia_solver.solve(target_residual=target_abs,
+                              max_refinements=12)
+    _progress(f"warmup done in {time.time()-t0:.1f}s "
+              f"(rel={result.residual_norm/bnorm:.2e})")
 
-    def make_rhs(seed):
-        rng = np.random.default_rng(seed)
-        b = np.zeros((n, R))
-        for k in range(R):
-            i, j = rng.integers(0, n, 2)
-            b[i, k] += 1.0
-            b[j, k] -= 1.0
-        return b
-
-    # Warmup / compile.
-    _progress("warmup...")
-    mp_solve(make_rhs(42), max_passes=2)
-    _progress("warmup done")
-
-    # Timed solves with fresh RHS each run (defeats any execution-level
-    # caching in the runtime).
     times = []
     for run in range(3):
         t0 = time.time()
-        x64, passes, iters, final_rel = mp_solve(make_rhs(100 + run))
+        result = dia_solver.solve(target_residual=target_abs,
+                                  max_refinements=12)
         times.append(time.time() - t0)
+        _progress(f"run {run}: {times[-1]:.2f}s "
+                  f"iters={result.cg_iterations} "
+                  f"passes={result.refinement_steps + 1} "
+                  f"rel={result.residual_norm/bnorm:.2e}")
     t_solve = float(np.median(times))
     dof_per_sec = n / t_solve
-    result = {
+    lv0 = dia_solver.hierarchy.levels[0]
+    out = {
         "metric": "solve_dof_per_sec",
         "value": round(dof_per_sec, 1),
         "unit": "DoF/s",
         "vs_baseline": round(dof_per_sec / 1e6, 4),
         "detail": {
+            "workload": "generated 4-layer PDN board (via grid + MNA border)",
             "dof": n,
+            "n_layers": len(prob.layers),
+            "n_meshes": len(meshes),
+            "border_m": system.border.m,
             "solve_seconds": round(t_solve, 3),
+            "load_seconds": round(t_load, 3),
             "mesh_seconds": round(t_mesh, 3),
             "amg_setup_seconds": round(t_setup, 3),
-            "end_to_end_seconds": round(t_mesh + t_setup + t_solve, 3),
-            "cg_iterations": iters,
-            "refinement_passes": passes,
-            "final_rel_residual": final_rel,
-            "rhs_columns": R,
-            "amg_levels": [lv.pack.np_ for lv in hierarchy.levels],
-            "level0_offsets": list(hierarchy.levels[0].pack.offs),
-            "level0_remainder": len(hierarchy.levels[0].pack.rem_rows),
+            "end_to_end_seconds": round(
+                t_load + t_mesh + t_setup + t_solve, 3),
+            "cg_iterations": result.cg_iterations,
+            "refinement_passes": result.refinement_steps + 1,
+            "final_rel_residual": result.residual_norm / bnorm,
+            "rhs_columns": system.border.m + 1,
+            "amg_levels": [lv.pack.np_
+                           for lv in dia_solver.hierarchy.levels],
+            "level0_offsets": list(lv0.pack.offs),
+            "level0_remainder": len(lv0.pack.rem_rows),
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,186 @@
+"""Microbenchmark: decompose the DIA operator-apply / V-cycle cost on
+the current device (run on the real TPU).
+
+Builds (or loads from /tmp/padne_bench_1m.npz) the 1M-DoF plane system,
+then times each piece of the hot loop separately:
+
+  slab        pallas kernel only (no remainder, no diag)
+  diag        + diagonal multiply
+  remainder   the off-offset gather + scatter-add (and the transpose
+              sandwich it needs in the transposed layout)
+  exact mv    the full dia_matvec_t
+  vcycle      one preconditioner application
+  cg iter     one full PCG iteration (5 applies + dots + axpys)
+
+Usage: python benchmarks/microbench_apply.py [target_dof]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def get_system(target_dof=1_000_000, cache="/tmp/padne_bench_1m.npz"):
+    import os
+
+    if os.path.exists(cache):
+        z = np.load(cache)
+        if abs(int(z["n"]) - target_dof) / target_dof < 0.3:
+            from padne_tpu.ops import assembly
+
+            ell = assembly.EllMatrix(
+                cols=z["cols"], vals=z["vals"], diag=z["diag"])
+            return ell, z["verts"]
+    sys.path.insert(0, "/root/repo")
+    from bench import build_system
+
+    m, ell = build_system(target_dof)
+    np.savez(cache, n=m.num_vertices, cols=ell.cols, vals=ell.vals,
+             diag=ell.diag, verts=m.vertices)
+    return ell, m.vertices
+
+
+def _sync(r):
+    """Force completion: a 1-element download waits for r's whole
+    dependency chain (block_until_ready alone is unreliable through the
+    axon tunnel)."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    for _ in range(warmup):
+        r = fn(*args)
+    _sync(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(*args)
+    _sync(r)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    ell, verts = get_system(target)
+    n = len(ell.diag)
+    print(f"n={n}", flush=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from padne_tpu.ops import amg, cg, dia
+
+    R = 8
+    t0 = time.time()
+    h = amg.build_hierarchy_dia(ell, verts, coarse_size=3000)
+    print(f"setup {time.time()-t0:.1f}s levels="
+          f"{[lv.pack.np_ for lv in h.levels]}", flush=True)
+    backend = dia.default_backend()
+    vcycle_apply, vparams = amg.make_vcycle_dia_t(h, backend=backend)
+    lv0 = h.levels[0]
+    meta0 = lv0.pack.meta
+    np0 = lv0.pack.np_
+    op_params = amg.make_dia_cg_operator(h, vparams)
+    print(f"offsets={lv0.pack.offs} rem={len(lv0.pack.rem_rows)} "
+          f"nnz_main={len(lv0.pack.widx)}", flush=True)
+
+    rng = np.random.default_rng(0)
+    xt = jnp.asarray(rng.standard_normal((R, np0)).astype(np.float32))
+    p0 = op_params
+
+    # slab only
+    dmax = dia._dmax(lv0.pack.offs)
+    b = lv0.pack.b
+
+    @jax.jit
+    def slab_only(prm, xt):
+        xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
+        return dia._pallas_main(meta0, prm["w"], xt_pad)
+
+    @jax.jit
+    def slab_diag(prm, xt):
+        y = slab_only.__wrapped__(prm, xt)
+        return y + prm["diag"][None, :] * xt
+
+    @jax.jit
+    def rem_only(prm, xt):
+        x = xt.T
+        rem = dia._apply_remainder(prm, x, jnp.zeros_like(x))
+        return rem.T
+
+    @jax.jit
+    def rem_gather_only(prm, xt):
+        x = xt.T
+        return (prm["ru_vals"][:, :, None] * x[prm["ru_cols"]]).sum(1)
+
+    @jax.jit
+    def transpose_only(xt):
+        return xt.T.sum(axis=1)
+
+    @jax.jit
+    def exact_mv(prm, xt):
+        return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
+
+    vc = jax.jit(lambda p, rt: vcycle_apply(p, rt))
+
+    # bf16 cycle (production configuration): exact f32 CG operator,
+    # bf16 slabs in the V-cycle.
+    w0_bf16 = p0["w"].astype(jnp.bfloat16)
+    vcycle_bf, vparams_bf = amg.make_vcycle_dia_t(
+        h, backend=backend, slab_dtype=jnp.bfloat16, w0=w0_bf16)
+    vcb = jax.jit(lambda p, rt: vcycle_bf(p, rt))
+
+    @jax.jit
+    def slab_bf16(w, xt):
+        xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
+        return dia._pallas_main(meta0, w, xt_pad)
+
+    # Dispatch/tunnel round-trip latency baseline.
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    tiny_fn = jax.jit(lambda a: a + 1.0)
+    t = timeit(tiny_fn, tiny, n=50)
+    print(f"{'dispatch_rt':12s} {t*1e3:8.2f} ms", flush=True)
+
+    for name, fn, args in [
+        ("slab", slab_only, (p0, xt)),
+        ("slab+diag", slab_diag, (p0, xt)),
+        ("rem_gather", rem_gather_only, (p0, xt)),
+        ("rem_full", rem_only, (p0, xt)),
+        ("transpose", transpose_only, (xt,)),
+        ("exact_mv", exact_mv, (p0, xt)),
+        ("slab_bf16", slab_bf16, (vparams_bf[0]["w"], xt)),
+        ("vcycle", vc, (vparams, xt)),
+        ("vcycle_bf16", vcb, (vparams_bf, xt)),
+    ]:
+        t = timeit(fn, *args)
+        print(f"{name:12s} {t*1e3:8.2f} ms", flush=True)
+
+    # one CG iteration cost: via solver with maxiter=1 vs maxiter=2 delta
+    posmap = h.posmap0
+    comp_pad = np.full(np0, 1, dtype=np.int32)
+    comp_pad[posmap] = 0
+
+    def a_apply(prm, xt):
+        return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
+
+    solver = cg.make_pcg_t(
+        operator=(a_apply, op_params), precond=(vcycle_bf, vparams_bf),
+        comp_id=jnp.asarray(comp_pad), num_components=2)
+    bvec = rng.standard_normal((np0, R)).astype(np.float32)
+    bj = jnp.asarray(bvec)
+    t1 = timeit(lambda: solver(bj, 1e-30, 5), n=3, warmup=1)
+    t2 = timeit(lambda: solver(bj, 1e-30, 15), n=3, warmup=1)
+    print(f"cg_iter      {(t2-t1)/10*1e3:8.2f} ms  (5it {t1:.3f}s "
+          f"15it {t2:.3f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -533,7 +533,8 @@ def build_hierarchy_dia(
 def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
                     backend: Optional[str] = None,
                     lump_remainder: bool = False,
-                    params: Optional[list] = None):
+                    params: Optional[list] = None,
+                    slab_dtype=None, w0=None):
     """(apply, params) for the aligned hierarchy: z = apply(params, r)
     with r, z of shape (np0, R) in level-0 positions.
 
@@ -556,7 +557,13 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     params: prebuilt device parameter list (e.g. the sharded builder's)
     — entries for levels this cycle actually visits must have the
     to_device dict structure; skipping the build avoids double-uploading
-    multi-GB slabs."""
+    multi-GB slabs.
+
+    slab_dtype: store the weight slabs in this dtype (e.g. bf16 —
+    preconditioner-only precision, halves the dominant HBM stream; the
+    pallas kernel then runs single-pass bf16 MXU dots).  w0: reuse an
+    already-built level-0 device slab (cast to slab_dtype by the
+    caller) instead of scattering a fresh one."""
     import jax.numpy as jnp
 
     from . import dia
@@ -565,8 +572,11 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     if params is not None:
         return _finish_vcycle_dia(h, params, backend), params
     params = []
-    for lv in h.levels:
-        entry = lv.pack.to_device(dtype=dtype)
+    for i, lv in enumerate(h.levels):
+        entry = lv.pack.to_device(dtype=dtype,
+                                  w=w0 if i == 0 else None)
+        if slab_dtype is not None and entry["w"].dtype != slab_dtype:
+            entry["w"] = entry["w"].astype(slab_dtype)
         entry["child_perm"] = jnp.asarray(lv.child_perm)
         nnz_total = len(lv.pack.widx) + len(lv.pack.rem_rows)
         small_rem = len(lv.pack.rem_rows) <= 0.08 * max(nnz_total, 1)
@@ -575,9 +585,12 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
             np.add.at(diag_l, lv.pack.rem_rows, lv.pack.rem_vals)
             entry["diag"] = jnp.asarray(diag_l).astype(
                 dtype or jnp.float32)
-            entry["rem_rows"] = entry["rem_rows"][:0]
-            entry["rem_cols"] = entry["rem_cols"][:0]
-            entry["rem_vals"] = entry["rem_vals"][:0]
+            for k in ("ru_rows", "sp_rows"):
+                entry[k] = entry[k][:0]
+            for k in ("ru_cols", "ru_vals"):
+                entry[k] = entry[k][:0]
+            for k in ("sp_cols", "sp_vals"):
+                entry[k] = entry[k][:0]
             dinv_l = np.where(diag_l > 0,
                               1.0 / np.where(diag_l > 0, diag_l, 1.0), 0.0)
             entry["dinv"] = jnp.asarray(dinv_l).astype(dtype or jnp.float32)
@@ -650,7 +663,8 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
 
 def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
                       backend: Optional[str] = None,
-                      lump_smoothing: bool = True):
+                      lump_smoothing: bool = True,
+                      slab_dtype=None, w0=None):
     """Transposed-layout V-cycle: z = apply(params, rt) on (R, np0).
 
     Level 0 — where ~85% of the cycle's work lives — runs in the (R, n)
@@ -671,7 +685,8 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
 
     backend = backend or dia.default_backend()
     apply_n, params = make_vcycle_dia(
-        h, dtype=dtype, backend=backend, lump_remainder=False)
+        h, dtype=dtype, backend=backend, lump_remainder=False,
+        slab_dtype=slab_dtype, w0=w0)
     lv0 = h.levels[0]
     e0 = params[0]
     nnz_total = len(lv0.pack.widx) + len(lv0.pack.rem_rows)
@@ -870,20 +885,33 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
     return apply_local, params, specs, n_sh, plans
 
 
-def make_dia_cg_operator(h: AlignedHierarchy, vparams, dtype=None):
+def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None):
     """Exact level-0 operator params for the CG matvec, sharing the
     (multi-GB) weight slab with the V-cycle params — only the exact
-    diagonal and the remainder triplets are fresh device arrays."""
+    diagonal and the remainder arrays are fresh device arrays.
+
+    vparams=None (or a V-cycle holding reduced-precision slabs) builds
+    a fresh full-precision slab instead; pass its "w" back into
+    make_vcycle_dia* via w0= to avoid a second nnz upload."""
     import jax.numpy as jnp
 
     lv = h.levels[0]
+    dtype = dtype or jnp.float32
+    ru_rows, ru_cols, ru_vals, sp_r, sp_c, sp_v = lv.pack.rem_ell()
+    w = vparams[0]["w"] if vparams is not None else None
+    if w is None or w.dtype != dtype:
+        # The V-cycle may hold reduced-precision slabs; the CG matvec
+        # must stay exact, so build a full-precision slab.
+        w = lv.pack.to_device(dtype=dtype)["w"]
     return {
-        "w": vparams[0]["w"],
-        "diag": jnp.asarray(lv.pack.diag).astype(dtype or jnp.float32),
-        "rem_rows": jnp.asarray(lv.pack.rem_rows),
-        "rem_cols": jnp.asarray(lv.pack.rem_cols),
-        "rem_vals": jnp.asarray(lv.pack.rem_vals.astype(np.float32)
-                                ).astype(dtype or jnp.float32),
+        "w": w,
+        "diag": jnp.asarray(lv.pack.diag).astype(dtype),
+        "ru_rows": jnp.asarray(ru_rows),
+        "ru_cols": jnp.asarray(ru_cols),
+        "ru_vals": jnp.asarray(ru_vals.astype(np.float32)).astype(dtype),
+        "sp_rows": jnp.asarray(sp_r.astype(np.int32)),
+        "sp_cols": jnp.asarray(sp_c.astype(np.int32)),
+        "sp_vals": jnp.asarray(sp_v.astype(np.float32)).astype(dtype),
     }
 
 

@@ -108,32 +108,75 @@ class DiaPack:
         """Static description consumed by the jitted matvec."""
         return (self.np_, self.b, self.g, self.ng, self.offs)
 
-    def to_device(self, dtype=None) -> dict:
+    def rem_ell(self, kr_cap: int = 8):
+        """Unique-row padded layout of the remainder: (ru_rows (U,),
+        ru_cols (U, Kr), ru_vals (U, Kr)) plus a spill COO for rows
+        whose remainder degree exceeds kr_cap (rare: high-degree
+        connection vertices).
+
+        The per-unique-row form lets the device scatter-add run with
+        unique sorted indices (the generic duplicate-handling scatter
+        measured ~3x slower at 1M rows).  Padding slots carry column 0
+        with value 0 — an inert contribution.
+        """
+        rr = self.rem_rows
+        if len(rr) == 0:
+            z = np.zeros(0, np.int32)
+            return (z, z.reshape(0, 1), np.zeros((0, 1)), z, z,
+                    np.zeros(0))
+        u, start, counts = np.unique(rr, return_index=True,
+                                     return_counts=True)
+        kr = int(min(counts.max(), kr_cap))
+        seq = np.arange(len(rr))
+        slot = seq - start[np.searchsorted(u, rr)]
+        keep = slot < kr
+        ru_cols = np.zeros((len(u), kr), np.int32)
+        ru_vals = np.zeros((len(u), kr))
+        row_of = np.searchsorted(u, rr[keep])
+        ru_cols[row_of, slot[keep]] = self.rem_cols[keep]
+        ru_vals[row_of, slot[keep]] = self.rem_vals[keep]
+        return (u.astype(np.int32), ru_cols, ru_vals,
+                rr[~keep], self.rem_cols[~keep], self.rem_vals[~keep])
+
+    def to_device(self, dtype=None, w=None) -> dict:
         """Device parameter dict: W slab (one on-device scatter), the
-        remainder triplets, and the diagonal."""
+        unique-row remainder, and the diagonal.
+
+        w: reuse an already-built device slab (any dtype) instead of
+        scattering a fresh one — avoids re-uploading the nnz-sized
+        index/value arrays when one pack feeds two operators (e.g. the
+        exact f32 CG matvec and a bf16 V-cycle)."""
         import jax
         import jax.numpy as jnp
 
         dtype = dtype or jnp.float32
         d, b, g, ng = len(self.offs), self.b, self.g, self.ng
         size = ng * g * d * b * b
-        idx = jnp.asarray(self.widx.astype(np.int32)
-                          if size < 2**31 else self.widx)
-        vals = jnp.asarray(self.wval.astype(np.float32))
 
-        @partial(jax.jit, static_argnames=("total",))
-        def _build(idx, v, total: int):
-            w = jnp.zeros(total, jnp.float32)
-            w = w.at[idx].set(v, mode="promise_in_bounds",
-                              unique_indices=True)
-            return w.reshape(ng, g, d, b, b).astype(dtype)
+        if w is None:
+            idx = jnp.asarray(self.widx.astype(np.int32)
+                              if size < 2**31 else self.widx)
+            vals = jnp.asarray(self.wval.astype(np.float32))
 
+            @partial(jax.jit, static_argnames=("total",))
+            def _build(idx, v, total: int):
+                w = jnp.zeros(total, jnp.float32)
+                w = w.at[idx].set(v, mode="promise_in_bounds",
+                                  unique_indices=True)
+                return w.reshape(ng, g, d, b, b).astype(dtype)
+
+            w = _build(idx, vals, size)
+
+        ru_rows, ru_cols, ru_vals, sp_r, sp_c, sp_v = self.rem_ell()
         return {
-            "w": _build(idx, vals, size),
-            "rem_rows": jnp.asarray(self.rem_rows),
-            "rem_cols": jnp.asarray(self.rem_cols),
-            "rem_vals": jnp.asarray(self.rem_vals.astype(np.float32)
-                                    ).astype(dtype),
+            "w": w,
+            "ru_rows": jnp.asarray(ru_rows),
+            "ru_cols": jnp.asarray(ru_cols),
+            "ru_vals": jnp.asarray(ru_vals.astype(np.float32)
+                                   ).astype(dtype),
+            "sp_rows": jnp.asarray(sp_r.astype(np.int32)),
+            "sp_cols": jnp.asarray(sp_c.astype(np.int32)),
+            "sp_vals": jnp.asarray(sp_v.astype(np.float32)).astype(dtype),
             "diag": jnp.asarray(self.diag).astype(dtype),
         }
 
@@ -282,6 +325,10 @@ def _pallas_main(meta, w, xt_pad):
     dmax = _dmax(offs)
     win = (g + 2 * dmax) * b
     r = xt_pad.shape[0]
+    # bf16 slabs (preconditioner-only precision) halve the dominant HBM
+    # stream; the MXU takes bf16 natively, so a single DEFAULT-precision
+    # pass replaces f32's bf16x3.
+    w_bf16 = w.dtype == jnp.bfloat16
 
     def kernel(x_hbm, w_ref, o_ref, xwin, sem):
         i = jnp.int32(pl.program_id(0))
@@ -293,10 +340,13 @@ def _pallas_main(meta, w, xt_pad):
             acc = jnp.zeros((r, b), jnp.float32)
             for di, o in enumerate(offs):
                 xs = xwin[:, (gg + dmax + o) * b:(gg + dmax + o + 1) * b]
+                if w_bf16:
+                    xs = xs.astype(jnp.bfloat16)
                 acc = acc + jax.lax.dot_general(
                     xs, w_ref[0, gg, di], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=(None if w_bf16
+                               else jax.lax.Precision.HIGHEST))
             o_ref[:, gg * b:(gg + 1) * b] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -363,10 +413,7 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None):
     xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
     main = (_pallas_main if backend == "pallas" else _xla_main)(
         meta, params["w"], xt_pad).T
-    if params["rem_rows"].shape[0]:
-        rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
-        main = main.at[params["rem_rows"]].add(
-            rem_c.astype(main.dtype), mode="drop")
+    main = _apply_remainder(params, x, main)
     y = main + params["diag"][:, None] * x
     y = y.astype(x.dtype)
     return y[:, 0] if squeeze else y
@@ -398,13 +445,31 @@ def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
     yt = (_pallas_main if backend == "pallas" else _xla_main)(
         meta, params["w"], xt_pad)
     yt = yt + params["diag"][None, :] * xt32
-    if not skip_remainder and params["rem_rows"].shape[0]:
+    if not skip_remainder and (params["ru_rows"].shape[0]
+                               or params["sp_rows"].shape[0]):
         x = xt32.T
-        rem_c = params["rem_vals"][:, None] * x[params["rem_cols"]]
-        rem = jnp.zeros_like(x).at[params["rem_rows"]].add(
-            rem_c.astype(x.dtype), mode="drop")
+        rem = _apply_remainder(params, x, jnp.zeros_like(x))
         yt = yt + rem.T
     return yt.astype(xt.dtype)
+
+
+def _apply_remainder(params, x, y):
+    """y += Remainder @ x in the (np_, R) layout.
+
+    Unique-row padded entries scatter with sorted unique indices (the
+    fast lowering); the spill COO (degree > Kr outlier rows) falls back
+    to the duplicate-handling scatter."""
+    import jax.numpy as jnp
+
+    if params["ru_rows"].shape[0]:
+        contrib = (params["ru_vals"][:, :, None]
+                   * x[params["ru_cols"]]).sum(axis=1)
+        y = y.at[params["ru_rows"]].add(
+            contrib.astype(y.dtype), mode="drop", unique_indices=True)
+    if params["sp_rows"].shape[0]:
+        sp = params["sp_vals"][:, None] * x[params["sp_cols"]]
+        y = y.at[params["sp_rows"]].add(sp.astype(y.dtype), mode="drop")
+    return y
 
 
 def pad_to(x, np_: int):

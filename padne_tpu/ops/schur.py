@@ -363,17 +363,9 @@ def solve_bordered(
     )
 
 
-def _solve_bordered_dia(
-    system: CoreSystem,
-    tol: float,
-    maxiter: int,
-    max_refinements: int,
-    target_residual: float,
-    dispatch_cap="auto",
-    mesh=None,
-    shard_min: int = 32768,
-) -> Optional[BorderedSolution]:
-    """The block-offset-DIA fast path (large meshes).
+class DiaBorderedSolver:
+    """The block-offset-DIA fast path (large meshes), set up once and
+    solvable repeatedly.
 
     mesh: optional jax.sharding.Mesh — ALL its devices become one `tp`
     row-sharding axis for the slab operator and the AMG V-cycle
@@ -394,202 +386,231 @@ def _solve_bordered_dia(
     * the f64 full-system refinement residual is computed on the host
       CSR (one SpMV per refinement pass) — the device stays f32.
 
-    Returns None when no DIA hierarchy can be built (tiny system).
+    Construction raises _NoDiaHierarchy when no DIA hierarchy can be
+    built (tiny system); `solve()` runs one bordered solve + iterative
+    refinement and may be called repeatedly (bench.py times the second,
+    compile-warm call).
     """
-    import logging
 
-    import jax
-    import jax.numpy as jnp
-    import scipy.sparse
+    def __init__(self, system: CoreSystem, tol: float = 1e-14,
+                 maxiter: int = 40000, dispatch_cap="auto", mesh=None,
+                 shard_min: int = 32768):
+        import logging
 
-    from . import amg, cg, dia
+        import scipy.sparse
 
-    n, m = system.n, system.border.m
-    p = system.num_components
-    b = system.border
-    log = logging.getLogger(__name__)
+        from . import amg, cg, dia
 
-    # Multi-chip: flatten ALL the mesh's devices into one tp row-sharding
-    # axis (the DIA format row-shards; dp batching happens above this
-    # layer in sweep.py).
-    dia_mesh = None
-    tp = 1
-    if mesh is not None:
-        devs = np.asarray(mesh.devices).reshape(-1)
-        if devs.size > 1:
-            from jax.sharding import Mesh
+        self.system = system
+        n, m = system.n, system.border.m
+        p = system.num_components
+        b = system.border
+        log = logging.getLogger(__name__)
 
-            dia_mesh = Mesh(devs, axis_names=("tp",))
-            tp = int(devs.size)
+        # Multi-chip: flatten ALL the mesh's devices into one tp
+        # row-sharding axis (the DIA format row-shards; dp batching
+        # happens above this layer in sweep.py).
+        dia_mesh = None
+        tp = 1
+        if mesh is not None:
+            devs = np.asarray(mesh.devices).reshape(-1)
+            if devs.size > 1:
+                from jax.sharding import Mesh
 
-    # coarse_size 3000: a strong dense bottom measured 43 vs 56-67 CG
-    # iterations at 1M DoF; its pinvh costs a few setup seconds.
-    hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
-                                        coarse_size=3000, tp=tp,
-                                        shard_min=shard_min)
-    if not hierarchy.levels:
-        return None
-    backend = dia.default_backend()
-    sharded = tp > 1 and hierarchy.levels[0].shard
-    use_t = system.num_components + 1 <= 64
-    if sharded:
-        from . import dia_sharded
+                dia_mesh = Mesh(devs, axis_names=("tp",))
+                tp = int(devs.size)
 
-        (vcycle_apply, vparams, vspecs, n_sh,
-         shard_plans) = amg.make_vcycle_dia_sharded(
-            hierarchy, dia_mesh, backend=backend)
-    elif use_t:
-        vcycle_apply, vparams = amg.make_vcycle_dia_t(
-            hierarchy, backend=backend, lump_smoothing=False)
-    else:
-        vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy,
-                                                    backend=backend)
-    posmap = hierarchy.posmap0
-    np0 = hierarchy.np0
-    level0 = hierarchy.levels[0]
-    meta0 = level0.pack.meta
-    log.info(
-        "DIA solve: np0=%d offsets=%s remainder=%d levels=%s backend=%s"
-        " tp=%d%s",
-        np0, level0.pack.offs, len(level0.pack.rem_rows),
-        [lv.pack.np_ for lv in hierarchy.levels], backend, tp,
-        f" (sharded levels: {n_sh})" if sharded else "",
-    )
+        # coarse_size 3000: a strong dense bottom measured 43 vs 56-67
+        # CG iterations at 1M DoF; its pinvh costs a few setup seconds.
+        hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
+                                            coarse_size=3000, tp=tp,
+                                            shard_min=shard_min)
+        if not hierarchy.levels:
+            raise _NoDiaHierarchy()
+        self.hierarchy = hierarchy
+        backend = dia.default_backend()
+        sharded = tp > 1 and hierarchy.levels[0].shard
+        use_t = system.num_components + 1 <= 64
+        if sharded:
+            from . import dia_sharded
 
-    # Deflation over padded rows: dummies form one extra component.
-    comp_pad = np.full(np0, p, dtype=np.int32)
-    comp_pad[posmap] = system.comp_id
-    p_cg = p + 1
-
-    def a_apply(prm, x):
-        return dia.dia_matvec(meta0, prm, x, backend=backend)
-
-    if sharded:
-        plan0_meta = shard_plans[0].meta_local
-
-        def a_apply_local(prm, xt):
-            return dia_sharded.dia_matvec_t_local(
-                meta0, plan0_meta, prm, xt, "tp", backend)
-
-        # vparams[0] IS the exact level-0 operator (no lumping in the
-        # sharded cycle), so the CG matvec shares it outright.
-        cg_solver = cg.make_pcg_t_sharded(
-            operator=(a_apply_local, vparams[0]),
-            precond=(vcycle_apply, vparams),
-            comp_id=comp_pad, num_components=p_cg,
-            mesh=dia_mesh, op_specs=vspecs[0], pp_specs=vspecs,
-        )
-    elif use_t:
-        op_params = amg.make_dia_cg_operator(hierarchy, vparams)
-
-        def a_apply_t(prm, xt):
-            return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
-
-        cg_solver = cg.make_pcg_t(
-            operator=(a_apply_t, op_params),
-            precond=(vcycle_apply, vparams),
-            comp_id=jnp.asarray(comp_pad), num_components=p_cg,
-        )
-    else:
-        op_params = amg.make_dia_cg_operator(hierarchy, vparams)
-        cg_solver = cg.make_pcg(
-            None, None, None, jnp.asarray(comp_pad), p_cg,
-            precond=(vcycle_apply, vparams),
-            operator=(a_apply, op_params),
-        )
-    inner_tol = max(tol, 1e-5)
-    # f32 CG gains stall after a few dozen V-cycles (noise floor); the
-    # outer refinement multiplies per-pass gains, so cap the inner solve
-    # instead of letting a floor-limited CG spin to `maxiter`.
-    maxiter = min(maxiter, 300)
-
-    if dispatch_cap == "auto":
-        platform = jax.default_backend()
-        per_iter_rows = max(np0, 1) * 5
-        dispatch_cap = (
-            None if platform == "cpu"
-            else int(np.clip(60_000_000 // per_iter_rows, 30, 4000))
+            (vcycle_apply, vparams, vspecs, n_sh,
+             shard_plans) = amg.make_vcycle_dia_sharded(
+                hierarchy, dia_mesh, backend=backend)
+        elif use_t:
+            # bf16 slabs for the V-cycle (preconditioner-only
+            # precision): halves the dominant HBM stream.  The exact CG
+            # operator keeps its own f32 slab, built FIRST so the
+            # nnz-sized host arrays upload only once (the cycle's bf16
+            # copy is a device-side cast).
+            cycle_bf16 = backend == "pallas"
+            op_params = amg.make_dia_cg_operator(hierarchy)
+            w0 = (op_params["w"].astype(jnp.bfloat16)
+                  if cycle_bf16 else op_params["w"])
+            vcycle_apply, vparams = amg.make_vcycle_dia_t(
+                hierarchy, backend=backend, lump_smoothing=True,
+                slab_dtype=jnp.bfloat16 if cycle_bf16 else None, w0=w0)
+        else:
+            vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy,
+                                                        backend=backend)
+        posmap = hierarchy.posmap0
+        np0 = hierarchy.np0
+        level0 = hierarchy.levels[0]
+        meta0 = level0.pack.meta
+        log.info(
+            "DIA solve: np0=%d offsets=%s remainder=%d levels=%s "
+            "backend=%s tp=%d%s",
+            np0, level0.pack.offs, len(level0.pack.rem_rows),
+            [lv.pack.np_ for lv in hierarchy.levels], backend, tp,
+            f" (sharded levels: {n_sh})" if sharded else "",
         )
 
-    # Device-side border products from nnz triplets (tiny uploads).
-    posmap_dev = jnp.asarray(posmap.astype(np.int32))
-    row_node_pos = jnp.asarray(posmap[b.row_node].astype(np.int32))
-    row_idx_dev = jnp.asarray(b.row_idx.astype(np.int32))
-    row_val_dev = jnp.asarray(b.row_val.astype(np.float32))
-    col_node_pos = jnp.asarray(posmap[b.col_node].astype(np.int32))
-    col_idx_dev = jnp.asarray(b.col_idx.astype(np.int32))
-    col_val_dev = jnp.asarray(b.col_val.astype(np.float32))
+        # Deflation over padded rows: dummies form one extra component.
+        comp_pad = np.full(np0, p, dtype=np.int32)
+        comp_pad[posmap] = system.comp_id
+        p_cg = p + 1
 
-    @jax.jit
-    def build_rhs(rc_pad):
-        """[C | rc] as a padded (np0, m+1) f32 block, on device."""
-        rhs = jnp.zeros((np0, m + 1), jnp.float32)
-        rhs = rhs.at[col_node_pos, col_idx_dev].add(col_val_dev)
-        return rhs.at[:, m].set(rc_pad)
+        def a_apply(prm, x):
+            return dia.dia_matvec(meta0, prm, x, backend=backend)
 
-    @jax.jit
-    def border_products(X):
-        """(B Xc, B xr) from the sparse border rows: (m, m), (m,)."""
-        g = X[row_node_pos] * row_val_dev[:, None]       # (nnzB, m+1)
-        bx = jax.ops.segment_sum(g, row_idx_dev, num_segments=m)
-        return bx[:, :m], bx[:, m]
+        if sharded:
+            plan0_meta = shard_plans[0].meta_local
 
-    comp_pad_dev = jnp.asarray(comp_pad)
+            def a_apply_local(prm, xt):
+                return dia_sharded.dia_matvec_t_local(
+                    meta0, plan0_meta, prm, xt, "tp", backend)
 
-    @jax.jit
-    def combine(X, j_dev, c_full, comp_dev):
-        """v_pad = Xc @ j - xr + c[comp]."""
-        return X[:, :m] @ j_dev - X[:, m] + c_full[comp_dev]
+            # vparams[0] IS the exact level-0 operator (no lumping in
+            # the sharded cycle), so the CG matvec shares it outright.
+            cg_solver = cg.make_pcg_t_sharded(
+                operator=(a_apply_local, vparams[0]),
+                precond=(vcycle_apply, vparams),
+                comp_id=comp_pad, num_components=p_cg,
+                mesh=dia_mesh, op_specs=vspecs[0], pp_specs=vspecs,
+            )
+        elif use_t:
+            def a_apply_t(prm, xt):
+                return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
 
-    # Host-side small dense pieces.
-    BZ = np.zeros((m, p))
-    np.add.at(BZ, (b.row_idx, system.comp_id[b.row_node]), b.row_val)
-    ZtC = np.zeros((p, m))
-    np.add.at(ZtC, (system.comp_id[b.col_node], b.col_idx), b.col_val)
+            cg_solver = cg.make_pcg_t(
+                operator=(a_apply_t, op_params),
+                precond=(vcycle_apply, vparams),
+                comp_id=jnp.asarray(comp_pad), num_components=p_cg,
+            )
+        else:
+            op_params = amg.make_dia_cg_operator(hierarchy, vparams)
+            cg_solver = cg.make_pcg(
+                None, None, None, jnp.asarray(comp_pad), p_cg,
+                precond=(vcycle_apply, vparams),
+                operator=(a_apply, op_params),
+            )
+        self.cg_solver = cg_solver
+        self.inner_tol = max(tol, 1e-5)
+        # f32 CG gains stall after a few dozen V-cycles (noise floor);
+        # the outer refinement multiplies per-pass gains, so cap the
+        # inner solve instead of letting a floor-limited CG spin to
+        # `maxiter`.
+        self.maxiter = min(maxiter, 300)
 
-    A_host = system.ell.to_scipy()
-    C_host = scipy.sparse.coo_matrix(
-        (b.col_val, (b.col_node, b.col_idx)), shape=(n, m)).tocsr()
-    B_host = scipy.sparse.coo_matrix(
-        (b.row_val, (b.row_idx, b.row_node)), shape=(m, n)).tocsr()
+        if dispatch_cap == "auto":
+            platform = jax.default_backend()
+            per_iter_rows = max(np0, 1) * 5
+            dispatch_cap = (
+                None if platform == "cpu"
+                else int(np.clip(60_000_000 // per_iter_rows, 30, 4000))
+            )
+        self.dispatch_cap = dispatch_cap
 
-    total_cg_iters = 0
+        # Device-side border products from nnz triplets (tiny uploads).
+        self.posmap = posmap
+        self.np0 = np0
+        self.m, self.p = m, p
+        self.posmap_dev = jnp.asarray(posmap.astype(np.int32))
+        row_node_pos = jnp.asarray(posmap[b.row_node].astype(np.int32))
+        row_idx_dev = jnp.asarray(b.row_idx.astype(np.int32))
+        row_val_dev = jnp.asarray(b.row_val.astype(np.float32))
+        col_node_pos = jnp.asarray(posmap[b.col_node].astype(np.int32))
+        col_idx_dev = jnp.asarray(b.col_idx.astype(np.int32))
+        col_val_dev = jnp.asarray(b.col_val.astype(np.float32))
 
-    def run_cg(rhs_dev):
-        nonlocal total_cg_iters
+        @jax.jit
+        def build_rhs(rc_pad):
+            """[C | rc] as a padded (np0, m+1) f32 block, on device."""
+            rhs = jnp.zeros((np0, m + 1), jnp.float32)
+            rhs = rhs.at[col_node_pos, col_idx_dev].add(col_val_dev)
+            return rhs.at[:, m].set(rc_pad)
+
+        @jax.jit
+        def border_products(X):
+            """(B Xc, B xr) from the sparse border rows: (m, m), (m,)."""
+            g = X[row_node_pos] * row_val_dev[:, None]   # (nnzB, m+1)
+            bx = jax.ops.segment_sum(g, row_idx_dev, num_segments=m)
+            return bx[:, :m], bx[:, m]
+
+        @jax.jit
+        def combine(X, j_dev, c_full, comp_dev):
+            """v_pad = Xc @ j - xr + c[comp]."""
+            return X[:, :m] @ j_dev - X[:, m] + c_full[comp_dev]
+
+        self._build_rhs = build_rhs
+        self._border_products = border_products
+        self._combine = combine
+        self.comp_pad_dev = jnp.asarray(comp_pad)
+
+        # Host-side small dense pieces.
+        self.BZ = np.zeros((m, p))
+        np.add.at(self.BZ, (b.row_idx, system.comp_id[b.row_node]),
+                  b.row_val)
+        self.ZtC = np.zeros((p, m))
+        np.add.at(self.ZtC, (system.comp_id[b.col_node], b.col_idx),
+                  b.col_val)
+
+        self.A_host = system.ell.to_scipy()
+        self.C_host = scipy.sparse.coo_matrix(
+            (b.col_val, (b.col_node, b.col_idx)), shape=(n, m)).tocsr()
+        self.B_host = scipy.sparse.coo_matrix(
+            (b.row_val, (b.row_idx, b.row_node)), shape=(m, n)).tocsr()
+        self._cg_iters = 0
+
+    def _run_cg(self, rhs_dev):
+        dispatch_cap, maxiter = self.dispatch_cap, self.maxiter
         if dispatch_cap is None or maxiter <= dispatch_cap:
-            res = cg_solver(rhs_dev, inner_tol, maxiter)
-            total_cg_iters += int(res.iterations)
+            res = self.cg_solver(rhs_dev, self.inner_tol, maxiter)
+            self._cg_iters += int(res.iterations)
             return res.x
         total = 0
         state = None
         while True:
             it = int(min(dispatch_cap, maxiter - total))
-            res, state = cg_solver.stateful(rhs_dev, inner_tol, it, state)
+            res, state = self.cg_solver.stateful(
+                rhs_dev, self.inner_tol, it, state)
             chunk = int(res.iterations)
             total += chunk
             if chunk < it or total >= maxiter:
                 break
-        total_cg_iters += total
+        self._cg_iters += total
         return res.x
 
-    def solve_once(rc, rb):
-        """One Schur pass; rc (n,) rb (m,) host f64 -> (dv, dj) host f64."""
-        rc_pad = jnp.zeros(np0, jnp.float32).at[posmap_dev].set(
+    def _solve_once(self, rc, rb):
+        """One Schur pass; rc (n,) rb (m,) host f64 -> (dv, dj) f64."""
+        m, p = self.m, self.p
+        system = self.system
+        rc_pad = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
             jnp.asarray(rc.astype(np.float32)))
-        X = run_cg(build_rhs(rc_pad))                    # (np0, m+1) f32
-        BXc, Bxr = border_products(X)
+        X = self._run_cg(self._build_rhs(rc_pad))    # (np0, m+1) f32
+        BXc, Bxr = self._border_products(X)
         BXc = np.asarray(BXc, dtype=np.float64)
         Bxr = np.asarray(Bxr, dtype=np.float64)
         Ztr = np.zeros(p)
         np.add.at(Ztr, system.comp_id, rc)
 
         if p > 256:
-            j, *_ = np.linalg.lstsq(ZtC, Ztr, rcond=None)
-            c, *_ = np.linalg.lstsq(BZ, (rb + Bxr) - BXc @ j, rcond=None)
+            j, *_ = np.linalg.lstsq(self.ZtC, Ztr, rcond=None)
+            c, *_ = np.linalg.lstsq(self.BZ, (rb + Bxr) - BXc @ j,
+                                    rcond=None)
         else:
-            top = np.concatenate([BXc, BZ], axis=1)
-            bot = np.concatenate([ZtC, np.zeros((p, p))], axis=1)
+            top = np.concatenate([BXc, self.BZ], axis=1)
+            bot = np.concatenate([self.ZtC, np.zeros((p, p))], axis=1)
             M = np.concatenate([top, bot], axis=0)
             rhs_small = np.concatenate([rb + Bxr, Ztr])
             sol, *_ = np.linalg.lstsq(M, rhs_small, rcond=None)
@@ -597,35 +618,68 @@ def _solve_bordered_dia(
 
         c_full = jnp.asarray(
             np.concatenate([c, [0.0]]).astype(np.float32))  # dummy comp
-        v_pad = combine(X, jnp.asarray(j.astype(np.float32)), c_full,
-                        comp_pad_dev)
-        v = np.asarray(v_pad, dtype=np.float64)[posmap]
+        v_pad = self._combine(X, jnp.asarray(j.astype(np.float32)),
+                              c_full, self.comp_pad_dev)
+        v = np.asarray(v_pad, dtype=np.float64)[self.posmap]
         return v, j
 
-    def full_residual(v, j):
-        res_core = system.r_core + A_host @ v - C_host @ j
-        res_border = b.rhs - B_host @ v
+    def _full_residual(self, v, j):
+        b = self.system.border
+        res_core = self.system.r_core + self.A_host @ v - self.C_host @ j
+        res_border = b.rhs - self.B_host @ v
         return res_core, res_border
 
-    v, j = solve_once(system.r_core, b.rhs)
-    refinements = 0
-    res_core, res_border = full_residual(v, j)
-    res_norm = float(np.sqrt((res_core**2).sum() + (res_border**2).sum()))
-    while res_norm > target_residual and refinements < max_refinements:
-        dv, dj = solve_once(res_core, res_border)
-        v_new, j_new = v + dv, j + dj
-        rc_new, rb_new = full_residual(v_new, j_new)
-        new_norm = float(np.sqrt((rc_new**2).sum() + (rb_new**2).sum()))
-        refinements += 1
-        if new_norm >= res_norm:
-            break
-        v, j = v_new, j_new
-        res_core, res_border = rc_new, rb_new
-        res_norm = new_norm
+    def solve(self, target_residual: float = 1e-10,
+              max_refinements: int = 8) -> BorderedSolution:
+        system, b = self.system, self.system.border
+        self._cg_iters = 0
+        v, j = self._solve_once(system.r_core, b.rhs)
+        refinements = 0
+        res_core, res_border = self._full_residual(v, j)
+        res_norm = float(np.sqrt((res_core**2).sum()
+                                 + (res_border**2).sum()))
+        while res_norm > target_residual and refinements < max_refinements:
+            dv, dj = self._solve_once(res_core, res_border)
+            v_new, j_new = v + dv, j + dj
+            rc_new, rb_new = self._full_residual(v_new, j_new)
+            new_norm = float(np.sqrt((rc_new**2).sum()
+                                     + (rb_new**2).sum()))
+            refinements += 1
+            if new_norm >= res_norm:
+                break
+            v, j = v_new, j_new
+            res_core, res_border = rc_new, rb_new
+            res_norm = new_norm
 
-    gc = float(j[system.ground_var]) if m > 0 else 0.0
-    return BorderedSolution(
-        v=v, j=np.asarray(j), residual_norm=res_norm,
-        ground_current=gc, cg_iterations=total_cg_iters,
-        refinement_steps=refinements,
-    )
+        gc = float(j[system.ground_var]) if self.m > 0 else 0.0
+        return BorderedSolution(
+            v=v, j=np.asarray(j), residual_norm=res_norm,
+            ground_current=gc, cg_iterations=self._cg_iters,
+            refinement_steps=refinements,
+        )
+
+
+class _NoDiaHierarchy(Exception):
+    """No DIA hierarchy could be built (system too small)."""
+
+
+def _solve_bordered_dia(
+    system: CoreSystem,
+    tol: float,
+    maxiter: int,
+    max_refinements: int,
+    target_residual: float,
+    dispatch_cap="auto",
+    mesh=None,
+    shard_min: int = 32768,
+) -> Optional[BorderedSolution]:
+    """One-shot wrapper around DiaBorderedSolver (the solve_bordered
+    dispatch target).  Returns None when no hierarchy can be built."""
+    try:
+        solver = DiaBorderedSolver(
+            system, tol=tol, maxiter=maxiter, dispatch_cap=dispatch_cap,
+            mesh=mesh, shard_min=shard_min)
+    except _NoDiaHierarchy:
+        return None
+    return solver.solve(target_residual=target_residual,
+                        max_refinements=max_refinements)

@@ -514,20 +514,18 @@ def produce_layer_solutions(
 # ---------------------------------------------------------------------------
 # Top-level solve (reference solver.py:815-902)
 # ---------------------------------------------------------------------------
-def solve(
+def build_system(
     prob: problem.Problem,
     mesher_config: Optional[mesh.Mesher.Config] = None,
-    check_against_scipy: bool = False,
-    device_mesh=None,
-) -> Solution:
-    """Solve a problem end-to-end.
+):
+    """The host pipeline up to the assembled system: connectivity,
+    meshing, indexing, dead-network filtering, FEM/MNA assembly.
 
-    device_mesh: optional jax.sharding.Mesh with a "tp" axis — the
-    inner CG/AMG solve runs tensor-parallel over those devices (see
-    ops.schur.solve_bordered).
+    Returns (system, meshes, mesh_to_layer, vindex, disconnected) —
+    everything `solve` needs to run the device solve and scatter the
+    solution back to per-layer forms.  Exposed so benchmarks and sweeps
+    can time/reuse the host stages independently of the solve.
     """
-    from .ops import schur as ops_schur
-
     mesher = mesh.Mesher(mesher_config)
 
     log.info("Constructing connectivity graph and finding connected layers")
@@ -556,6 +554,26 @@ def solve(
     log.info(
         f"System: {system.n} core + {system.border.m} border variables, "
         f"{system.num_components} components"
+    )
+    return system, meshes, mesh_to_layer, vindex, disconnected
+
+
+def solve(
+    prob: problem.Problem,
+    mesher_config: Optional[mesh.Mesher.Config] = None,
+    check_against_scipy: bool = False,
+    device_mesh=None,
+) -> Solution:
+    """Solve a problem end-to-end.
+
+    device_mesh: optional jax.sharding.Mesh with a "tp" axis — the
+    inner CG/AMG solve runs tensor-parallel over those devices (see
+    ops.schur.solve_bordered).
+    """
+    from .ops import schur as ops_schur
+
+    system, meshes, mesh_to_layer, vindex, disconnected = build_system(
+        prob, mesher_config
     )
 
     log.info("Solving the system (deflated PCG + Schur border)")

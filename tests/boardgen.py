@@ -305,6 +305,82 @@ def gen_resistor_divider(out_dir: pathlib.Path):
     ])
 
 
+def four_layer_header() -> str:
+    """PCB header with a 4-layer stackup (F / In1 / In2 / B)."""
+    return PCB_HEADER.replace(
+        '(0 "F.Cu" signal)\n    (31 "B.Cu" signal)',
+        '(0 "F.Cu" signal)\n    (1 "In1.Cu" signal)\n'
+        '    (2 "In2.Cu" signal)\n    (31 "B.Cu" signal)',
+    ).replace(
+        '(layer "dielectric 1" (type "core") (thickness 1.51) (material "FR4"))',
+        '(layer "dielectric 1" (type "prepreg") (thickness 0.2) (material "FR4"))\n'
+        '      (layer "In1.Cu" (type "copper") (thickness 0.0175))\n'
+        '      (layer "dielectric 2" (type "core") (thickness 1.0) (material "FR4"))\n'
+        '      (layer "In2.Cu" (type "copper") (thickness 0.0175))\n'
+        '      (layer "dielectric 3" (type "prepreg") (thickness 0.2) (material "FR4"))',
+    )
+
+
+def gen_bench_4layer(out_dir, side: float = 60.0, n_vias: int = 7):
+    """The north-star benchmark workload (BASELINE.md: "1M-DoF 4-layer
+    board"): four full-area copper planes, an n_vias x n_vias stitching
+    grid of through vias (each expands into the loader's hollow-cylinder
+    resistor stack, reference kicad.py:1497-1585), a corner voltage
+    source, a second remote forcing source, and two high-current loads
+    pulling through the plane stack.  The MNA border therefore carries
+    multiple source current variables plus the ground pin (m > 1), and
+    every layer polygon is punched with the full via-hole grid.
+
+    Mesh density (and thus the DoF count) is the bench runner's knob via
+    Mesher.Config.maximum_size; geometry here is density-independent.
+    """
+    out_dir = pathlib.Path(out_dir)
+    x0, y0 = 100.0, 100.0
+    x1, y1 = x0 + side, y0 + side
+    body = gr_rect(x0 - 2, y0 - 2, x1 + 2, y1 + 2)
+    fill = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    for layer in ("F.Cu", "In1.Cu", "In2.Cu", "B.Cu"):
+        body += zone(layer, fill, fill)
+    # Stitching grid, inset from the edges so every hole is interior.
+    inset = side / (n_vias + 1)
+    for i in range(n_vias):
+        for j in range(n_vias):
+            body += via(x0 + inset * (i + 1), y0 + inset * (j + 1),
+                        0.6, 0.3)
+    pads = [{"name": "1", "kind": "smd", "shape": "rect",
+             "size": (1.2, 1.2)}]
+    pads_b = [{"name": "1", "kind": "smd", "shape": "rect",
+               "size": (1.2, 1.2), "layers": '"B.Cu"'}]
+    body += footprint("VIN", x0 + 2, y0 + 2, 0, pads)
+    body += footprint("VRET", x1 - 2, y1 - 2, 0, pads_b, layer="B.Cu")
+    body += footprint("SNS", x0 + 2, y1 - 2, 0, pads)
+    body += footprint("SNSR", x1 - 2, y0 + 2, 0, pads_b, layer="B.Cu")
+    # Load pads sit half an inset off the via grid so they never land
+    # in a drilled hole.
+    off = inset / 2
+    body += footprint("LD1", x0 + side * 0.5 + off, y0 + side * 0.5 + off,
+                      0, pads)
+    body += footprint("LD1R", x0 + side * 0.5 - off, y0 + side * 0.5 - off,
+                      0, pads_b, layer="B.Cu")
+    body += footprint("LD2", x0 + side * 0.75 + off, y0 + side * 0.25 + off,
+                      0, pads)
+    body += footprint("LD2R", x0 + side * 0.25 - off, y0 + side * 0.75 - off,
+                      0, pads_b, layer="B.Cu")
+    name = "gen_bench_4layer"
+    d = out_dir / name
+    d.mkdir(parents=True, exist_ok=True)
+    (d / f"{name}.kicad_pcb").write_text(four_layer_header() + body + ")\n")
+    (d / f"{name}.kicad_sch").write_text(sch_with_text([
+        "!padne VOLTAGE v=1V p=VIN.1 n=VRET.1",
+        "!padne VOLTAGE v=1V p=SNS.1 n=SNSR.1",
+        "!padne CURRENT i=10A f=LD1.1 t=LD1R.1",
+        "!padne CURRENT i=5A f=LD2.1 t=LD2R.1",
+    ]))
+    (d / f"{name}.kicad_pro").write_text(
+        json.dumps({"meta": {"filename": f"{name}.kicad_pro"}}))
+    return d / f"{name}.kicad_pro"
+
+
 def generate_all(out_dir) -> pathlib.Path:
     out_dir = pathlib.Path(out_dir)
     gen_strip(out_dir)
