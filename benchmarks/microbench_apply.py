@@ -119,7 +119,16 @@ def main():
     @jax.jit
     def rem_gather_only(prm, xt):
         x = xt.T
-        return (prm["ru_vals"][:, :, None] * x[prm["ru_cols"]]).sum(1)
+        parts = []
+        for dd in dia.DiaPack.REM_BUCKETS:
+            vals_d, cols_d = prm[f"r{dd}_vals"], prm[f"r{dd}_cols"]
+            if not vals_d.shape[0]:
+                continue
+            c = vals_d[:, 0, None] * x[cols_d[:, 0]]
+            for k in range(1, dd):
+                c = c + vals_d[:, k, None] * x[cols_d[:, k]]
+            parts.append(c)
+        return jnp.concatenate(parts)
 
     @jax.jit
     def transpose_only(xt):

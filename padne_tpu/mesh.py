@@ -176,6 +176,73 @@ class TriMesh:
     def euler_characteristic(self) -> int:
         return self.num_vertices - len(self.edges) + self.num_faces
 
+    def validate(self, min_angle_deg: float = 0.0,
+                 max_edge_length: float = 0.0) -> None:
+        """Assert the structural invariants every solver stage relies on;
+        raise MeshingException naming the first violation.
+
+        Always checked: finite coordinates, in-range triangle indices,
+        no degenerate or duplicate faces, consistent CCW orientation,
+        manifoldness (<= 2 faces per edge), no isolated vertices, and
+        boundary loops that close (every boundary vertex touches an even
+        number of boundary edges).  `min_angle_deg` / `max_edge_length`
+        additionally gate mesh *quality* — pass the mesher's refinement
+        targets to verify its output honors them (the reference runs the
+        analogous gate over every mesher output, tests/test_mesh.py:423+).
+        """
+        v, t = self.vertices, self.triangles
+
+        def fail(msg):
+            raise MeshingException(f"mesh validation failed: {msg}")
+
+        if not np.isfinite(v).all():
+            fail("non-finite vertex coordinates")
+        if len(t):
+            if t.min() < 0 or t.max() >= len(v):
+                fail("triangle index out of range")
+            if (np.sort(t, axis=1)[:, :-1] == np.sort(t, axis=1)[:, 1:]).any():
+                fail("degenerate face (repeated vertex)")
+            if len(np.unique(np.sort(t, axis=1), axis=0)) != len(t):
+                fail("duplicate face")
+            p = v[t]
+            cross = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+                     - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0]))
+            if (cross <= 0).any():
+                fail(f"{int((cross <= 0).sum())} non-CCW (or zero-area) "
+                     "face(s)")
+        if (self.edge_face_count > 2).any():
+            fail("non-manifold edge (more than 2 incident faces)")
+        used = np.zeros(len(v), dtype=bool)
+        used[t.reshape(-1)] = True
+        if not used.all():
+            fail(f"{int((~used).sum())} isolated vertex/vertices")
+        be = self.edges[self.boundary_edge_mask]
+        deg = np.bincount(be.reshape(-1), minlength=len(v))
+        bad = deg % 2 != 0
+        if bad.any():
+            fail("boundary does not close (odd boundary degree at "
+                 f"{int(bad.sum())} vertex/vertices)")
+
+        if min_angle_deg > 0.0 and len(t):
+            p = v[t]
+            angles = np.empty((len(t), 3))
+            for k in range(3):
+                u = p[:, (k + 1) % 3] - p[:, k]
+                w = p[:, (k + 2) % 3] - p[:, k]
+                cosang = (u * w).sum(1) / np.maximum(
+                    np.linalg.norm(u, axis=1) * np.linalg.norm(w, axis=1),
+                    1e-300)
+                angles[:, k] = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+            amin = float(angles.min())
+            if amin < min_angle_deg:
+                fail(f"minimum angle {amin:.2f} deg < {min_angle_deg} deg")
+        if max_edge_length > 0.0 and len(self.edges):
+            el = np.linalg.norm(
+                v[self.edges[:, 0]] - v[self.edges[:, 1]], axis=1)
+            emax = float(el.max())
+            if emax > max_edge_length:
+                fail(f"edge length {emax:.3g} > {max_edge_length:.3g}")
+
     # -- serialization -------------------------------------------------------
     def to_arrays(self) -> dict:
         return {"vertices": self.vertices, "triangles": self.triangles}

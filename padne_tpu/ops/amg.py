@@ -585,12 +585,9 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
             np.add.at(diag_l, lv.pack.rem_rows, lv.pack.rem_vals)
             entry["diag"] = jnp.asarray(diag_l).astype(
                 dtype or jnp.float32)
-            for k in ("ru_rows", "sp_rows"):
-                entry[k] = entry[k][:0]
-            for k in ("ru_cols", "ru_vals"):
-                entry[k] = entry[k][:0]
-            for k in ("sp_cols", "sp_vals"):
-                entry[k] = entry[k][:0]
+            for k in list(entry):
+                if k.startswith(("r1_", "r2_", "r3_", "sp_")):
+                    entry[k] = entry[k][:0]
             dinv_l = np.where(diag_l > 0,
                               1.0 / np.where(diag_l > 0, diag_l, 1.0), 0.0)
             entry["dinv"] = jnp.asarray(dinv_l).astype(dtype or jnp.float32)
@@ -897,22 +894,12 @@ def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None):
 
     lv = h.levels[0]
     dtype = dtype or jnp.float32
-    ru_rows, ru_cols, ru_vals, sp_r, sp_c, sp_v = lv.pack.rem_ell()
     w = vparams[0]["w"] if vparams is not None else None
-    if w is None or w.dtype != dtype:
+    if w is not None and w.dtype != dtype:
         # The V-cycle may hold reduced-precision slabs; the CG matvec
         # must stay exact, so build a full-precision slab.
-        w = lv.pack.to_device(dtype=dtype)["w"]
-    return {
-        "w": w,
-        "diag": jnp.asarray(lv.pack.diag).astype(dtype),
-        "ru_rows": jnp.asarray(ru_rows),
-        "ru_cols": jnp.asarray(ru_cols),
-        "ru_vals": jnp.asarray(ru_vals.astype(np.float32)).astype(dtype),
-        "sp_rows": jnp.asarray(sp_r.astype(np.int32)),
-        "sp_cols": jnp.asarray(sp_c.astype(np.int32)),
-        "sp_vals": jnp.asarray(sp_v.astype(np.float32)).astype(dtype),
-    }
+        w = None
+    return lv.pack.to_device(dtype=dtype, w=w)
 
 
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:

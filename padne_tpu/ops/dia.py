@@ -65,7 +65,13 @@ def choose_offsets(
     if len(rows) == 0:
         return (0,)
     bd = cols // b - rows // b
-    u, c = np.unique(bd, return_counts=True)
+    # bincount over the offset span beats np.unique's sort (~1 s at
+    # 6M nnz); the span is bounded by the Hilbert-order locality.
+    bdmin = int(bd.min())
+    cnts = np.bincount(bd - bdmin)
+    u = np.nonzero(cnts)[0]
+    c = cnts[u]
+    u = u + bdmin
     order = np.argsort(-c)
     total = len(rows)
     picked = []
@@ -108,35 +114,51 @@ class DiaPack:
         """Static description consumed by the jitted matvec."""
         return (self.np_, self.b, self.g, self.ng, self.offs)
 
-    def rem_ell(self, kr_cap: int = 8):
-        """Unique-row padded layout of the remainder: (ru_rows (U,),
-        ru_cols (U, Kr), ru_vals (U, Kr)) plus a spill COO for rows
-        whose remainder degree exceeds kr_cap (rare: high-degree
-        connection vertices).
+    REM_BUCKETS = (1, 2, 3)
 
-        The per-unique-row form lets the device scatter-add run with
-        unique sorted indices (the generic duplicate-handling scatter
-        measured ~3x slower at 1M rows).  Padding slots carry column 0
-        with value 0 — an inert contribution.
+    def rem_ell(self):
+        """Degree-bucketed unique-row layout of the remainder.
+
+        Rows are grouped by remainder degree into REM_BUCKETS classes;
+        a degree-d row in bucket d carries exactly its d (col, val)
+        pairs — NO padding slots, so the device gathers only real
+        entries (a flat Kr-padded layout measured 4x the gather cost:
+        most rows have degree 1-2, the max is ~5).  Rows with degree
+        beyond the last bucket spill to a COO tail (rare high-degree
+        connection vertices).  Contributions from all buckets
+        concatenate into ONE sorted-unique-index scatter-add — the fast
+        lowering; the generic duplicate-handling scatter measured ~3x
+        slower at 1M rows.
+
+        Returns ({d: (rows (U_d,), cols (U_d, d), vals (U_d, d))},
+        spill_rows, spill_cols, spill_vals).
         """
         rr = self.rem_rows
+        out = {}
         if len(rr) == 0:
+            for d in self.REM_BUCKETS:
+                z = np.zeros(0, np.int32)
+                out[d] = (z, z.reshape(0, d), np.zeros((0, d)))
             z = np.zeros(0, np.int32)
-            return (z, z.reshape(0, 1), np.zeros((0, 1)), z, z,
-                    np.zeros(0))
+            return out, z, z, np.zeros(0)
         u, start, counts = np.unique(rr, return_index=True,
                                      return_counts=True)
-        kr = int(min(counts.max(), kr_cap))
         seq = np.arange(len(rr))
-        slot = seq - start[np.searchsorted(u, rr)]
-        keep = slot < kr
-        ru_cols = np.zeros((len(u), kr), np.int32)
-        ru_vals = np.zeros((len(u), kr))
-        row_of = np.searchsorted(u, rr[keep])
-        ru_cols[row_of, slot[keep]] = self.rem_cols[keep]
-        ru_vals[row_of, slot[keep]] = self.rem_vals[keep]
-        return (u.astype(np.int32), ru_cols, ru_vals,
-                rr[~keep], self.rem_cols[~keep], self.rem_vals[~keep])
+        which = np.searchsorted(u, rr)
+        slot = seq - start[which]
+        deg = counts[which]        # per-entry degree of its row
+        for d in self.REM_BUCKETS:
+            ud = u[counts == d]
+            sel = deg == d
+            cols_d = np.zeros((len(ud), d), np.int32)
+            vals_d = np.zeros((len(ud), d))
+            row_of = np.searchsorted(ud, rr[sel])
+            cols_d[row_of, slot[sel]] = self.rem_cols[sel]
+            vals_d[row_of, slot[sel]] = self.rem_vals[sel]
+            out[d] = (ud.astype(np.int32), cols_d, vals_d)
+        sp = deg > self.REM_BUCKETS[-1]
+        return (out, rr[sp].astype(np.int32),
+                self.rem_cols[sp].astype(np.int32), self.rem_vals[sp])
 
     def to_device(self, dtype=None, w=None) -> dict:
         """Device parameter dict: W slab (one on-device scatter), the
@@ -167,18 +189,25 @@ class DiaPack:
 
             w = _build(idx, vals, size)
 
-        ru_rows, ru_cols, ru_vals, sp_r, sp_c, sp_v = self.rem_ell()
-        return {
+        buckets, sp_r, sp_c, sp_v = self.rem_ell()
+        params = {
             "w": w,
-            "ru_rows": jnp.asarray(ru_rows),
-            "ru_cols": jnp.asarray(ru_cols),
-            "ru_vals": jnp.asarray(ru_vals.astype(np.float32)
-                                   ).astype(dtype),
-            "sp_rows": jnp.asarray(sp_r.astype(np.int32)),
-            "sp_cols": jnp.asarray(sp_c.astype(np.int32)),
+            "sp_rows": jnp.asarray(sp_r),
+            "sp_cols": jnp.asarray(sp_c),
             "sp_vals": jnp.asarray(sp_v.astype(np.float32)).astype(dtype),
-            "diag": jnp.asarray(self.diag).astype(dtype),
+            # Cast on host BEFORE the upload: a f64 upload through the
+            # ~13 MB/s tunnel followed by a device cast doubles the
+            # transferred bytes.  (f64 requests upload as-is.)
+            "diag": jnp.asarray(self.diag if dtype == jnp.float64
+                                else self.diag.astype(np.float32)
+                                ).astype(dtype),
         }
+        for d, (rows_d, cols_d, vals_d) in buckets.items():
+            params[f"r{d}_rows"] = jnp.asarray(rows_d)
+            params[f"r{d}_cols"] = jnp.asarray(cols_d)
+            params[f"r{d}_vals"] = jnp.asarray(
+                vals_d.astype(np.float32)).astype(dtype)
+        return params
 
 
 def pack_dia(
@@ -245,8 +274,16 @@ def pack_dia(
 
     rb, cb = rows // b, cols // b
     bd = cb - rb
-    sel = np.isin(bd, offs)
+    # Membership via a small lookup table over the offset span —
+    # np.isin costs ~0.8 s per call at 6M nnz, the LUT is two passes.
     off_arr = np.asarray(offs)
+    dmin, dspan = int(off_arr[0]), int(off_arr[-1] - off_arr[0])
+    lut = np.zeros(dspan + 1, dtype=bool)
+    lut[off_arr - dmin] = True
+    rng = bd - dmin
+    in_rng = (rng >= 0) & (rng <= dspan)
+    sel = np.zeros(len(bd), dtype=bool)
+    sel[in_rng] = lut[rng[in_rng]]
     ds = np.searchsorted(off_arr, bd[sel])
     r_s, c_s = rows[sel], cols[sel]
     gi, gg = (r_s // b) // g, (r_s // b) % g
@@ -308,12 +345,15 @@ def _dmax(offs) -> int:
     return max(max(abs(o) for o in offs), 1)
 
 
-def _pallas_main(meta, w, xt_pad):
+def _pallas_main(meta, w, xt_pad, interpret: bool = False):
     """y^T (R, np_) = OffDiag @ x via the pallas kernel.
 
     xt_pad: (R, np_ + 2*dmax*B) — x transposed, zero halo of dmax blocks
     on each side.  Per grid step: one DMA of the (R, WIN) x window into
     VMEM, then G*D static-slice (R,B)@(B,B) MXU dots.
+
+    interpret=True runs the kernel in pallas interpret mode (any
+    backend) — the CI parity gate for the TPU kernel.
     """
     import jax
     import jax.numpy as jnp
@@ -353,7 +393,7 @@ def _pallas_main(meta, w, xt_pad):
         num_scalar_prefetch=0,
         grid=(ng,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, g, d, b, b),
                          lambda i: (i,) + (jnp.int32(0),) * 4),
         ],
@@ -364,6 +404,7 @@ def _pallas_main(meta, w, xt_pad):
     f = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r, np_), jnp.float32),
+        interpret=interpret,
     )
     return f(xt_pad, w)
 
@@ -394,6 +435,16 @@ def _xla_main(meta, w, xt_pad):
     return acc.transpose(1, 0, 2).reshape(r, np_)
 
 
+def _run_main(backend: str, meta, w, xt_pad):
+    """Dispatch the slab contraction: "pallas" (TPU), "interpret"
+    (pallas kernel under the interpreter — CI parity), "xla"."""
+    if backend == "pallas":
+        return _pallas_main(meta, w, xt_pad)
+    if backend == "interpret":
+        return _pallas_main(meta, w, xt_pad, interpret=True)
+    return _xla_main(meta, w, xt_pad)
+
+
 def dia_matvec(meta, params, x, backend: Optional[str] = None):
     """y = (Diag + OffDiag) @ x for (np_, R) or (np_,) x.  Jit-traceable;
     `meta` and `backend` must be static under jit."""
@@ -407,12 +458,11 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None):
     dmax = _dmax(offs)
     # The pallas kernel is f32; the XLA path follows the slab dtype
     # (enables f64 V-cycles on CPU for reference computations).
-    compute_dtype = (jnp.float32 if backend == "pallas"
+    compute_dtype = (jnp.float32 if backend in ("pallas", "interpret")
                      else params["w"].dtype)
     xt = x.astype(compute_dtype).T
     xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
-    main = (_pallas_main if backend == "pallas" else _xla_main)(
-        meta, params["w"], xt_pad).T
+    main = _run_main(backend, meta, params["w"], xt_pad).T
     main = _apply_remainder(params, x, main)
     y = main + params["diag"][:, None] * x
     y = y.astype(x.dtype)
@@ -438,15 +488,15 @@ def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
     np_, b, g, ng, offs = meta
     backend = backend or default_backend()
     dmax = _dmax(offs)
-    compute_dtype = (jnp.float32 if backend == "pallas"
+    compute_dtype = (jnp.float32 if backend in ("pallas", "interpret")
                      else params["w"].dtype)
     xt32 = xt.astype(compute_dtype)
     xt_pad = jnp.pad(xt32, ((0, 0), (dmax * b, dmax * b)))
-    yt = (_pallas_main if backend == "pallas" else _xla_main)(
-        meta, params["w"], xt_pad)
+    yt = _run_main(backend, meta, params["w"], xt_pad)
     yt = yt + params["diag"][None, :] * xt32
-    if not skip_remainder and (params["ru_rows"].shape[0]
-                               or params["sp_rows"].shape[0]):
+    has_rem = params["sp_rows"].shape[0] or any(
+        params[f"r{d}_rows"].shape[0] for d in DiaPack.REM_BUCKETS)
+    if not skip_remainder and has_rem:
         x = xt32.T
         rem = _apply_remainder(params, x, jnp.zeros_like(x))
         yt = yt + rem.T
@@ -456,16 +506,32 @@ def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
 def _apply_remainder(params, x, y):
     """y += Remainder @ x in the (np_, R) layout.
 
-    Unique-row padded entries scatter with sorted unique indices (the
-    fast lowering); the spill COO (degree > Kr outlier rows) falls back
-    to the duplicate-handling scatter."""
+    Per-degree buckets gather only real entries; their contributions
+    concatenate into one sorted-unique-index scatter (the fast
+    lowering).  The spill COO (degree > max-bucket outlier rows) falls
+    back to the duplicate-handling scatter."""
+    import jax
     import jax.numpy as jnp
 
-    if params["ru_rows"].shape[0]:
-        contrib = (params["ru_vals"][:, :, None]
-                   * x[params["ru_cols"]]).sum(axis=1)
-        y = y.at[params["ru_rows"]].add(
-            contrib.astype(y.dtype), mode="drop", unique_indices=True)
+    for d in DiaPack.REM_BUCKETS:
+        rows_d = params[f"r{d}_rows"]
+        if not rows_d.shape[0]:
+            continue
+        vals_d = params[f"r{d}_vals"]
+        cols_d = params[f"r{d}_cols"]
+        contrib = vals_d[:, 0, None] * x[cols_d[:, 0]]
+        for k in range(1, d):
+            contrib = contrib + vals_d[:, k, None] * x[cols_d[:, k]]
+        # Each bucket's rows are sorted and unique — the fast scatter
+        # lowering (one scatter per bucket beats one merged unsorted
+        # scatter).
+        y = jax.lax.scatter_add(
+            y, rows_d[:, None], contrib.astype(y.dtype),
+            jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,), inserted_window_dims=(0,),
+                scatter_dims_to_operand_dims=(0,)),
+            indices_are_sorted=True, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
     if params["sp_rows"].shape[0]:
         sp = params["sp_vals"][:, None] * x[params["sp_cols"]]
         y = y.at[params["sp_rows"]].add(sp.astype(y.dtype), mode="drop")

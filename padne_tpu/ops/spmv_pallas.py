@@ -82,7 +82,7 @@ def ell_bandwidth(cols: np.ndarray) -> int:
 
 
 def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
-                     block_rows: int = 2048):
+                     block_rows: int = 2048, interpret: bool = False):
     """Pallas ELL SpMV for RCM-banded structure (bandwidth <= block_rows).
 
     Row block i's columns all lie within blocks {i-1, i, i+1}; the kernel
@@ -156,6 +156,7 @@ def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
         ],
         out_specs=pl.BlockSpec((SB, R), lambda i, j: (i * SUB + j, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, R), dtype),
+        interpret=interpret,
     )
 
     def apply(local_cols, vals, diag, x):
@@ -168,7 +169,8 @@ def make_banded_spmv(n: int, K: int, R: int, dtype, cols: np.ndarray,
     return apply, n_pad, local
 
 
-def make_vmem_spmv(n: int, K: int, R: int, dtype, block_rows: int = 1024):
+def make_vmem_spmv(n: int, K: int, R: int, dtype, block_rows: int = 1024,
+                   interpret: bool = False):
     """Pallas ELL SpMV with x resident in VMEM.
 
     Returns f(cols, vals, diag, x) on PADDED inputs of shape
@@ -211,6 +213,7 @@ def make_vmem_spmv(n: int, K: int, R: int, dtype, block_rows: int = 1024):
         ],
         out_specs=pl.BlockSpec((BN, R), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, R), dtype),
+        interpret=interpret,
     )
 
     def apply(cols, vals, diag, x):

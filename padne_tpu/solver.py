@@ -146,8 +146,13 @@ def generate_meshes_for_problem(
     connected_pairs: set[tuple[int, int]],
     indices: list[geom.BBoxIndex],
 ):
-    meshes: list[mesh.TriMesh] = []
-    mesh_to_layer: list[int] = []
+    """Mesh every live polygon.  Polygons are triangulated in parallel
+    host threads: the native core is stateless and the ctypes call
+    releases the GIL, so a multi-layer board meshes at
+    wall-clock ~= slowest polygon instead of the serial sum (the
+    reference meshes serially, solver.py:263-318).  Output order is
+    deterministic (layer, then geometry index)."""
+    jobs = []   # (layer_i, polygon, seeds) in deterministic order
     for layer_i, layer in enumerate(prob.layers):
         seeds = collect_seed_points(prob, layer)
         geom_seeds: dict[int, list[geom.Point]] = {}
@@ -164,9 +169,19 @@ def generate_meshes_for_problem(
         for geom_i, g in enumerate(layer.geoms):
             if (layer_i, geom_i) not in connected_pairs:
                 continue
-            m = mesher.poly_to_mesh(g, geom_seeds.get(geom_i, []))
-            meshes.append(m)
-            mesh_to_layer.append(layer_i)
+            jobs.append((layer_i, g, geom_seeds.get(geom_i, [])))
+
+    if len(jobs) > 1:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(jobs), os.cpu_count() or 1, 16)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            meshes = list(pool.map(
+                lambda j: mesher.poly_to_mesh(j[1], j[2]), jobs))
+    else:
+        meshes = [mesher.poly_to_mesh(g, s) for _, g, s in jobs]
+    mesh_to_layer = [layer_i for layer_i, _, _ in jobs]
     return meshes, mesh_to_layer
 
 

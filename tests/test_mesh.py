@@ -193,3 +193,107 @@ class TestForms:
             OneForm(mesh, np.zeros(1))
         with pytest.raises(ValueError):
             TwoForm(mesh, np.zeros(1))
+
+
+class TestMeshValidation:
+    """TriMesh.validate() as the reusable topology gate over every
+    mesher output (reference model: assert_mesh_topology_okay applied
+    throughout tests/test_mesh.py:423-489)."""
+
+    SHAPES = {
+        "square": lambda: geom.box(0, 0, 10, 10),
+        "hole": lambda: geom.difference(
+            geom.box(0, 0, 10, 10), geom.box(4, 4, 6, 6)
+        ).geoms[0],
+        "two_holes": lambda: geom.difference(
+            geom.difference(geom.box(0, 0, 20, 10), geom.box(3, 3, 6, 7)),
+            geom.box(12, 2, 16, 8),
+        ).geoms[0],
+        "thin_notch": lambda: geom.difference(
+            geom.box(0, 0, 10, 10), geom.box(4.8, 5, 5.2, 10.01)
+        ).geoms[0],
+    }
+    CONFIGS = {
+        "default": Mesher.Config(maximum_size=1.2),
+        "fine": Mesher.Config(maximum_size=0.6, minimum_angle=25.0),
+        "uniform": Mesher.Config(
+            maximum_size=1.0, variable_size_maximum_factor=1.0
+        ),
+        "relaxed": Mesher.Config.RELAXED,
+    }
+
+    @pytest.mark.parametrize("shape", sorted(SHAPES))
+    @pytest.mark.parametrize("config", sorted(CONFIGS))
+    def test_every_mesher_output_validates(self, shape, config):
+        cfg = self.CONFIGS[config]
+        m = Mesher(cfg).poly_to_mesh(self.SHAPES[shape]())
+        # Quality gates: the refinement targets the config promises.
+        # minimum_angle gets 0.5 deg slack (constrained boundary
+        # segments may pin angles right at the threshold); edge length
+        # is bounded by the variable-density ceiling.
+        m.validate(
+            min_angle_deg=cfg.minimum_angle - 0.5,
+            max_edge_length=cfg.maximum_size
+            * cfg.variable_size_maximum_factor * 1.5,
+        )
+
+    def test_seeded_mesh_validates(self):
+        cfg = Mesher.Config(maximum_size=1.0)
+        seeds = [Point(2.5, 2.5), Point(7.5, 7.5), Point(5.0, 5.0)]
+        m = Mesher(cfg).poly_to_mesh(self.SHAPES["square"](), seeds)
+        m.validate(min_angle_deg=cfg.minimum_angle - 0.5)
+
+    def test_detects_out_of_range_index(self):
+        m = TriMesh(np.array([[0, 0], [1, 0], [0, 1]]),
+                    np.array([[0, 1, 5]]))
+        with pytest.raises(MeshingException, match="out of range"):
+            m.validate()
+
+    def test_detects_degenerate_face(self):
+        m = TriMesh(np.array([[0, 0], [1, 0], [0, 1]]),
+                    np.array([[0, 1, 1]]))
+        with pytest.raises(MeshingException, match="degenerate"):
+            m.validate()
+
+    def test_detects_duplicate_face(self):
+        m = TriMesh(np.array([[0, 0], [1, 0], [0, 1]]),
+                    np.array([[0, 1, 2], [2, 0, 1]]))
+        with pytest.raises(MeshingException, match="duplicate"):
+            m.validate()
+
+    def test_detects_flipped_orientation(self):
+        m = TriMesh(np.array([[0, 0], [1, 0], [0, 1]]),
+                    np.array([[0, 2, 1]]))  # CW
+        with pytest.raises(MeshingException, match="non-CCW"):
+            m.validate()
+
+    def test_detects_nonmanifold_edge(self):
+        # Three faces sharing edge (0, 1).
+        m = TriMesh(
+            np.array([[0, 0], [2, 0], [1, 1], [1, -1], [1, 0.5]]),
+            np.array([[0, 1, 2], [0, 3, 1], [0, 1, 4]]),
+        )
+        with pytest.raises(MeshingException, match="non-manifold"):
+            m.validate()
+
+    def test_detects_isolated_vertex(self):
+        m = TriMesh(np.array([[0, 0], [1, 0], [0, 1], [5, 5]]),
+                    np.array([[0, 1, 2]]))
+        with pytest.raises(MeshingException, match="isolated"):
+            m.validate()
+
+    def test_detects_nonfinite_vertex(self):
+        m = TriMesh(np.array([[0, 0], [np.nan, 0], [0, 1]]),
+                    np.array([[0, 1, 2]]))
+        with pytest.raises(MeshingException, match="non-finite"):
+            m.validate()
+
+    def test_quality_gates_fire(self):
+        # A single long sliver triangle: passes topology, fails quality.
+        m = TriMesh(np.array([[0, 0], [10, 0], [5, 0.1]]),
+                    np.array([[0, 1, 2]]))
+        m.validate()  # structurally fine
+        with pytest.raises(MeshingException, match="minimum angle"):
+            m.validate(min_angle_deg=20.0)
+        with pytest.raises(MeshingException, match="edge length"):
+            m.validate(max_edge_length=5.0)

@@ -85,3 +85,42 @@ class TestSweep:
         )
         # Same mesh structure (same mesher config) -> same vertex order.
         assert np.abs(np.sort(full) - np.sort(r.v[: len(full)])).max() < 1e-8
+
+
+class TestBenchTracking:
+    """Regression-gate logic of benchmarks/track.py (the runner itself
+    is exercised by the benchmark CI job, not under pytest)."""
+
+    def _rec(self, rev, **vals):
+        return {
+            "rev": rev, "machine": "m", "quick": True,
+            "rows": [
+                {"suite": "s", "name": k, "value": v, "unit": "s"}
+                for k, v in vals.items()
+            ],
+        }
+
+    def test_compare_flags_regression(self):
+        import importlib
+        track = importlib.import_module("benchmarks.track")
+        base = [self._rec("a", solve=1.0, mesh=2.0),
+                self._rec("b", solve=1.1, mesh=2.1),
+                self._rec("c", solve=0.9, mesh=1.9)]
+        newest = self._rec("d", solve=2.0, mesh=2.05)
+        regs = track.compare_records(newest, base, threshold=1.3)
+        assert [r["name"] for r in regs] == ["solve"]
+        assert regs[0]["ratio"] == pytest.approx(2.0)
+
+    def test_compare_ok_within_threshold(self):
+        import importlib
+        track = importlib.import_module("benchmarks.track")
+        base = [self._rec("a", solve=1.0)]
+        newest = self._rec("b", solve=1.2)
+        assert track.compare_records(newest, base, threshold=1.3) == []
+
+    def test_new_benchmark_not_flagged(self):
+        import importlib
+        track = importlib.import_module("benchmarks.track")
+        base = [self._rec("a", solve=1.0)]
+        newest = self._rec("b", solve=1.0, extra=9.9)
+        assert track.compare_records(newest, base, threshold=1.3) == []
