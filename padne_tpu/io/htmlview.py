@@ -134,12 +134,14 @@ function resetView(){
 }
 function buildBuffers(){
   const L=DATA.layers[layerIdx];
-  let vals=[];
+  // Streaming min/max: spread (Math.min(...vals)) overflows the JS
+  // argument stack beyond ~100k values — 1M-vertex boards need a loop.
+  let lo=Infinity, hi=-Infinity;
   for (const m of L.meshes){
     const src = modeIdx===0 ? m.pot : m.pow;
-    if (src) for (const v of src) vals.push(v);
+    if (src) for (let i=0;i<src.length;i++){
+      const v=src[i]; if(v<lo)lo=v; if(v>hi)hi=v; }
   }
-  let lo=Math.min(...vals), hi=Math.max(...vals);
   if (!(hi>lo)) hi=lo+1e-12;
   if (rangeOverride){ lo=rangeOverride[0]; hi=rangeOverride[1]; }
   range=[lo,hi];
@@ -243,25 +245,45 @@ canvas.addEventListener('wheel', e=>{
   view.y = my - e.offsetY/(view.sy*canvas.height);
   draw();
 }, {passive:false});
-function probe(e){
-  const wx = view.x + e.offsetX/(view.sx*canvas.width);
-  const wy = view.y + e.offsetY/(view.sy*canvas.height);
+function triContains(m, t, wx, wy){
+  // Sign test against each edge (meshes are CCW; allow tiny negativity
+  // for points on shared edges).
+  const a=m.t[3*t], b=m.t[3*t+1], c=m.t[3*t+2];
+  const ax=m.v[2*a], ay=m.v[2*a+1], bx=m.v[2*b], by=m.v[2*b+1],
+        cx=m.v[2*c], cy=m.v[2*c+1];
+  const eps=-1e-9*(Math.abs(bx-ax)+Math.abs(cy-ay)+1e-30);
+  return ((bx-ax)*(wy-ay)-(by-ay)*(wx-ax)) >= eps
+      && ((cx-bx)*(wy-by)-(cy-by)*(wx-bx)) >= eps
+      && ((ax-cx)*(wy-cy)-(ay-cy)*(wx-cx)) >= eps;
+}
+function probeAt(wx, wy){
+  // Returns {v, p} — nearest-vertex potential plus, when the point
+  // falls inside a face, that face's power density (the
+  // FaceSpatialIndex-style containing-triangle probe).
   const L=DATA.layers[layerIdx];
-  let best=1e30, bestVal=null;
+  let best=1e30, v=null, p=null;
   for (const m of L.meshes){
     for(let i=0;i<m.nv;i++){
       const dx=m.v[2*i]-wx, dy=m.v[2*i+1]-wy, d=dx*dx+dy*dy;
-      if(d<best){ best=d; bestVal = modeIdx===0 ? m.pot[i] : null; }
+      if(d<best){ best=d; v=m.pot[i]; }
     }
-    if (modeIdx===1 && m.pow){
-      for(let t=0;t<m.nt;t++){
-        const a=m.t[3*t]; const dx=m.v[2*a]-wx, dy=m.v[2*a+1]-wy, d=dx*dx+dy*dy;
-        if(d<best){ best=d; bestVal=m.pow[t]; }
-      }
+    if (m.pow && p===null){
+      for(let t=0;t<m.nt;t++)
+        if (triContains(m, t, wx, wy)){ p=m.pow[t]; break; }
     }
   }
-  document.getElementById('probe').textContent =
-    bestVal===null ? '' : `(${wx.toFixed(3)}, ${wy.toFixed(3)}) → ${bestVal.toPrecision(6)}${modeIdx===0?' V':' W/mm²'}`;
+  return {v:v, p:p};
+}
+function probe(e){
+  const wx = view.x + e.offsetX/(view.sx*canvas.width);
+  const wy = view.y + e.offsetY/(view.sy*canvas.height);
+  const r = probeAt(wx, wy);
+  let txt='';
+  if (r.v!==null){
+    txt = `(${wx.toFixed(3)}, ${wy.toFixed(3)}) → ${r.v.toPrecision(6)} V`;
+    if (r.p!==null) txt += ` | ${r.p.toPrecision(6)} W/mm²`;
+  }
+  document.getElementById('probe').textContent = txt;
 }
 // UI wiring
 const sel=document.getElementById('layer');

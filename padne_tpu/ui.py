@@ -36,8 +36,13 @@ class RenderingMode:
     unit: str
     cmap_name: str
 
+    @property
+    def kind(self) -> str:
+        """"vertex" (per-vertex field) or "face" (per-face field)."""
+        return "vertex" if self.name == "Potential" else "face"
+
     def values_for(self, ls: solver_mod.LayerSolution, mesh_idx: int):
-        if self.name == "Potential":
+        if self.kind == "vertex":
             return ls.potentials[mesh_idx].values, "vertex"
         return ls.power_densities[mesh_idx].values, "face"
 
@@ -64,6 +69,7 @@ class SolutionViewer:
         self.fig, self.ax = plt.subplots(figsize=(10, 8))
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
         self.fig.canvas.mpl_connect("button_press_event", self.on_click)
+        self.fig.canvas.mpl_connect("scroll_event", self.on_scroll)
         self.redraw()
 
     # -- data access --------------------------------------------------------
@@ -182,36 +188,59 @@ class SolutionViewer:
             self.redraw()
 
     def _probe_index(self):
-        """Lazily built KD-tree picker for the current layer (replaces
-        an O(V) scan per click; same index the reference wires into its
-        tools, reference ui.py:191-267)."""
+        """Lazily built picker for the current layer + mode (replaces an
+        O(V) scan per click; same indexes the reference wires into its
+        tools, reference ui.py:191-267).  Vertex values (potential) pick
+        the nearest mesh vertex; face values (power density) pick the
+        CONTAINING face via FaceSpatialIndex."""
         from . import spatial
 
-        key = id(self.layer_solution)
+        kind = self.mode.kind
+        key = (id(self.layer_solution), kind)
         if getattr(self, "_probe_key", None) != key:
             self._probe_key = key
-            self._probe_tree = spatial.VertexSpatialIndex(
-                self.layer_solution)
+            index_cls = (spatial.FaceSpatialIndex if kind == "face"
+                         else spatial.VertexSpatialIndex)
+            self._probe_tree = index_cls(self.layer_solution)
         return self._probe_tree
+
+    def probe_value(self, x: float, y: float) -> Optional[float]:
+        """Value under board point (x, y) in the current mode, or None
+        off-copper.  Vertex modes: nearest vertex; face modes: the
+        containing face's density."""
+        ls = self.layer_solution
+        if not ls.meshes:
+            return None
+        pick = self._probe_index().query(x, y)
+        if pick is None:
+            return None
+        vals, _ = self.mode.values_for(ls, pick.mesh_index)
+        return float(vals[pick.item_index])
 
     def on_click(self, event):
         if event.xdata is None:
             return
         x, y = float(event.xdata), -float(event.ydata)
-        ls = self.layer_solution
-        pick = self._probe_index().query(x, y)
-        if pick is not None:
-            vals, kind = self.mode.values_for(ls, pick.mesh_index)
-            k = pick.item_index
-            value = (
-                float(vals[k]) if kind == "vertex"
-                else float(vals[min(k, len(vals) - 1)])
-            )
+        value = self.probe_value(x, y)
+        if value is not None:
             self.last_probe = value
             txt = units.Value(value, self.mode.unit).pretty_format(4)
             log.info("Probe at (%.3f, %.3f): %s", x, y, txt)
             self.ax.set_xlabel(f"probe: {txt}")
             self.fig.canvas.draw_idle()
+
+    def on_scroll(self, event):
+        """Zoom toward/away from the cursor (reference ui.py zoom-to-
+        cursor behavior)."""
+        if event.xdata is None:
+            return
+        f = 1 / 1.25 if event.button == "up" else 1.25
+        x0, x1 = self.ax.get_xlim()
+        y0, y1 = self.ax.get_ylim()
+        cx, cy = float(event.xdata), float(event.ydata)
+        self.ax.set_xlim(cx + (x0 - cx) * f, cx + (x1 - cx) * f)
+        self.ax.set_ylim(cy + (y0 - cy) * f, cy + (y1 - cy) * f)
+        self.fig.canvas.draw_idle()
 
 
 def main(solution: solver_mod.Solution, captured_warnings=None) -> int:

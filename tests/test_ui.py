@@ -132,3 +132,63 @@ class TestSolutionViewer:
         v = ui.SolutionViewer(strip_solution)
         v.on_click(FakeClickEvent(None, None))
         assert v.last_probe is None
+
+
+class FakeScrollEvent:
+    def __init__(self, x, y, button):
+        self.xdata = x
+        self.ydata = y
+        self.button = button
+
+
+class TestProbeAndZoom:
+    def test_power_density_probe_returns_face_value(self, strip_solution):
+        """In Power Density mode the click probe must resolve through the
+        face index (regression: it used to index face values with a
+        vertex index)."""
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        v.on_key(FakeKeyEvent("m"))  # switch to Power Density
+        assert v.mode.kind == "face"
+        ls = v.layer_solution
+        m = ls.meshes[0]
+        fi = m.num_faces // 2
+        cx, cy = m.face_centroids[fi]
+        got = v.probe_value(float(cx), float(cy))
+        assert got is not None
+        expected = float(ls.power_densities[0].values[fi])
+        assert got == pytest.approx(expected, rel=1e-12)
+        v.on_click(FakeClickEvent(float(cx), float(-cy)))
+        assert v.last_probe == pytest.approx(expected, rel=1e-12)
+
+    def test_vertex_probe_exact(self, strip_solution):
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        m = v.layer_solution.meshes[0]
+        k = m.num_vertices // 3
+        x, y = m.vertices[k]
+        got = v.probe_value(float(x), float(y))
+        assert got == pytest.approx(
+            float(v.layer_solution.potentials[0].values[k]), rel=1e-12)
+
+    def test_scroll_zooms_toward_cursor(self, strip_solution):
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        x0, x1 = v.ax.get_xlim()
+        y0, y1 = v.ax.get_ylim()
+        cx, cy = (x0 + x1) / 3, (y0 + y1) / 3
+        v.on_scroll(FakeScrollEvent(cx, cy, "up"))
+        nx0, nx1 = v.ax.get_xlim()
+        ny0, ny1 = v.ax.get_ylim()
+        assert (nx1 - nx0) < (x1 - x0)  # zoomed in
+        # Cursor point keeps its relative position inside the view.
+        rel_before = (cx - x0) / (x1 - x0)
+        rel_after = (cx - nx0) / (nx1 - nx0)
+        assert rel_after == pytest.approx(rel_before, abs=1e-9)
+        v.on_scroll(FakeScrollEvent(cx, cy, "down"))
+        assert v.ax.get_xlim()[1] - v.ax.get_xlim()[0] == pytest.approx(
+            x1 - x0)
+        v.on_scroll(FakeScrollEvent(None, None, "up"))  # off-axes: no-op
