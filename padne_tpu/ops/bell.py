@@ -48,11 +48,21 @@ import numpy as np
 # Orderings
 
 
-def hilbert_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
+def hilbert_order(coords: np.ndarray, bits: int = 16,
+                  group: Optional[np.ndarray] = None) -> np.ndarray:
     """Hilbert-curve ordering of 2-D points.
 
     Returns perm (new index -> old index): sorting points by their
     Hilbert distance.  Vectorized O(bits) passes over all points.
+
+    group: optional (n,) int labels sorted as the PRIMARY key (Hilbert
+    distance breaks ties within a group).  Stacked PCB layers cover the
+    same (x, y) footprint, so a layer-blind sweep interleaves all
+    layers' vertices and shatters the block-offset banded structure
+    (measured: 50% of nonzeros off-offset on a 4-layer board vs ~5%
+    with per-mesh grouping).  Grouping by mesh keeps each mesh a
+    contiguous Hilbert-ordered block; the sparse inter-layer via
+    couplings land in the remainder where they belong.
     """
     coords = np.asarray(coords, dtype=np.float64)
     n = len(coords)
@@ -77,6 +87,8 @@ def hilbert_order(coords: np.ndarray, bits: int = 16) -> np.ndarray:
         y2 = np.where(flip, s - 1 - y, y)
         x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
         s >>= 1
+    if group is not None:
+        return np.lexsort((d, np.asarray(group))).astype(np.int64)
     return np.argsort(d, kind="stable").astype(np.int64)
 
 

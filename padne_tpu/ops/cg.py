@@ -369,20 +369,32 @@ def make_pcg_t(
             return m_apply(mp, rt)
 
         if state_in:
-            (x0, r0, z0, p0, rz0) = state
+            (x0, r0, z0, p0, rz0, best0, stall0) = state
         else:
             x0 = jnp.zeros_like(bt)
             r0 = bt
             z0 = project(apply_m(r0))
             p0 = z0
             rz0 = dot(r0, z0)
+            best0 = norm(r0)
+            stall0 = jnp.zeros_like(best0, dtype=jnp.int32)
+
+        # Stall exit: a column whose recurrence residual target sits at
+        # or below the f32 noise floor (point-source border columns do —
+        # target ~ eps*||A||*||x||) would otherwise spin to maxiter
+        # without gaining a digit.  The outer f64 refinement multiplies
+        # whatever was gained, so stop once no column has improved 3%
+        # in STALL_WINDOW iterations.
+        STALL_WINDOW = 30
 
         def cond(s):
-            _, r, _, _, k, _ = s
-            return jnp.logical_and(k < maxiter, jnp.any(norm(r) > target))
+            _, r, _, _, k, _, _, stall = s
+            active = norm(r) > target
+            return jnp.logical_and(
+                k < maxiter, jnp.any(active & (stall < STALL_WINDOW)))
 
         def body(s):
-            x, r, z, p, k, rz = s
+            x, r, z, p, k, rz, best, stall = s
             active = norm(r) > target
             ap = matvec(p)
             pap = dot(p, ap)
@@ -398,15 +410,20 @@ def make_pcg_t(
                              0.0)
             beta = jnp.where(active & (beta > 0), beta, 0.0)
             p = z + beta[:, None] * p
-            return (x, r, z, p, k + 1, rz_new)
+            rn = norm(r)
+            improved = rn < 0.97 * best
+            best = jnp.minimum(best, rn)
+            stall = jnp.where(improved, 0, stall + 1)
+            return (x, r, z, p, k + 1, rz_new, best, stall)
 
-        x, r, z, p_dir, iters, rz = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, p0, jnp.int64(0), rz0))
+        x, r, z, p_dir, iters, rz, best, stall = jax.lax.while_loop(
+            cond, body,
+            (x0, r0, z0, p0, jnp.int64(0), rz0, best0, stall0))
         rtrue = bt - matvec(x)
         result = CGResult(x=project(x).T, iterations=iters,
                           residual_norms=norm(rtrue))
         if state_out:
-            return result, (x, r, z, p_dir, rz)
+            return result, (x, r, z, p_dir, rz, best, stall)
         return result
 
     def solve(b, tol, maxiter: int = 10000) -> CGResult:
@@ -460,7 +477,7 @@ def make_pcg_t_sharded(
 
     colspec = P(None, axis_name)          # (R, n) row-sharded along n
     oh_spec = P(axis_name, None)
-    state_specs = (colspec,) * 4 + (P(),)
+    state_specs = (colspec,) * 4 + (P(), P(), P())
 
     def body(op, mp, oh_l, bt_l, tol, *maybe_state):
         def gsum(v):
@@ -493,21 +510,29 @@ def make_pcg_t_sharded(
         target = tol * jnp.maximum(bnorm, 1e-300)
 
         if maybe_state:
-            (x0, r0, z0, p0, rz0) = maybe_state[0]
+            (x0, r0, z0, p0, rz0, best0, stall0) = maybe_state[0]
         else:
             x0 = jnp.zeros_like(bt)
             r0 = bt
             z0 = project(apply_m(r0))
             p0 = z0
             rz0 = dot(r0, z0)
+            best0 = norm(r0)
+            stall0 = jnp.zeros_like(best0, dtype=jnp.int32)
+
+        # Stall exit (same rationale as make_pcg_t): columns floored by
+        # f32 noise stop burning iterations; refinement picks up.
+        STALL_WINDOW = 30
 
         def cond(s):
-            _, r, _, _, k, _ = s
-            return jnp.logical_and(k < maxiter_static[0],
-                                   jnp.any(norm(r) > target))
+            _, r, _, _, k, _, _, stall = s
+            active = norm(r) > target
+            return jnp.logical_and(
+                k < maxiter_static[0],
+                jnp.any(active & (stall < STALL_WINDOW)))
 
         def loop(s):
-            x, r, z, p, k, rz = s
+            x, r, z, p, k, rz, best, stall = s
             active = norm(r) > target
             ap = matvec(p)
             pap = dot(p, ap)
@@ -523,15 +548,20 @@ def make_pcg_t_sharded(
                              0.0)
             beta = jnp.where(active & (beta > 0), beta, 0.0)
             p = z + beta[:, None] * p
-            return (x, r, z, p, k + 1, rz_new)
+            rn = norm(r)
+            improved = rn < 0.97 * best
+            best = jnp.minimum(best, rn)
+            stall = jnp.where(improved, 0, stall + 1)
+            return (x, r, z, p, k + 1, rz_new, best, stall)
 
-        x, r, z, p_dir, iters, rz = jax.lax.while_loop(
-            cond, loop, (x0, r0, z0, p0, jnp.int64(0), rz0))
+        x, r, z, p_dir, iters, rz, best, stall = jax.lax.while_loop(
+            cond, loop,
+            (x0, r0, z0, p0, jnp.int64(0), rz0, best0, stall0))
         rtrue = bt - matvec(x)
         result = CGResult(x=project(x), iterations=iters,
                           residual_norms=norm(rtrue))
         if state_out_static[0]:
-            return result, (x, r, z, p_dir, rz)
+            return result, (x, r, z, p_dir, rz, best, stall)
         return result
 
     # maxiter / state flags are static per compilation; threaded through

@@ -76,6 +76,8 @@ class CoreSystem:
     ground_var: int       # border variable index of the ground pin
     coords: Optional[np.ndarray] = None  # (n, 2) node coordinates (mm);
     # enables the Hilbert-ordered DIA fast path (ops.dia)
+    group: Optional[np.ndarray] = None   # (n,) int mesh/layer label —
+    # primary ordering key so stacked layers don't interleave
 
 
 @dataclass
@@ -422,9 +424,16 @@ class DiaBorderedSolver:
 
         # coarse_size 3000: a strong dense bottom measured 43 vs 56-67
         # CG iterations at 1M DoF; its pinvh costs a few setup seconds.
+        import os
+
+        # Debug knob: PADNE_TPU_NO_GROUP=1 drops the mesh-id ordering
+        # key (A/B the layer-blind Hilbert sweep).
+        grp = (None if os.environ.get("PADNE_TPU_NO_GROUP")
+               else system.group)
         hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
                                             coarse_size=3000, tp=tp,
-                                            shard_min=shard_min)
+                                            shard_min=shard_min,
+                                            group=grp)
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
         self.hierarchy = hierarchy
@@ -571,6 +580,13 @@ class DiaBorderedSolver:
         self.B_host = scipy.sparse.coo_matrix(
             (b.row_val, (b.row_idx, b.row_node)), shape=(m, n)).tocsr()
         self._cg_iters = 0
+        # A^-1 C cache: the m border columns of the Schur RHS never
+        # change across refinement passes (only the residual column
+        # does), so they are solved once — passes 2+ run a single-RHS
+        # CG.  Measured: the border point-source columns are the SLOW
+        # columns (their recurrence target sits at the f32 floor), so
+        # this removes most of the per-pass iteration cost.
+        self._Xc = None
 
     def _run_cg(self, rhs_dev):
         dispatch_cap, maxiter = self.dispatch_cap, self.maxiter
@@ -597,7 +613,12 @@ class DiaBorderedSolver:
         system = self.system
         rc_pad = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
             jnp.asarray(rc.astype(np.float32)))
-        X = self._run_cg(self._build_rhs(rc_pad))    # (np0, m+1) f32
+        if self._Xc is None:
+            X = self._run_cg(self._build_rhs(rc_pad))    # (np0, m+1) f32
+            self._Xc = X[:, :m]
+        else:
+            x_rc = self._run_cg(rc_pad[:, None])         # (np0, 1) f32
+            X = jnp.concatenate([self._Xc, x_rc], axis=1)
         BXc, Bxr = self._border_products(X)
         BXc = np.asarray(BXc, dtype=np.float64)
         Bxr = np.asarray(Bxr, dtype=np.float64)

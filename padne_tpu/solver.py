@@ -435,14 +435,24 @@ def assemble_core_system(
     # coordinates of any node they share an edge with (they are few and
     # only need to land *somewhere* local in the ordering).
     coords = np.zeros((n, 2))
+    # Mesh id per node: the PRIMARY ordering key for the DIA fast path.
+    # Stacked layers cover the same (x, y) footprint; ordering by mesh
+    # first keeps each mesh a contiguous banded block instead of
+    # interleaving all layers (ops.bell.hilbert_order group semantics).
+    group = np.zeros(n, dtype=np.int64)
     nv = vindex.total
-    coords[:nv] = np.concatenate([m.vertices for m in meshes]) if meshes \
-        else np.zeros((0, 2))
+    if meshes:
+        coords[:nv] = np.concatenate([m.vertices for m in meshes])
+        group[:nv] = np.repeat(
+            np.arange(len(meshes), dtype=np.int64),
+            [m.num_vertices for m in meshes],
+        )
     if n > nv and len(edges):
         internal = (edges >= nv)
         for a_col, b_col in ((0, 1), (1, 0)):
             sel = internal[:, a_col] & ~internal[:, b_col]
             coords[edges[sel, a_col]] = coords[edges[sel, b_col]]
+            group[edges[sel, a_col]] = group[edges[sel, b_col]]
 
     border = ops_schur.BorderSpec(
         m=g + 1,
@@ -463,6 +473,7 @@ def assemble_core_system(
         r_core=r_core,
         ground_var=g,
         coords=coords,
+        group=group,
     )
     return system, extra_var_elements
 
