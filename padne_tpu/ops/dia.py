@@ -286,11 +286,12 @@ def pack_dia(
     sel[in_rng] = lut[rng[in_rng]]
     ds = np.searchsorted(off_arr, bd[sel])
     r_s, c_s = rows[sel], cols[sel]
-    gi, gg = (r_s // b) // g, (r_s // b) % g
-    # W[gi, gg, ds, col_local, row_local]: the kernel computes
-    # y^T_blk (R, B) += x^T_blk (R, B) @ W  (contraction over col_local).
-    widx = ((((gi * g + gg) * d + ds) * b + (c_s - cb[sel] * b)) * b
-            + (r_s - rb[sel] * b))
+    rb_s, cb_s = rb[sel], cb[sel]
+    # W[gi, gg, ds, col_local, row_local] with gi*g + gg == row_block:
+    # the kernel computes y^T_blk (R, B) += x^T_blk (R, B) @ W
+    # (contraction over col_local).
+    widx = (((rb_s * d + ds) * b + (c_s - cb_s * b)) * b
+            + (r_s - rb_s * b))
 
     rr, rc, rv = rows[~sel], cols[~sel], vals[~sel]
     order = np.argsort(rr, kind="stable")
