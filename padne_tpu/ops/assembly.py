@@ -127,8 +127,6 @@ def build_ell(
     do not connect components — matching the reference's `ratio == 0`
     skip, solver.py:187-190).
     """
-    import scipy.sparse
-
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     weights = np.asarray(weights, dtype=np.float64)
     keep = weights != 0.0
@@ -144,25 +142,43 @@ def build_ell(
     diag = (np.bincount(edges[:, 0], weights=weights, minlength=n)
             + np.bincount(edges[:, 1], weights=weights, minlength=n))
 
-    # Off-diagonal entries, both directions; duplicate merge + row-major
-    # sort happen in scipy's C layer (the former pure-numpy path — two
-    # argsorts plus np.add.at — cost ~20 s at 1M DoF).
-    rows = np.concatenate([edges[:, 0], edges[:, 1]])
-    cols = np.concatenate([edges[:, 1], edges[:, 0]])
-    vals = np.concatenate([-weights, -weights])
-    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
-    A.sum_duplicates()
+    # Off-diagonal entries, both directions.  Duplicate merge + row-
+    # major ordering via ONE int64-key argsort + reduceat — measured
+    # ~3x faster than the scipy coo->csr detour at 6.5M nnz (which
+    # itself beat the two-argsort np.add.at path by ~20 s at 1M DoF).
+    # In-place key construction: fresh pages fault in at ~100-250 MB/s
+    # on the CI VM (first-touch cost dwarfs compute here), so avoid
+    # every avoidable temporary.
+    ne = len(edges)
+    key = np.empty(2 * ne, dtype=np.int64)
+    np.left_shift(edges[:, 0], 32, out=key[:ne])
+    np.left_shift(edges[:, 1], 32, out=key[ne:])
+    np.bitwise_or(key[:ne], edges[:, 1], out=key[:ne])
+    np.bitwise_or(key[ne:], edges[:, 0], out=key[ne:])
+    vals = np.empty(2 * ne)
+    np.negative(weights, out=vals[:ne])
+    vals[ne:] = vals[:ne]
+    order = np.argsort(key)
+    key_s = key[order]
+    vals_s = vals[order]
+    new = np.empty(len(key_s), dtype=bool)
+    new[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=new[1:])
+    starts = np.nonzero(new)[0]
+    merged = np.add.reduceat(vals_s, starts)
+    ukey = key_s[starts]
+    ur = ukey >> 32
+    uc = ukey & 0xFFFFFFFF
 
-    counts = np.diff(A.indptr)
+    counts = np.bincount(ur, minlength=n)
     K = max(int(counts.max(initial=0)), 1)
-    nnz = A.nnz
-    rows_csr = np.repeat(np.arange(n, dtype=np.int64), counts)
-    slot = np.arange(nnz, dtype=np.int64) - np.repeat(A.indptr[:-1], counts)
+    row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(ur), dtype=np.int64) - row_start[ur]
 
     ell_cols = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
     ell_vals = np.zeros((n, K), dtype=np.float64)
-    ell_cols[rows_csr, slot] = A.indices
-    ell_vals[rows_csr, slot] = A.data
+    ell_cols[ur, slot] = uc
+    ell_vals[ur, slot] = merged
     return EllMatrix(
         cols=ell_cols.astype(np.int32), vals=ell_vals, diag=diag
     )
