@@ -272,32 +272,52 @@ def pack_dia(
             rem_vals=np.zeros(0), diag=diag_pad,
         )
 
+    # Allocation-lean packing: the CI VM faults fresh pages in at
+    # ~100-250 MB/s, so temporaries — not arithmetic — dominate at
+    # millions of nnz.  Membership AND slot assignment come from one
+    # small signed-slot table over the offset span (replaces np.isin +
+    # searchsorted); the widx composition reuses the gathered arrays as
+    # scratch.
     rb, cb = rows // b, cols // b
     bd = cb - rb
-    # Membership via a small lookup table over the offset span —
-    # np.isin costs ~0.8 s per call at 6M nnz, the LUT is two passes.
     off_arr = np.asarray(offs)
     dmin, dspan = int(off_arr[0]), int(off_arr[-1] - off_arr[0])
-    lut = np.zeros(dspan + 1, dtype=bool)
-    lut[off_arr - dmin] = True
-    rng = bd - dmin
-    in_rng = (rng >= 0) & (rng <= dspan)
-    sel = np.zeros(len(bd), dtype=bool)
-    sel[in_rng] = lut[rng[in_rng]]
-    ds = np.searchsorted(off_arr, bd[sel])
+    lut_slot = np.full(dspan + 1, -1, dtype=np.int64)
+    lut_slot[off_arr - dmin] = np.arange(d)
+    np.subtract(bd, dmin, out=bd)
+    # Unsigned trick: negatives wrap to huge values, so one comparison
+    # covers both range ends.
+    valid = bd.view(np.uint64) <= np.uint64(dspan)
+    np.multiply(bd, valid, out=bd)          # clamp invalid to index 0
+    slots = lut_slot[bd]
+    sel = valid
+    np.bitwise_and(sel, slots >= 0, out=sel)
+
+    ds = slots[sel]
     r_s, c_s = rows[sel], cols[sel]
     rb_s, cb_s = rb[sel], cb[sel]
-    # W[gi, gg, ds, col_local, row_local] with gi*g + gg == row_block:
+    # c_loc / r_loc in place, then widx composed into rb_s:
+    # W[gi, gg, ds, col_local, row_local] with gi*g + gg == row_block;
     # the kernel computes y^T_blk (R, B) += x^T_blk (R, B) @ W
     # (contraction over col_local).
-    widx = (((rb_s * d + ds) * b + (c_s - cb_s * b)) * b
-            + (r_s - rb_s * b))
+    np.multiply(cb_s, b, out=cb_s)
+    np.subtract(c_s, cb_s, out=cb_s)        # cb_s = col_local; c_s free
+    np.multiply(rb_s, b, out=c_s)
+    np.subtract(r_s, c_s, out=r_s)          # r_s = row_local
+    np.multiply(rb_s, d, out=rb_s)
+    np.add(rb_s, ds, out=rb_s)
+    np.multiply(rb_s, b, out=rb_s)
+    np.add(rb_s, cb_s, out=rb_s)
+    np.multiply(rb_s, b, out=rb_s)
+    np.add(rb_s, r_s, out=rb_s)             # rb_s = widx
 
-    rr, rc, rv = rows[~sel], cols[~sel], vals[~sel]
+    np.logical_not(sel, out=sel)
+    rr, rc, rv = rows[sel], cols[sel], vals[sel]
     order = np.argsort(rr, kind="stable")
+    np.logical_not(sel, out=sel)
     return DiaPack(
         n=n, np_=np_, b=b, g=g, ng=ng, offs=offs,
-        widx=widx, wval=vals[sel],
+        widx=rb_s, wval=vals[sel],
         rem_rows=rr[order].astype(np.int32),
         rem_cols=rc[order].astype(np.int32),
         rem_vals=rv[order], diag=diag_pad,
