@@ -116,6 +116,7 @@ def make_pcg(
     mesh=None,
     axis_name: str = "tp",
     operator: Optional[tuple] = None,
+    stall_window: Optional[int] = None,
 ):
     """Build a jitted deflated-PCG solver bound to one operator.
 
@@ -137,6 +138,16 @@ def make_pcg(
     ignored for the matvec (pass the operator's diagonal as `diag` so
     the Jacobi fallback preconditioner still works) and `mesh` must be
     None (the DIA kernel is single-device; TP uses the ELL path).
+
+    stall_window: exit once no column has improved 3% in this many
+    iterations.  ONLY safe when an outer refinement loop multiplies
+    partial gains AND the inner solve has a precision floor below the
+    requested tol (the mixed f32 case, where columns pinned at the
+    recurrence noise floor would otherwise spin to maxiter).  In a
+    full-precision single-level solve CG routinely plateaus for longer
+    than any reasonable window before converging — leave it None there
+    (measured: a 30-iteration window turns a 5.7e-14 scipy-parity
+    solve into a 2.2e-2 error on the resistor-divider fixture).
 
     Returns solve(b, tol, maxiter) -> CGResult.
     """
@@ -202,22 +213,31 @@ def make_pcg(
             target = tol * jnp.maximum(bnorm, 1e-300)
 
             if state_in:
-                (x0, r0, z0, p0, rz0) = maybe_state[0]
+                (x0, r0, z0, p0, rz0, best0, stall0) = maybe_state[0]
             else:
                 x0 = jnp.zeros_like(b)
                 r0 = b
                 z0 = project(apply_m(op, r0))
                 p0 = z0
                 rz0 = dot(r0, z0)
+                best0 = norm(r0)
+                stall0 = jnp.zeros_like(best0, dtype=jnp.int32)
+
+            # Stall exit (opt-in, see docstring).  Window 2^31-2 ==
+            # disabled: the counter can never reach it before maxiter.
+            STALL_WINDOW = (2**31 - 2 if stall_window is None
+                            else stall_window)
 
             def cond(state):
-                _, r, _, _, k, _ = state
+                _, r, _, _, k, _, _, stall = state
+                active = norm(r) > target
                 return jnp.logical_and(
-                    k < maxiter, jnp.any(norm(r) > target)
+                    k < maxiter,
+                    jnp.any(active & (stall < STALL_WINDOW)),
                 )
 
             def loop_body(state):
-                x, r, z, p, k, rz = state
+                x, r, z, p, k, rz, best, stall = state
                 active = norm(r) > target  # (R,)
                 ap = matvec(p)
                 pap = dot(p, ap)
@@ -241,10 +261,15 @@ def make_pcg(
                 # the converged iterate.
                 beta = jnp.where(active & (beta > 0), beta, 0.0)
                 p = z + beta[None, :] * p
-                return (x, r, z, p, k + 1, rz_new)
+                rn = norm(r)
+                improved = rn < 0.97 * best
+                best = jnp.minimum(best, rn)
+                stall = jnp.where(improved, 0, stall + 1)
+                return (x, r, z, p, k + 1, rz_new, best, stall)
 
-            x, r, z, p_dir, iters, rz = jax.lax.while_loop(
-                cond, loop_body, (x0, r0, z0, p0, jnp.int64(0), rz0)
+            x, r, z, p_dir, iters, rz, best, stall = jax.lax.while_loop(
+                cond, loop_body,
+                (x0, r0, z0, p0, jnp.int64(0), rz0, best0, stall0)
             )
             rtrue = b - matvec(x)
             result = CGResult(
@@ -253,7 +278,7 @@ def make_pcg(
                 residual_norms=norm(rtrue),
             )
             if state_out:
-                return result, (x, r, z, p_dir, rz)
+                return result, (x, r, z, p_dir, rz, best, stall)
             return result
 
         return body
@@ -279,7 +304,7 @@ def make_pcg(
         res_specs = CGResult(x=P(axis_name, None), iterations=P(),
                              residual_norms=P())
         row = P(axis_name, None)
-        state_specs = (row, row, row, row, P())
+        state_specs = (row, row, row, row, P(), P(), P())
 
         @partial(jax.jit,
                  static_argnames=("maxiter", "state_in", "state_out"))

@@ -245,8 +245,13 @@ def solve_bordered(
             "Preconditioner: AMG, levels %s (inner dtype %s, tp %d)",
             [len(l.a_diag) for l in hierarchy.levels], inner_dtype, tp,
         )
+    # Stall exit only with a mixed-precision inner solve: there the f32
+    # recurrence floor pins border columns above inner_tol and refinement
+    # multiplies partial gains; in f64 a mid-stream plateau is normal and
+    # must be allowed to run (see make_pcg's stall_window docstring).
     cg_solver = cg.make_pcg(
-        cols_i, vals_i, diag_i, comp_cg, p_cg, precond=vcycle, mesh=mesh
+        cols_i, vals_i, diag_i, comp_cg, p_cg, precond=vcycle, mesh=mesh,
+        stall_window=30 if mixed else None,
     )
 
     if dispatch_cap == "auto":
