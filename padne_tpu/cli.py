@@ -270,9 +270,27 @@ def do_info(args) -> None:
         )
 
 
+def apply_jax_platform_env() -> None:
+    """Honor JAX_PLATFORMS even when site startup hard-set the config.
+
+    Some deployments register accelerator plugins from sitecustomize and
+    pin ``jax_platforms`` there, which silently overrides the environment
+    variable.  Re-apply the user's choice so ``JAX_PLATFORMS=cpu padne-tpu
+    solve ...`` works on hosts without (or with unreachable) accelerators.
+    """
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     setup_logging(args.debug)
+    apply_jax_platform_env()
     logging.getLogger(__name__).debug("Parsed arguments: %s", args)
     result = {
         "gui": do_gui,

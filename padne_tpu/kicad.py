@@ -564,9 +564,24 @@ def render_copper_primitives(pcb_tree, copper_names: list[str]
     # when filled_areas_thickness is "no", matching the plot behavior the
     # reference captures via Gerbers).
     for zone in sexp.find_children(pcb_tree, "zone"):
+        # Rule areas ("keepout" zones) are fill constraints, not copper:
+        # real zones' stored fills already avoid them, and KiCad files
+        # can carry stale fill/outline data inside the rule area itself —
+        # rendering it would bridge the very slots the keepout cuts
+        # (test_set_1's resistance strips are slotted exactly this way).
+        if sexp.find_child(zone, "keepout") is not None:
+            continue
         min_thickness = _get_num(zone, "min_thickness", 0.0)
+        # "(filled_areas_thickness no)" (KiCad 6+) marks stored fill
+        # polygons as the EXACT final copper — plot them as-is.  Legacy
+        # files (token absent, KiCad 5 "thick fill" mode) store fills
+        # deflated by min_thickness/2 and expect the plotter to stroke
+        # the outline back on.  Stroking a modern fill instead bridges
+        # narrow fill voids: test_set_1's slotted resistance strips
+        # (0.2 mm keepout slots vs 0.25 mm min_thickness) turned solid,
+        # under-predicting the four plane readings ~4x.
         fat = sexp.find_child(zone, "filled_areas_thickness")
-        stroke_outline = fat is not None and str(fat[1]) == "no"
+        stroke_outline = fat is None or str(fat[1]) != "no"
         for fill in sexp.find_children(zone, "filled_polygon"):
             lay_node = sexp.find_child(fill, "layer")
             layer = str(lay_node[1]) if lay_node else (_item_layers(zone) or [""])[0]

@@ -525,12 +525,19 @@ def build_hierarchy_dia(
     # dropping can leave NEAR-null junk modes below 1e-6*lambda_max,
     # and inverting those turns the preconditioner into a 1e6x
     # amplifier.
+    # f32 end to end: ssyevd + sgemm run ~2x dsyevd + dgemm, and the
+    # kept spectrum sits well above f32 eps (the cut is 1e-6*lam_max vs
+    # eps 6e-8) — preconditioner-grade accuracy.  Scale to unit lam_max
+    # first so the f32 dynamic range is spent on the spectrum shape.
     if nL:
-        w_eig, V = np.linalg.eigh(Ad)
+        d_scale = max(float(np.abs(Ad).max()), 1e-300)
+        w_eig, V = np.linalg.eigh((Ad / d_scale).astype(np.float32))
         lam_max = max(float(w_eig[-1]), 1e-300)
         keep = w_eig > 1e-6 * lam_max
-        w_inv = np.where(keep, 1.0 / np.where(keep, w_eig, 1.0), 0.0)
-        inv_real = (V * w_inv[None, :]) @ V.T
+        w_inv = np.where(keep, 1.0 / np.where(keep, w_eig, 1.0),
+                         np.float32(0.0)).astype(np.float32)
+        inv_real = ((V * w_inv[None, :]) @ V.T).astype(np.float64)
+        inv_real /= d_scale
     else:
         inv_real = np.zeros((0, 0))
     coarse_inv = np.zeros((npL, npL))   # padding rows stay exactly zero

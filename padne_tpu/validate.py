@@ -338,7 +338,15 @@ def run_validation(ms: MeasurementSet, mesher_config=None,
         )
     else:
         scale, overetch = 1.0, 0.0
-    if overetch:
+    # The fitted sheet conductance already absorbs the average width
+    # loss (the ladder fit couples the two parameters), so geometric
+    # erosion on top of it double-counts the etch and systematically
+    # over-predicts drops across narrow constrictions — measured on
+    # test_set_1: scale-only passes 33/33 bench readings, scale+erosion
+    # 31/33.  The reference harness applies conductance only
+    # (test_sets.py:232-246); erosion stays available behind
+    # fit_overetch for boards calibrated without a ladder.
+    if overetch and fit_overetch:
         prob = _overetched(prob, overetch)
     solution = _solve_scaled(prob, scale, mesher_config)
     report = ValidationReport(scale=scale, overetch=overetch)

@@ -10,7 +10,7 @@ import pathlib
 import numpy as np
 import pytest
 
-from padne_tpu import geom, kicad, problem
+from padne_tpu import geom, kicad, problem, sexp
 
 REF_BOARDS = pathlib.Path("/root/reference/tests/kicad")
 
@@ -709,3 +709,46 @@ class TestScenarioBoards:
             if isinstance(e, problem.VoltageRegulator)
         ]
         assert regs, "ldo board must produce a VoltageRegulator element"
+
+
+class TestZoneFillSemantics:
+    """Stored zone fills are the exact copper in KiCad 6+ files
+    ("filled_areas_thickness no"); rule areas are never copper.
+    Regression: stroking modern fills bridged test_set_1's 0.2 mm
+    keepout slots (min_thickness 0.25) and broke four bench readings."""
+
+    def _render(self, zone_body: str):
+        tree = sexp.loads(f"(kicad_pcb {zone_body})")
+        return kicad.render_copper_primitives(tree, ["F.Cu"])["F.Cu"]
+
+    FILL = ("(filled_polygon (layer \"F.Cu\") (pts"
+            " (xy 0 0) (xy 10 0) (xy 10 1) (xy 5.1 1) (xy 5.1 0.2)"
+            " (xy 4.9 0.2) (xy 4.9 1) (xy 0 1)))")
+
+    def test_modern_fill_taken_exactly(self):
+        import numpy as np
+
+        polys = self._render(
+            "(zone (net 0) (layer \"F.Cu\") (min_thickness 0.25) "
+            "(filled_areas_thickness no) " + self.FILL + ")"
+        )
+        assert len(polys) == 1
+        # the 0.2 mm slot at x ~ 5 survives: its midpoint is not copper
+        pt = np.array([[5.0, 0.6]])
+        assert polys[0].classify_points(pt)[0] <= 0
+
+    def test_legacy_fill_is_stroked(self):
+        polys = self._render(
+            "(zone (net 0) (layer \"F.Cu\") (min_thickness 0.25) "
+            + self.FILL + ")"
+        )
+        # legacy (no filled_areas_thickness token): fill + outline stroke
+        assert len(polys) > 1
+
+    def test_rule_area_is_not_copper(self):
+        polys = self._render(
+            "(zone (net 0) (layer \"F.Cu\") (min_thickness 0.25) "
+            "(keepout (copperpour not_allowed)) "
+            "(filled_areas_thickness no) " + self.FILL + ")"
+        )
+        assert polys == []

@@ -121,18 +121,16 @@ class TestValidation:
         for pair in ms.calibration + ms.measurements:
             assert isinstance(pair.p, tuple) and len(pair.p) == 2
 
-    @pytest.mark.skipif(
-        "PADNE_TPU_ALL_BOARDS" not in __import__("os").environ,
-        reason="full test_set_1 solve is slow; set PADNE_TPU_ALL_BOARDS=1",
-    )
     def test_real_measurement_set_validates(self):
         """End-to-end hardware validation of the physically measured
-        test_set_1 board: ladder calibration must recover a plausible
-        sheet conductance and overetch, and >= 29 of the 33 bench
-        readings must fall within the 0.4 relative tolerance (the four
-        failing ones are the low-current plane readings the reference's
-        own data table marks as needing re-measurement)."""
+        test_set_1 board (default-run regression gate, reference
+        tests/test_sets.py:306-318): ladder calibration must recover a
+        plausible sheet conductance and overetch, and ALL 33 bench
+        readings must fall within the 0.4 relative tolerance — the same
+        pass set the reference achieves."""
         import pathlib
+
+        from padne_tpu import mesh
 
         ms_path = (
             pathlib.Path(__file__).parent / "measurements" / "test_set_1.json"
@@ -145,12 +143,14 @@ class TestValidation:
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            report = validate.run_validation(ms)
+            report = validate.run_validation(
+                ms, mesher_config=mesh.Mesher.Config(maximum_size=2.0)
+            )
         # 35 um/mil-scale etch and ~20% conductance correction are the
         # physically sensible ranges for a 35 um foil Aisler run.
         assert 0.8 < report.scale < 1.6
         assert 0.02 < report.overetch < 0.06
-        assert report.num_pass >= 29, [
+        assert report.num_pass == 33, [
             r for r in report.results if not r["ok"]
         ]
 
