@@ -300,9 +300,19 @@ class AlignedLevel:
 @dataclass
 class AlignedHierarchy:
     levels: list[AlignedLevel]
-    coarse_inv: np.ndarray      # (npL, npL) dense pinv of padded coarsest
     posmap0: np.ndarray         # (n,) original index -> level-0 position
     np0: int                    # level-0 padded length
+    # (npL, npL) dense pseudo-inverse of the padded coarsest operator.
+    # May be constructed deferred: a zero-arg callable computing it in a
+    # worker thread (LAPACK releases the GIL), joined on first access —
+    # the ~seconds-scale bottom eigh then overlaps the level uploads.
+    _coarse: object = None
+
+    @property
+    def coarse_inv(self) -> np.ndarray:
+        if callable(self._coarse):
+            self._coarse = self._coarse()
+        return self._coarse
 
     @property
     def num_levels(self) -> int:
@@ -324,6 +334,7 @@ def build_hierarchy_dia(
     tp: int = 1,
     shard_min: int = 32768,
     group: "np.ndarray | None" = None,
+    a_csr=None,
 ) -> AlignedHierarchy:
     """Gather-free AMG setup.
 
@@ -341,7 +352,11 @@ def build_hierarchy_dia(
 
     from . import bell, dia
 
-    A = ell.to_scipy()
+    # a_csr: caller-provided CSR of the same operator (diagonal included)
+    # — skips a second multi-second ELL->CSR conversion when the caller
+    # already built one (DiaBorderedSolver keeps a host CSR for the f64
+    # refinement residuals).
+    A = ell.to_scipy() if a_csr is None else a_csr
     n0 = A.shape[0]
     # Group-aware sweep (mesh/layer id as the primary key): stacked
     # layers share the same (x, y) footprint, and a layer-blind sweep
@@ -529,19 +544,35 @@ def build_hierarchy_dia(
     # kept spectrum sits well above f32 eps (the cut is 1e-6*lam_max vs
     # eps 6e-8) — preconditioner-grade accuracy.  Scale to unit lam_max
     # first so the f32 dynamic range is spent on the spectrum shape.
-    if nL:
-        d_scale = max(float(np.abs(Ad).max()), 1e-300)
-        w_eig, V = np.linalg.eigh((Ad / d_scale).astype(np.float32))
-        lam_max = max(float(w_eig[-1]), 1e-300)
-        keep = w_eig > 1e-6 * lam_max
-        w_inv = np.where(keep, 1.0 / np.where(keep, w_eig, 1.0),
-                         np.float32(0.0)).astype(np.float32)
-        inv_real = ((V * w_inv[None, :]) @ V.T).astype(np.float64)
-        inv_real /= d_scale
-    else:
-        inv_real = np.zeros((0, 0))
-    coarse_inv = np.zeros((npL, npL))   # padding rows stay exactly zero
-    coarse_inv[:nL, :nL] = inv_real
+    # Deferred: the eigh runs on a worker thread (LAPACK releases the
+    # GIL), joined lazily at AlignedHierarchy.coarse_inv — it overlaps
+    # the callers' level-parameter uploads, which touch coarse_inv last.
+    def _compute_coarse_inv():
+        if nL:
+            d_scale = max(float(np.abs(Ad).max()), 1e-300)
+            w_eig, V = np.linalg.eigh((Ad / d_scale).astype(np.float32))
+            lam_max = max(float(w_eig[-1]), 1e-300)
+            keep = w_eig > 1e-6 * lam_max
+            w_inv = np.where(keep, 1.0 / np.where(keep, w_eig, 1.0),
+                             np.float32(0.0)).astype(np.float32)
+            inv_real = ((V * w_inv[None, :]) @ V.T).astype(np.float64)
+            inv_real /= d_scale
+        else:
+            inv_real = np.zeros((0, 0))
+        ci = np.zeros((npL, npL))   # padding rows stay exactly zero
+        ci[:nL, :nL] = inv_real
+        return ci
+
+    import threading
+
+    _box: list = []
+    _th = threading.Thread(
+        target=lambda: _box.append(_compute_coarse_inv()), daemon=True)
+    _th.start()
+
+    def _join_coarse():
+        _th.join()
+        return _box[0]
 
     for i, lv in enumerate(levels):
         if i + 1 < len(levels):
@@ -558,7 +589,7 @@ def build_hierarchy_dia(
         posmap0 = inv0
         np0 = npL
     return AlignedHierarchy(
-        levels=levels, coarse_inv=coarse_inv,
+        levels=levels, _coarse=_join_coarse,
         posmap0=posmap0, np0=np0,
     )
 
@@ -653,7 +684,11 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
                 dtype or jnp.float32)
         params.append(entry)
     params.append({
-        "coarse_inv": jnp.asarray(h.coarse_inv).astype(dtype or jnp.float32)
+        # Cast on host BEFORE upload (an f64 trip through a slow tunnel
+        # followed by a device cast doubles the transferred bytes; with
+        # coarse_size ~3000 the padded inverse is tens of MB).
+        "coarse_inv": jnp.asarray(
+            h.coarse_inv.astype(dtype or jnp.float32))
     })
     return _finish_vcycle_dia(h, params, backend), params
 
@@ -889,7 +924,10 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
         params.append(e)
         specs.append(sp)
     params.append({
-        "coarse_inv": jnp.asarray(h.coarse_inv).astype(dtype or jnp.float32)
+        # Host-side cast before the (slow-tunnel) upload, as in
+        # make_vcycle_dia.
+        "coarse_inv": jnp.asarray(
+            h.coarse_inv.astype(dtype or jnp.float32))
     })
     specs.append({"coarse_inv": rep})
 

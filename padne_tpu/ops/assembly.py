@@ -104,13 +104,16 @@ class EllMatrix:
         # diagonal first in each row (column order within a row is free)
         indices[indptr[:-1]] = np.arange(n)
         data[indptr[:-1]] = self.diag
-        flat_nz = nz.ravel()
-        rows_off = np.repeat(np.arange(n), k)[flat_nz]
+        # flatnonzero + integer divide beats materializing the (N*K,)
+        # repeat + boolean mask (~1.5 s of fresh-page traffic at 6.5M
+        # nnz on the page-fault-bound CI host).
+        idx = np.flatnonzero(nz)
+        rows_off = idx // k
         slot = (np.arange(len(rows_off)) -
                 np.concatenate([[0], np.cumsum(nz.sum(axis=1))])[rows_off])
         pos = indptr[rows_off] + 1 + slot
-        indices[pos] = self.cols.ravel()[flat_nz]
-        data[pos] = self.vals.ravel()[flat_nz]
+        indices[pos] = self.cols.ravel()[idx]
+        data[pos] = self.vals.ravel()[idx]
         A = scipy.sparse.csr_matrix((data, indices, indptr), shape=(n, n))
         return A
 

@@ -64,7 +64,12 @@ def choose_offsets(
     Offset 0 (the block diagonal) is always included."""
     if len(rows) == 0:
         return (0,)
-    bd = cols // b - rows // b
+    return _offsets_from_bd(cols // b - rows // b, coverage, max_offsets)
+
+
+def _offsets_from_bd(bd: np.ndarray, coverage: float,
+                     max_offsets: int) -> tuple[int, ...]:
+    """Offset selection from precomputed block deltas (col_b - row_b)."""
     # bincount over the offset span beats np.unique's sort (~1 s at
     # 6M nnz); the span is bounded by the Hilbert-order locality.
     bdmin = int(bd.min())
@@ -73,7 +78,7 @@ def choose_offsets(
     c = cnts[u]
     u = u + bdmin
     order = np.argsort(-c)
-    total = len(rows)
+    total = len(bd)
     picked = []
     covered = 0
     for i in order:
@@ -176,18 +181,25 @@ class DiaPack:
         size = ng * g * d * b * b
 
         if w is None:
-            idx = jnp.asarray(self.widx.astype(np.int32)
-                              if size < 2**31 else self.widx)
+            # Split upload: widx = hi*b + lo with hi < size/b (int32 at
+            # any realistic scale) and lo = row_local < b (uint8/16).
+            # 5 bytes/entry through the ~13 MB/s tunnel instead of the
+            # 8 an int64 index costs once size >= 2^31 (1M-row packs).
+            lo_t = np.uint8 if b <= 256 else np.uint16
+            hi = jnp.asarray((self.widx // b).astype(np.int32))
+            lo = jnp.asarray((self.widx % b).astype(lo_t))
             vals = jnp.asarray(self.wval.astype(np.float32))
 
             @partial(jax.jit, static_argnames=("total",))
-            def _build(idx, v, total: int):
+            def _build(hi, lo, v, total: int):
+                it = jnp.int64 if total >= 2**31 else jnp.int32
+                idx = hi.astype(it) * b + lo.astype(it)
                 w = jnp.zeros(total, jnp.float32)
                 w = w.at[idx].set(v, mode="promise_in_bounds",
                                   unique_indices=True)
                 return w.reshape(ng, g, d, b, b).astype(dtype)
 
-            w = _build(idx, vals, size)
+            w = _build(hi, lo, vals, size)
 
         buckets, sp_r, sp_c, sp_v = self.rem_ell()
         params = {
@@ -237,10 +249,19 @@ def pack_dia(
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
-    if offs is None:
-        offs = choose_offsets(rows, cols, b=b, coverage=coverage,
-                              max_offsets=max_offsets)
-    # The searchsorted slot assignment below requires sorted offsets; an
+    if offs is None and len(rows):
+        # Share the block-index arrays with the packing below — the
+        # rows//b / cols//b temporaries cost ~1 s at 6.5M nnz on a
+        # page-fault-bound host.
+        rb, cb = rows // b, cols // b
+        bd0 = cb - rb
+        offs = _offsets_from_bd(bd0, coverage, max_offsets)
+    elif offs is None:
+        offs = (0,)
+        rb = cb = bd0 = None
+    else:
+        rb = cb = bd0 = None
+    # The slot-table assignment below requires sorted offsets; an
     # unsorted caller-supplied tuple would silently misassign slots.
     offs = tuple(sorted(offs))
     d = len(offs)
@@ -278,8 +299,10 @@ def pack_dia(
     # small signed-slot table over the offset span (replaces np.isin +
     # searchsorted); the widx composition reuses the gathered arrays as
     # scratch.
-    rb, cb = rows // b, cols // b
-    bd = cb - rb
+    if rb is None:
+        rb, cb = rows // b, cols // b
+        bd0 = cb - rb
+    bd = bd0
     off_arr = np.asarray(offs)
     dmin, dspan = int(off_arr[0]), int(off_arr[-1] - off_arr[0])
     lut_slot = np.full(dspan + 1, -1, dtype=np.int64)

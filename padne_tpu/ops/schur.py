@@ -435,10 +435,14 @@ class DiaBorderedSolver:
         # key (A/B the layer-blind Hilbert sweep).
         grp = (None if os.environ.get("PADNE_TPU_NO_GROUP")
                else system.group)
+        # One ELL->CSR conversion serves both the hierarchy build and
+        # the f64 refinement residuals (A_host) — it costs seconds at
+        # 1M rows.
+        self.A_host = system.ell.to_scipy()
         hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
                                             coarse_size=3000, tp=tp,
                                             shard_min=shard_min,
-                                            group=grp)
+                                            group=grp, a_csr=self.A_host)
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
         self.hierarchy = hierarchy
@@ -579,7 +583,6 @@ class DiaBorderedSolver:
         np.add.at(self.ZtC, (system.comp_id[b.col_node], b.col_idx),
                   b.col_val)
 
-        self.A_host = system.ell.to_scipy()
         self.C_host = scipy.sparse.coo_matrix(
             (b.col_val, (b.col_node, b.col_idx)), shape=(n, m)).tocsr()
         self.B_host = scipy.sparse.coo_matrix(
