@@ -24,6 +24,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def get_system(target_dof=1_000_000, cache="/tmp/padne_bench_1m.npz"):
+    """The bench board's assembled core system (cached as flat arrays).
+
+    Returns (ell, coords, group) — the EllMatrix core operator plus the
+    per-row coordinates and mesh-id group key that build_hierarchy_dia
+    consumes (same inputs ops.schur.DiaBorderedSolver passes it)."""
     import os
 
     if os.path.exists(cache):
@@ -33,14 +38,22 @@ def get_system(target_dof=1_000_000, cache="/tmp/padne_bench_1m.npz"):
 
             ell = assembly.EllMatrix(
                 cols=z["cols"], vals=z["vals"], diag=z["diag"])
-            return ell, z["verts"]
+            return ell, z["verts"], z["group"]
     sys.path.insert(0, "/root/repo")
-    from bench import build_system
+    from tests.boardgen import gen_bench_4layer
+    from padne_tpu import kicad, mesh, solver
 
-    m, ell = build_system(target_dof)
-    np.savez(cache, n=m.num_vertices, cols=ell.cols, vals=ell.vals,
-             diag=ell.diag, verts=m.vertices)
-    return ell, m.vertices
+    pro = gen_bench_4layer("/tmp/padne_bench_board")
+    prob = kicad.load_kicad_project(pro)
+    area = sum(layer.shape.area for layer in prob.layers)
+    size = max(0.05, (area / (0.43 * target_dof)) ** 0.5)
+    cfg = mesh.Mesher.Config(
+        maximum_size=size, variable_size_maximum_factor=1.0)
+    system, *_ = solver.build_system(prob, mesher_config=cfg)
+    np.savez(cache, n=system.n, cols=system.ell.cols,
+             vals=system.ell.vals, diag=system.ell.diag,
+             verts=system.coords, group=system.group)
+    return system.ell, system.coords, system.group
 
 
 def _sync(r):
@@ -66,7 +79,7 @@ def timeit(fn, *args, n=20, warmup=3):
 
 def main():
     target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    ell, verts = get_system(target)
+    ell, verts, group = get_system(target)
     n = len(ell.diag)
     print(f"n={n}", flush=True)
 
@@ -80,7 +93,7 @@ def main():
 
     R = 8
     t0 = time.time()
-    h = amg.build_hierarchy_dia(ell, verts, coarse_size=3000)
+    h = amg.build_hierarchy_dia(ell, verts, coarse_size=3000, group=group)
     print(f"setup {time.time()-t0:.1f}s levels="
           f"{[lv.pack.np_ for lv in h.levels]}", flush=True)
     backend = dia.default_backend()

@@ -16,6 +16,12 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+# Force CPU regardless of the sitecustomize-pinned accelerator platform
+# (host profiling must not depend on tunnel availability).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     target_dof = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000

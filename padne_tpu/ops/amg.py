@@ -476,6 +476,11 @@ def build_hierarchy_dia(
             from . import dia_sharded
 
             shard_l = dia_sharded.shardable(pack, tp)
+        if tp == 1 and level_i == 0:
+            # Kick the level-0 nnz transfer off NOW — it is the bulk of
+            # the device upload (tens of MB through a slow tunnel) and
+            # runs async while the deeper levels' host build proceeds.
+            pack.start_upload()
         dinv_pad = np.zeros(np_l)
         dinv_pad[pos] = dinv
         all_pos.append(pos)
@@ -683,14 +688,28 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
             entry["dinv"] = jnp.asarray(lv.dinv).astype(
                 dtype or jnp.float32)
         params.append(entry)
-    params.append({
-        # Cast on host BEFORE upload (an f64 trip through a slow tunnel
-        # followed by a device cast doubles the transferred bytes; with
-        # coarse_size ~3000 the padded inverse is tens of MB).
-        "coarse_inv": jnp.asarray(
-            h.coarse_inv.astype(dtype or jnp.float32))
-    })
+    params.append({"coarse_inv": _upload_coarse_inv(h, dtype)})
     return _finish_vcycle_dia(h, params, backend), params
+
+
+def _upload_coarse_inv(h: AlignedHierarchy, dtype):
+    """Device copy of the dense coarse inverse, transfer-lean.
+
+    Cast on host BEFORE upload (an f64 trip through a slow tunnel
+    followed by a device cast doubles the transferred bytes; with
+    coarse_size ~3000 the padded inverse is tens of MB).  For the
+    default f32 request the wire format is bf16 — preconditioner-grade
+    (the coarse correction is approximate by construction; ~0.4%
+    relative per entry) and half the bytes — expanded to f32 on device.
+    Exact-dtype requests (f64 reference runs) upload as-is."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    ci = h.coarse_inv
+    target = dtype or jnp.float32
+    if target == jnp.float32:
+        return jnp.asarray(ci.astype(ml_dtypes.bfloat16)).astype(target)
+    return jnp.asarray(ci.astype(target))
 
 
 def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
@@ -923,12 +942,7 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
             sp["child_perm"] = rep
         params.append(e)
         specs.append(sp)
-    params.append({
-        # Host-side cast before the (slow-tunnel) upload, as in
-        # make_vcycle_dia.
-        "coarse_inv": jnp.asarray(
-            h.coarse_inv.astype(dtype or jnp.float32))
-    })
+    params.append({"coarse_inv": _upload_coarse_inv(h, dtype)})
     specs.append({"coarse_inv": rep})
 
     apply_n = _finish_vcycle_dia(h, params, backend)

@@ -113,11 +113,38 @@ class DiaPack:
     rem_cols: np.ndarray   # (nnz_rem,) int32
     rem_vals: np.ndarray   # (nnz_rem,) float
     diag: np.ndarray       # (np_,) float64, zero on padding rows
+    # start_upload() parks async device copies of the nnz arrays here;
+    # to_device consumes them (field, not in __eq__/__repr__ noise).
+    _dev: Optional[dict] = None
 
     @property
     def meta(self) -> tuple:
         """Static description consumed by the jitted matvec."""
         return (self.np_, self.b, self.g, self.ng, self.offs)
+
+    def _split_widx(self):
+        """(hi int32, lo uint8/16): widx = hi*b + lo.  5 bytes/entry on
+        the wire instead of int64's 8 (the W-slab flat index exceeds
+        int32 range at 1M-row packs)."""
+        lo_t = np.uint8 if self.b <= 256 else np.uint16
+        return ((self.widx // self.b).astype(np.int32),
+                (self.widx % self.b).astype(lo_t))
+
+    def start_upload(self):
+        """Begin async device transfer of the nnz-sized arrays (widx
+        split + values).  Called as soon as the pack exists so the
+        multi-second tunnel transfer overlaps the remaining host-side
+        hierarchy build; to_device picks the handles up later."""
+        import jax.numpy as jnp
+
+        if self._dev is not None or not len(self.widx):
+            return
+        hi, lo = self._split_widx()
+        self._dev = {
+            "hi": jnp.asarray(hi),
+            "lo": jnp.asarray(lo),
+            "vals": jnp.asarray(self.wval.astype(np.float32)),
+        }
 
     REM_BUCKETS = (1, 2, 3)
 
@@ -185,10 +212,15 @@ class DiaPack:
             # any realistic scale) and lo = row_local < b (uint8/16).
             # 5 bytes/entry through the ~13 MB/s tunnel instead of the
             # 8 an int64 index costs once size >= 2^31 (1M-row packs).
-            lo_t = np.uint8 if b <= 256 else np.uint16
-            hi = jnp.asarray((self.widx // b).astype(np.int32))
-            lo = jnp.asarray((self.widx % b).astype(lo_t))
-            vals = jnp.asarray(self.wval.astype(np.float32))
+            # start_upload() may already have the transfers in flight.
+            if self._dev is not None:
+                hi, lo, vals = (self._dev["hi"], self._dev["lo"],
+                                self._dev["vals"])
+            else:
+                hi_np, lo_np = self._split_widx()
+                hi = jnp.asarray(hi_np)
+                lo = jnp.asarray(lo_np)
+                vals = jnp.asarray(self.wval.astype(np.float32))
 
             @partial(jax.jit, static_argnames=("total",))
             def _build(hi, lo, v, total: int):
@@ -200,6 +232,7 @@ class DiaPack:
                 return w.reshape(ng, g, d, b, b).astype(dtype)
 
             w = _build(hi, lo, vals, size)
+            self._dev = None   # release the nnz device buffers
 
         buckets, sp_r, sp_c, sp_v = self.rem_ell()
         params = {

@@ -617,19 +617,30 @@ class DiaBorderedSolver:
 
     def _solve_once(self, rc, rb):
         """One Schur pass; rc (n,) rb (m,) host f64 -> (dv, dj) f64."""
+        import time
+
         m, p = self.m, self.p
         system = self.system
+        t0 = time.time()
         rc_pad = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
             jnp.asarray(rc.astype(np.float32)))
+        rc_pad.block_until_ready()
+        self._trace("upload rc", t0)
+        t0 = time.time()
         if self._Xc is None:
             X = self._run_cg(self._build_rhs(rc_pad))    # (np0, m+1) f32
             self._Xc = X[:, :m]
         else:
             x_rc = self._run_cg(rc_pad[:, None])         # (np0, 1) f32
             X = jnp.concatenate([self._Xc, x_rc], axis=1)
+        X.block_until_ready()
+        self._trace("inner cg", t0)
+        t0 = time.time()
         BXc, Bxr = self._border_products(X)
         BXc = np.asarray(BXc, dtype=np.float64)
         Bxr = np.asarray(Bxr, dtype=np.float64)
+        self._trace("border products", t0)
+        t0 = time.time()
         Ztr = np.zeros(p)
         np.add.at(Ztr, system.comp_id, rc)
 
@@ -645,17 +656,36 @@ class DiaBorderedSolver:
             sol, *_ = np.linalg.lstsq(M, rhs_small, rcond=None)
             j, c = sol[:m], sol[m:]
 
+        self._trace("small lstsq", t0)
+        t0 = time.time()
         c_full = jnp.asarray(
             np.concatenate([c, [0.0]]).astype(np.float32))  # dummy comp
         v_pad = self._combine(X, jnp.asarray(j.astype(np.float32)),
                               c_full, self.comp_pad_dev)
         v = np.asarray(v_pad, dtype=np.float64)[self.posmap]
+        self._trace("combine+download v", t0)
         return v, j
 
+    @staticmethod
+    def _trace(label, t0):
+        """PADNE_TPU_SOLVE_TRACE=1: per-phase stderr timing lines."""
+        import os
+
+        if os.environ.get("PADNE_TPU_SOLVE_TRACE"):
+            import sys
+            import time
+
+            print(f"[solve-trace] {label}: {time.time() - t0:.3f}s",
+                  file=sys.stderr, flush=True)
+
     def _full_residual(self, v, j):
+        import time
+
+        t0 = time.time()
         b = self.system.border
         res_core = self.system.r_core + self.A_host @ v - self.C_host @ j
         res_border = b.rhs - self.B_host @ v
+        self._trace("host f64 residual", t0)
         return res_core, res_border
 
     def solve(self, target_residual: float = 1e-10,
