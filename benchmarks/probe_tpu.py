@@ -44,6 +44,20 @@ def main():
         print(f"download {mb:3d} MB: {dt:6.2f}s  {mb/dt:7.1f} MB/s",
               flush=True)
 
+    # Async-ness of uploads: does jnp.asarray return before the
+    # transfer completes?  (The eager start_upload overlap depends on
+    # it.)
+    a = np.random.default_rng(2).standard_normal(
+        32 * 1024 * 1024 // 4).astype(np.float32)
+    t0 = time.perf_counter()
+    d = jnp.asarray(a)
+    t_call = time.perf_counter() - t0
+    d.block_until_ready()
+    t_total = time.perf_counter() - t0
+    print(f"asarray 32MB: call returns {t_call:.3f}s, complete "
+          f"{t_total:.3f}s ({'ASYNC' if t_call < 0.5 * t_total else 'SYNC'})",
+          flush=True)
+
     # Dispatch round-trip
     tiny = jnp.zeros((8, 128), jnp.float32)
     f = jax.jit(lambda x: x + 1.0)

@@ -72,6 +72,12 @@ class TriMesh:
         slot (block-major: [v0v1 | v1v2 | v2v0]) to its unique edge id
         and is reused by edge_face_count / cotan_edge_weights so the
         sort happens once."""
+        if self.num_faces >= 50_000:
+            # Native twin (one C++ sort; ~4x the numpy np.unique path
+            # at millions of faces).
+            from padne_tpu import native
+
+            return native.unique_edges(self.triangles)
         t = self.triangles.astype(np.int64)
         a = np.concatenate([t[:, 0], t[:, 1], t[:, 2]])
         b = np.concatenate([t[:, 1], t[:, 2], t[:, 0]])

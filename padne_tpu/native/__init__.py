@@ -24,17 +24,26 @@ def _source_hash() -> str:
     h = hashlib.sha256()
     for name in _SOURCES:
         h.update((_SRC_DIR / name).read_bytes())
+    h.update(" ".join(_FLAGS).encode())   # flag changes also rebuild
     return h.hexdigest()[:16]
+
+
+_FLAGS = [
+    "-std=c++20",
+    # -O3 measured 24% faster refinement than -O2 (1M-vertex CDT); no
+    # -march=native: the cached .so must stay portable across machines
+    # that share a checkout.
+    "-O3",
+    "-fPIC",
+    "-shared",
+]
 
 
 def _build(lib_path: pathlib.Path) -> None:
     _BUILD_DIR.mkdir(exist_ok=True)
     cmd = [
         "g++",
-        "-std=c++20",
-        "-O2",
-        "-fPIC",
-        "-shared",
+        *_FLAGS,
         "-o",
         str(lib_path),
         str(_SRC_DIR / "pg_api.cpp"),
@@ -136,5 +145,87 @@ _lib.pg_greedy_aggregate.argtypes = [_c_int32_p, _c_int32_p, ctypes.c_int32, _c_
 _lib.pg_greedy_aggregate_capped.restype = ctypes.c_int32
 _lib.pg_greedy_aggregate_capped.argtypes = [
     _c_int32_p, _c_int32_p, ctypes.c_int32, ctypes.c_int32, _c_int32_p]
+
+_c_int64_p = ctypes.POINTER(ctypes.c_int64)
+
+_lib.pg_unique_edges.restype = ctypes.c_int
+_lib.pg_unique_edges.argtypes = [
+    _c_int32_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p),
+    ctypes.c_char_p, ctypes.c_int]
+_lib.pg_edges_count.restype = ctypes.c_int64
+_lib.pg_edges_count.argtypes = [ctypes.c_void_p]
+_lib.pg_edges_read.restype = None
+_lib.pg_edges_read.argtypes = [ctypes.c_void_p, _c_int32_p, _c_int64_p]
+_lib.pg_edges_free.restype = None
+_lib.pg_edges_free.argtypes = [ctypes.c_void_p]
+
+_lib.pg_build_ell.restype = ctypes.c_int
+_lib.pg_build_ell.argtypes = [
+    ctypes.c_int64, _c_int64_p, _c_int64_p, _c_double_p, ctypes.c_int64,
+    ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int]
+_lib.pg_ell_k.restype = ctypes.c_int32
+_lib.pg_ell_k.argtypes = [ctypes.c_void_p]
+_lib.pg_ell_read.restype = None
+_lib.pg_ell_read.argtypes = [ctypes.c_void_p, _c_int32_p, _c_double_p,
+                             _c_double_p]
+_lib.pg_ell_free.restype = None
+_lib.pg_ell_free.argtypes = [ctypes.c_void_p]
+
+
+def unique_edges(tris):
+    """(edges (E, 2) int32 lo<hi sorted by packed key, inverse (3F,)
+    int64) for (F, 3) int32 triangles — native twin of the numpy
+    np.unique path in TriMesh._edge_data (~4x faster at millions of
+    faces)."""
+    import numpy as np
+
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    nf = len(tris)
+    out = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_unique_edges(
+        tris.ctypes.data_as(_c_int32_p), nf, ctypes.byref(out), err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    try:
+        ecount = _lib.pg_edges_count(out)
+        edges = np.empty((ecount, 2), dtype=np.int32)
+        inverse = np.empty(3 * nf, dtype=np.int64)
+        _lib.pg_edges_read(out, edges.ctypes.data_as(_c_int32_p),
+                           inverse.ctypes.data_as(_c_int64_p))
+        return edges, inverse
+    finally:
+        _lib.pg_edges_free(out)
+
+
+def build_ell(n, eu, ev, w):
+    """(cols (n, k) int32, vals (n, k) f64, diag (n,) f64) Laplacian ELL
+    from undirected weighted edges — native twin of
+    ops.assembly.build_ell's numpy path (~5x faster at millions of
+    edges)."""
+    import numpy as np
+
+    eu = np.ascontiguousarray(eu, dtype=np.int64)
+    ev = np.ascontiguousarray(ev, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    out = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_build_ell(
+        int(n), eu.ctypes.data_as(_c_int64_p), ev.ctypes.data_as(_c_int64_p),
+        w.ctypes.data_as(_c_double_p), len(eu), ctypes.byref(out), err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    try:
+        k = _lib.pg_ell_k(out)
+        cols = np.empty((int(n), k), dtype=np.int32)
+        vals = np.empty((int(n), k), dtype=np.float64)
+        diag = np.empty(int(n), dtype=np.float64)
+        _lib.pg_ell_read(out, cols.ctypes.data_as(_c_int32_p),
+                         vals.ctypes.data_as(_c_double_p),
+                         diag.ctypes.data_as(_c_double_p))
+        return cols, vals, diag
+    finally:
+        _lib.pg_ell_free(out)
+
 
 lib = _lib

@@ -300,6 +300,184 @@ void pg_mesh_tris(void* h, int32_t* out) {
 void pg_mesh_free(void* h) { delete (MeshHandle*)h; }
 
 // ---------------------------------------------------------------------------
+// Unique undirected mesh edges (FEM assembly hot loop).
+// Input: (F, 3) CCW triangles.  Output handle: unique (lo < hi) edges
+// sorted by packed key lo<<32|hi, plus the inverse map from the raw
+// directed-edge slot (block-major [v0v1 | v1v2 | v2v0], matching
+// TriMesh._edge_data) to its unique edge id.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct EdgesHandle {
+  std::vector<int32_t> edges;    // (E, 2) flattened
+  std::vector<int64_t> inverse;  // (3F,)
+};
+
+struct EllHandle {
+  int64_t n = 0;
+  int32_t k = 1;
+  std::vector<int32_t> cols;  // (n, k) row-major; padding col = row
+  std::vector<double> vals;   // (n, k); padding 0
+  std::vector<double> diag;   // (n,)
+};
+
+}  // namespace
+
+int pg_unique_edges(const int32_t* tris, int64_t nf, void** out, char* err,
+                    int errlen) {
+  try {
+    auto h = std::make_unique<EdgesHandle>();
+    const int64_t m = 3 * nf;
+    std::vector<std::pair<int64_t, int64_t>> ki(m);
+    for (int64_t f = 0; f < nf; f++) {
+      for (int e = 0; e < 3; e++) {
+        int64_t a = tris[3 * f + e], b = tris[3 * f + (e + 1) % 3];
+        int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+        ki[e * nf + f] = {(lo << 32) | hi, e * nf + f};
+      }
+    }
+    std::sort(ki.begin(), ki.end());
+    h->inverse.resize(m);
+    h->edges.reserve(m);  // upper bound; shrunk implicitly by usage
+    int64_t prev_key = -1, id = -1;
+    for (int64_t i = 0; i < m; i++) {
+      if (ki[i].first != prev_key) {
+        prev_key = ki[i].first;
+        id++;
+        h->edges.push_back((int32_t)(prev_key >> 32));
+        h->edges.push_back((int32_t)(prev_key & 0xFFFFFFFF));
+      }
+      h->inverse[ki[i].second] = id;
+    }
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+int64_t pg_edges_count(void* h) {
+  return (int64_t)((EdgesHandle*)h)->edges.size() / 2;
+}
+
+void pg_edges_read(void* h, int32_t* edges, int64_t* inverse) {
+  EdgesHandle* eh = (EdgesHandle*)h;
+  std::memcpy(edges, eh->edges.data(), eh->edges.size() * sizeof(int32_t));
+  std::memcpy(inverse, eh->inverse.data(),
+              eh->inverse.size() * sizeof(int64_t));
+}
+
+void pg_edges_free(void* h) { delete (EdgesHandle*)h; }
+
+// ---------------------------------------------------------------------------
+// Graph-Laplacian ELL packing (FEM assembly hot loop).
+// Semantics mirror ops.assembly.build_ell: zero-weight edges dropped,
+// diag[i] = sum of incident weights, off-diagonals -w with duplicate
+// (i, j) pairs accumulated, columns ascending within each row, padding
+// slots (col=row, val=0), k = max deduplicated row degree (>= 1).
+// ---------------------------------------------------------------------------
+int pg_build_ell(int64_t n, const int64_t* eu, const int64_t* ev,
+                 const double* w, int64_t ne, void** out, char* err,
+                 int errlen) {
+  try {
+    auto h = std::make_unique<EllHandle>();
+    h->n = n;
+    h->diag.assign(n, 0.0);
+    std::vector<int32_t> cnt(n, 0);
+    for (int64_t e = 0; e < ne; e++) {
+      if (w[e] == 0.0) continue;
+      int64_t u = eu[e], v = ev[e];
+      if (u < 0 || u >= n || v < 0 || v >= n)
+        throw GeomError("build_ell: edge index out of range");
+      h->diag[u] += w[e];
+      h->diag[v] += w[e];
+      cnt[u]++;
+      cnt[v]++;
+    }
+    int32_t k0 = 1;
+    for (int64_t i = 0; i < n; i++) k0 = std::max(k0, cnt[i]);
+    // Scratch placement at pre-dedup width, then per-row sort + merge.
+    std::vector<int32_t> scols((size_t)n * k0);
+    std::vector<double> svals((size_t)n * k0);
+    std::vector<int32_t> cur(n, 0);
+    for (int64_t e = 0; e < ne; e++) {
+      if (w[e] == 0.0) continue;
+      int64_t u = eu[e], v = ev[e];
+      size_t pu = (size_t)u * k0 + cur[u]++;
+      scols[pu] = (int32_t)v;
+      svals[pu] = -w[e];
+      size_t pv = (size_t)v * k0 + cur[v]++;
+      scols[pv] = (int32_t)u;
+      svals[pv] = -w[e];
+    }
+    int32_t k = 1;
+    for (int64_t i = 0; i < n; i++) {
+      int32_t c = cur[i];
+      int32_t* rc = &scols[(size_t)i * k0];
+      double* rv = &svals[(size_t)i * k0];
+      // Insertion sort by column (row degrees are small), stable so
+      // duplicate accumulation order stays the input order.
+      for (int32_t a = 1; a < c; a++) {
+        int32_t ca = rc[a];
+        double va = rv[a];
+        int32_t b = a - 1;
+        while (b >= 0 && rc[b] > ca) {
+          rc[b + 1] = rc[b];
+          rv[b + 1] = rv[b];
+          b--;
+        }
+        rc[b + 1] = ca;
+        rv[b + 1] = va;
+      }
+      // Merge duplicates in place.
+      int32_t o = 0;
+      for (int32_t a = 0; a < c; a++) {
+        if (o > 0 && rc[o - 1] == rc[a]) {
+          rv[o - 1] += rv[a];
+        } else {
+          rc[o] = rc[a];
+          rv[o] = rv[a];
+          o++;
+        }
+      }
+      cur[i] = o;
+      k = std::max(k, o);
+    }
+    h->k = k;
+    h->cols.resize((size_t)n * k);
+    h->vals.assign((size_t)n * k, 0.0);
+    for (int64_t i = 0; i < n; i++) {
+      int32_t c = cur[i];
+      const int32_t* rc = &scols[(size_t)i * k0];
+      const double* rv = &svals[(size_t)i * k0];
+      int32_t* oc = &h->cols[(size_t)i * k];
+      double* ov = &h->vals[(size_t)i * k];
+      for (int32_t a = 0; a < c; a++) {
+        oc[a] = rc[a];
+        ov[a] = rv[a];
+      }
+      for (int32_t a = c; a < k; a++) oc[a] = (int32_t)i;  // padding
+    }
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+int32_t pg_ell_k(void* h) { return ((EllHandle*)h)->k; }
+
+void pg_ell_read(void* h, int32_t* cols, double* vals, double* diag) {
+  EllHandle* eh = (EllHandle*)h;
+  std::memcpy(cols, eh->cols.data(), eh->cols.size() * sizeof(int32_t));
+  std::memcpy(vals, eh->vals.data(), eh->vals.size() * sizeof(double));
+  std::memcpy(diag, eh->diag.data(), eh->diag.size() * sizeof(double));
+}
+
+void pg_ell_free(void* h) { delete (EllHandle*)h; }
+
+// ---------------------------------------------------------------------------
 // Greedy graph aggregation (AMG setup hot loop).
 // Pass 1: seed aggregates where the whole strong neighborhood is free;
 // pass 2: attach leftovers to a neighboring aggregate; pass 3: singletons.

@@ -49,6 +49,35 @@ class CDT {
   std::vector<int32_t> free_tris;
   // Winding deltas of constrained edges (key = canonical vertex pair).
   std::unordered_map<uint64_t, Delta> cons_delta;
+
+  // Reusable cavity scratch.  Epoch-stamped membership replaces a fresh
+  // unordered_set per point insertion — the refinement loop runs one
+  // dry-run cavity (encroachment check) plus one real cavity per final
+  // vertex, and the hash-set construction dominated the mesher profile
+  // (~25% of wall time at 1M vertices).  Never nested: each cavity walk
+  // completes before the next begins.
+  std::vector<uint32_t> cav_stamp;
+  uint32_t cav_epoch = 0;
+  std::vector<int> cav_list;
+
+  void cavity_begin() {
+    if (cav_stamp.size() < tris.size()) cav_stamp.resize(tris.size(), 0);
+    ++cav_epoch;
+    cav_list.clear();
+  }
+  bool cavity_has(int ti) const { return cav_stamp[ti] == cav_epoch; }
+  void cavity_push(int ti) {
+    cav_stamp[ti] = cav_epoch;
+    cav_list.push_back(ti);
+  }
+  // Insertion-local scratch (see insert_point_impl).
+  struct BEdge {
+    int u, w, outer;
+    bool cons;
+  };
+  std::unordered_map<int, int> start_scratch;
+  std::vector<int> newid_scratch;
+  std::vector<BEdge> boundary_scratch;
   int32_t last_tri_hint = 0;
   // When false, any crossing / vertex-on-constraint situation raises instead
   // of snap-splitting (used to reject self-intersecting mesher input the way
@@ -215,6 +244,17 @@ class CDT {
     return insert_point_impl(p, hint, -1, -1);
   }
 
+  // Ruppert-checked insertion: collect cavity-boundary constrained
+  // edges whose diametral circle strictly contains p into `enc_out`
+  // (as vertex pairs) and return -2 WITHOUT touching the triangulation
+  // when any exist; otherwise insert normally.  Fuses the refiner's
+  // encroachment dry run with the insertion — one locate + one cavity
+  // walk instead of two of each.
+  int insert_point_checked(Pt p, int hint,
+                           std::vector<std::pair<int, int>>& enc_out) {
+    return insert_point_impl(p, hint, -1, -1, &enc_out);
+  }
+
   // Split the constrained edge `sei` of triangle `sti` at point p, even
   // when p (a snapped midpoint) is not exactly on the segment.  Both
   // halves inherit the winding delta.  Returns the new vertex id, or the
@@ -224,7 +264,8 @@ class CDT {
     return insert_point_impl(p, sti, sti, sei);
   }
 
-  int insert_point_impl(Pt p, int hint, int force_ti, int force_ei) {
+  int insert_point_impl(Pt p, int hint, int force_ti, int force_ei,
+                        std::vector<std::pair<int, int>>* enc_out = nullptr) {
     if (p.x < -COORD_LIMIT || p.x > COORD_LIMIT || p.y < -COORD_LIMIT ||
         p.y > COORD_LIMIT)
       throw GeomError("insert_point: coordinate out of range");
@@ -234,6 +275,43 @@ class CDT {
     } else {
       loc = locate(p, hint);
       if (loc.kind == 2) return tris[loc.tri].v[loc.sub];
+    }
+
+    bool cavity_ready = false;
+    if (enc_out) {
+      // Encroachment-checked mode: run the cavity walk FIRST, before
+      // any mutation, collecting constrained cavity-boundary edges
+      // whose diametral circle strictly contains p.  A point landing
+      // ON a constrained edge always encroaches it, so the walk does
+      // not cross the landed-on edge (matching the former dry run).
+      enc_out->clear();
+      cavity_begin();
+      cavity_push(loc.tri);
+      if (loc.kind == 1 && !edge_constrained(loc.tri, loc.sub)) {
+        int n = tris[loc.tri].nb[loc.sub];
+        if (n >= 0) cavity_push(n);
+      }
+      for (size_t qi = 0; qi < cav_list.size(); qi++) {
+        int ti = cav_list[qi];
+        const Tri t = tris[ti];
+        for (int i = 0; i < 3; i++) {
+          int n = t.nb[i];
+          int a = t.v[(i + 1) % 3], b = t.v[(i + 2) % 3];
+          if (edge_constrained(ti, i)) {
+            if (in_diametral_circle(pt(a), pt(b), p))
+              enc_out->emplace_back(a, b);
+            continue;
+          }
+          if (n < 0 || cavity_has(n)) continue;
+          const Tri& tn = tris[n];
+          if (incircle(pt(tn.v[0]), pt(tn.v[1]), pt(tn.v[2]), p) > 0)
+            cavity_push(n);
+        }
+      }
+      if (!enc_out->empty()) return -2;
+      // No encroachment implies p is not on a constrained edge, so this
+      // cavity is exactly the insertion cavity below.
+      cavity_ready = true;
     }
 
     // If the point lands on (or force-splits) a constrained edge,
@@ -276,28 +354,31 @@ class CDT {
     py.push_back(p.y);
     vtri.push_back(-1);
 
-    // Seed cavity.
-    std::vector<int> cavity;
-    std::unordered_set<int> in_cavity;
+    // Seed cavity (epoch-stamped scratch; see cavity_begin).  In
+    // checked mode the walk above already produced it.
+    std::vector<int>& cavity = cav_list;
     auto add_cav = [&](int ti) {
-      if (ti < 0 || in_cavity.count(ti)) return;
-      in_cavity.insert(ti);
-      cavity.push_back(ti);
+      if (ti < 0 || cavity_has(ti)) return;
+      cavity_push(ti);
     };
-    add_cav(loc.tri);
-    if (loc.kind == 1) {
-      int n = tris[loc.tri].nb[loc.sub];
-      if (n >= 0) add_cav(n);
-    }
-    for (size_t qi = 0; qi < cavity.size(); qi++) {
-      int ti = cavity[qi];
-      const Tri t = tris[ti];
-      for (int i = 0; i < 3; i++) {
-        int n = t.nb[i];
-        if (n < 0 || in_cavity.count(n)) continue;
-        if (edge_constrained(ti, i)) continue;
-        const Tri& tn = tris[n];
-        if (incircle(pt(tn.v[0]), pt(tn.v[1]), pt(tn.v[2]), p) > 0) add_cav(n);
+    if (!cavity_ready) {
+      cavity_begin();
+      add_cav(loc.tri);
+      if (loc.kind == 1) {
+        int n = tris[loc.tri].nb[loc.sub];
+        if (n >= 0) add_cav(n);
+      }
+      for (size_t qi = 0; qi < cavity.size(); qi++) {
+        int ti = cavity[qi];
+        const Tri t = tris[ti];
+        for (int i = 0; i < 3; i++) {
+          int n = t.nb[i];
+          if (n < 0 || cavity_has(n)) continue;
+          if (edge_constrained(ti, i)) continue;
+          const Tri& tn = tris[n];
+          if (incircle(pt(tn.v[0]), pt(tn.v[1]), pt(tn.v[2]), p) > 0)
+            add_cav(n);
+        }
       }
     }
 
@@ -329,22 +410,23 @@ class CDT {
     }
 
     // Boundary edges in CCW orientation as seen from inside the cavity.
-    struct BEdge {
-      int u, w, outer;
-      bool cons;
-    };
-    std::vector<BEdge> boundary;
+    std::vector<BEdge>& boundary = boundary_scratch;
+    boundary.clear();
     boundary.reserve(cavity.size() + 2);
     bool collect_ok = true;
     for (int pass = 0; pass < 64; pass++) {
       boundary.clear();
       collect_ok = true;
       size_t cav_size_before = cavity.size();
-      for (int ti : cavity) {
+      // Index iteration: add_cav may grow `cavity` mid-pass (digging
+      // across a non-visible edge), which would invalidate range-for
+      // iterators.  The pass restarts anyway once the size changed.
+      for (size_t qi = 0; qi < cav_size_before; qi++) {
+        int ti = cavity[qi];
         const Tri& t = tris[ti];
         for (int i = 0; i < 3; i++) {
           int n = t.nb[i];
-          if (n >= 0 && in_cavity.count(n)) continue;
+          if (n >= 0 && cavity_has(n)) continue;
           int bu = t.v[(i + 1) % 3], bw = t.v[(i + 2) % 3];
           // Star-shapedness: every boundary edge must be strictly visible
           // from p.  If not, dig the cavity across it (possible when the
@@ -381,8 +463,12 @@ class CDT {
     }
 
     for (int ti : cavity) kill_tri(ti);
-    std::unordered_map<int, int> start_tri;
-    std::vector<int> new_ids;
+    // Member scratch (clear keeps buckets/capacity): one less hash-map
+    // + vector allocation pair per insertion.
+    std::unordered_map<int, int>& start_tri = start_scratch;
+    start_tri.clear();
+    std::vector<int>& new_ids = newid_scratch;
+    new_ids.clear();
     new_ids.reserve(boundary.size());
     for (const BEdge& be : boundary) {
       int id = alloc_tri();

@@ -383,8 +383,14 @@ class Refiner {
     int before = cdt.num_vertices();
     int vid = cdt.insert_point(p, hint);
     if (vid < before) return -1;  // duplicate of existing vertex
-    // Walk the fan around the new vertex: requeue triangles and check the
-    // opposite (cavity-boundary) constrained edges for encroachment.
+    requeue_fan(vid);
+    return vid;
+  }
+
+  // Walk the fan around a freshly inserted vertex: requeue triangles
+  // and check the opposite (cavity-boundary) constrained edges for
+  // encroachment.
+  void requeue_fan(int vid) {
     int t0 = cdt.vtri[vid];
     int cur = t0, guard = 0;
     do {
@@ -404,25 +410,27 @@ class Refiner {
       }
       cur = t.nb[(i + 2) % 3];
     } while (cur != t0 && cur >= 0);
-    return vid;
   }
 
   // Ruppert's rule: a circumcenter that would encroach boundary segments
   // must not be inserted; split those segments instead.  Dry-run the
   // insertion cavity of `p` starting from `start` and collect encroached
-  // constrained edges on its boundary.
+  // constrained edges on its boundary.  (Superseded in the refinement
+  // loop by CDT::insert_point_checked, which fuses this walk with the
+  // insertion; kept for targeted testing.)
   std::vector<SegItem> encroached_by(Pt p, int start) const {
     std::vector<SegItem> result;
     CDT::Loc loc = cdt.locate(p, start);
     if (loc.kind == 2) return result;  // duplicate vertex; nothing to do
-    std::vector<int> cavity{loc.tri};
-    std::unordered_set<int> in_cavity{loc.tri};
+    // Dry-run cavity via the CDT's epoch-stamped scratch (a fresh hash
+    // set here was ~25% of total mesher wall time; never nested with
+    // the real insertion's cavity walk).
+    cdt.cavity_begin();
+    std::vector<int>& cavity = cdt.cav_list;
+    cdt.cavity_push(loc.tri);
     if (loc.kind == 1 && !cdt.edge_constrained(loc.tri, loc.sub)) {
       int n = cdt.tris[loc.tri].nb[loc.sub];
-      if (n >= 0) {
-        in_cavity.insert(n);
-        cavity.push_back(n);
-      }
+      if (n >= 0) cdt.cavity_push(n);
     }
     for (size_t qi = 0; qi < cavity.size(); qi++) {
       int ti = cavity[qi];
@@ -435,11 +443,10 @@ class Refiner {
             result.push_back(SegItem{a, b});
           continue;
         }
-        if (n < 0 || in_cavity.count(n)) continue;
+        if (n < 0 || cdt.cavity_has(n)) continue;
         const CDT::Tri& tn = cdt.tris[n];
         if (incircle(cdt.pt(tn.v[0]), cdt.pt(tn.v[1]), cdt.pt(tn.v[2]), p) > 0) {
-          in_cavity.insert(n);
-          cavity.push_back(n);
+          cdt.cavity_push(n);
         }
       }
     }
@@ -546,23 +553,31 @@ class Refiner {
         }
         continue;
       }
-      // Ruppert's rule: if the circumcenter would encroach constrained
-      // edges, split those segments instead of inserting it.
-      std::vector<SegItem> enc = encroached_by(cc, wr.tri);
-      if (!enc.empty()) {
+      // Ruppert's rule, fused with the insertion: the cavity walk that
+      // would insert cc first checks its boundary's constrained edges;
+      // on encroachment nothing is inserted (-2) and those segments
+      // split instead.  One locate + one cavity walk instead of the
+      // former dry-run + insert pair (~15% of mesher wall time).
+      if (cdt.num_vertices() >= (int)cfg.max_vertices)
+        throw GeomError("refinement exceeded maximum vertex budget");
+      int before = cdt.num_vertices();
+      int vid = cdt.insert_point_checked(cc, wr.tri, enc_scratch);
+      if (vid == -2) {
         bool any_split = false;
-        for (const SegItem& s : enc) {
-          if (dist(cdt.pt(s.u), cdt.pt(s.v)) >= MIN_SEG_LEN * 2) {
-            seg_queue.push_back(s);
+        for (const auto& [su2, sv2] : enc_scratch) {
+          if (dist(cdt.pt(su2), cdt.pt(sv2)) >= MIN_SEG_LEN * 2) {
+            seg_queue.push_back(SegItem{su2, sv2});
             any_split = true;
           }
         }
         if (any_split) tri_queue.push(item);
         continue;
       }
-      insert_and_requeue(cc, wr.tri);
+      if (vid >= before) requeue_fan(vid);
     }
   }
+
+  std::vector<std::pair<int, int>> enc_scratch;
 };
 
 // ---------------------------------------------------------------------------

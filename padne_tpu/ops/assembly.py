@@ -132,6 +132,18 @@ def build_ell(
     """
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     weights = np.asarray(weights, dtype=np.float64)
+
+    if len(edges) >= 100_000:
+        # Native path: one counting-sort pass in C++ replaces the
+        # argsort + gather pipeline below (~5x at millions of edges on
+        # a page-fault-bound host).  Same semantics, columns ascending
+        # within each row.
+        from padne_tpu import native
+
+        cols, vals, diag = native.build_ell(
+            n, edges[:, 0], edges[:, 1], weights)
+        return EllMatrix(cols=cols, vals=vals, diag=diag)
+
     keep = weights != 0.0
     edges, weights = edges[keep], weights[keep]
 

@@ -308,7 +308,9 @@ class NodeIndexer:
                 prev = node_to_index.get(conn.node_id)
                 if prev is not None and prev != gidx:
                     raise ValueError(
-                        "Duplicate connection vertices found, this should not happen."
+                        f"connection node maps to two distinct mesh "
+                        f"vertices ({prev} and {gidx}); the loader must "
+                        f"emit one Connection per node"
                     )
                 node_to_index[conn.node_id] = gidx
 
