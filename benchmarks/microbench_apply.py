@@ -103,7 +103,7 @@ def main():
     np0 = lv0.pack.np_
     op_params = amg.make_dia_cg_operator(h, vparams)
     print(f"offsets={lv0.pack.offs} rem={len(lv0.pack.rem_rows)} "
-          f"nnz_main={len(lv0.pack.widx)}", flush=True)
+          f"nnz_main={len(lv0.pack.widx_hi)}", flush=True)
 
     rng = np.random.default_rng(0)
     xt = jnp.asarray(rng.standard_normal((R, np0)).astype(np.float32))

@@ -228,4 +228,102 @@ def build_ell(n, eu, ev, w):
         _lib.pg_ell_free(out)
 
 
+_c_uint16_p = ctypes.POINTER(ctypes.c_uint16)
+
+_lib.pg_pack_dia.restype = ctypes.c_int
+_lib.pg_pack_dia.argtypes = [
+    ctypes.c_int64, _c_int64_p, _c_int64_p, _c_double_p, ctypes.c_int64,
+    ctypes.c_double, ctypes.c_int32, _c_int64_p, ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int]
+_lib.pg_pack_dia_csr.restype = ctypes.c_int
+_lib.pg_pack_dia_csr.argtypes = [
+    ctypes.c_int64, _c_int32_p, _c_int32_p, _c_double_p, _c_int64_p,
+    ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int]
+_lib.pg_pack_dia_sizes.restype = None
+_lib.pg_pack_dia_sizes.argtypes = [ctypes.c_void_p, _c_int64_p]
+_lib.pg_pack_dia_read.restype = None
+_lib.pg_pack_dia_read.argtypes = [
+    ctypes.c_void_p, _c_int64_p, _c_int32_p, _c_uint16_p, _c_double_p,
+    _c_int32_p, _c_int32_p, _c_double_p]
+_lib.pg_pack_dia_free.restype = None
+_lib.pg_pack_dia_free.argtypes = [ctypes.c_void_p]
+
+
+def _read_pack_dia(out):
+    import numpy as np
+
+    try:
+        sizes = np.zeros(3, dtype=np.int64)
+        _lib.pg_pack_dia_sizes(out, sizes.ctypes.data_as(_c_int64_p))
+        d, nm, nr = map(int, sizes)
+        offs_out = np.empty(d, dtype=np.int64)
+        hi = np.empty(nm, dtype=np.int32)
+        lo = np.empty(nm, dtype=np.uint16)
+        wv = np.empty(nm, dtype=np.float64)
+        rr = np.empty(nr, dtype=np.int32)
+        rcc = np.empty(nr, dtype=np.int32)
+        rv = np.empty(nr, dtype=np.float64)
+        _lib.pg_pack_dia_read(
+            out, offs_out.ctypes.data_as(_c_int64_p),
+            hi.ctypes.data_as(_c_int32_p), lo.ctypes.data_as(_c_uint16_p),
+            wv.ctypes.data_as(_c_double_p), rr.ctypes.data_as(_c_int32_p),
+            rcc.ctypes.data_as(_c_int32_p), rv.ctypes.data_as(_c_double_p))
+        return tuple(int(o) for o in offs_out), hi, lo, wv, rr, rcc, rv
+    finally:
+        _lib.pg_pack_dia_free(out)
+
+
+def pack_dia_csr(a, pos, b, coverage, max_offsets):
+    """Same outputs as pack_dia, fed directly from a scipy CSR matrix
+    with row/col ids mapped through `pos` (padded positions) and
+    diagonal entries skipped — the AMG hierarchy's per-level shape."""
+    import numpy as np
+
+    indptr = np.ascontiguousarray(a.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(a.indices, dtype=np.int32)
+    data = np.ascontiguousarray(a.data, dtype=np.float64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    out = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_pack_dia_csr(
+        a.shape[0], indptr.ctypes.data_as(_c_int32_p),
+        indices.ctypes.data_as(_c_int32_p),
+        data.ctypes.data_as(_c_double_p), pos.ctypes.data_as(_c_int64_p),
+        int(b), float(coverage), int(max_offsets), ctypes.byref(out),
+        err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    return _read_pack_dia(out)
+
+
+def pack_dia(b, rows, cols, vals, coverage, max_offsets, offs=None):
+    """(offs tuple, widx_hi int32, widx_lo uint16, wval f64,
+    rem_rows/rem_cols int32, rem_vals f64) — native twin of
+    ops.dia.pack_dia's COO split (offset selection + W-index
+    composition + row-sorted remainder)."""
+    import numpy as np
+
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    if offs is not None:
+        offs_arr = np.ascontiguousarray(sorted(offs), dtype=np.int64)
+        offs_p = offs_arr.ctypes.data_as(_c_int64_p)
+        n_preset = len(offs_arr)
+    else:
+        offs_p = None
+        n_preset = 0
+    out = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_pack_dia(
+        int(b), rows.ctypes.data_as(_c_int64_p),
+        cols.ctypes.data_as(_c_int64_p), vals.ctypes.data_as(_c_double_p),
+        len(rows), float(coverage), int(max_offsets), offs_p, n_preset,
+        ctypes.byref(out), err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    return _read_pack_dia(out)
+
+
 lib = _lib

@@ -466,6 +466,190 @@ int pg_build_ell(int64_t n, const int64_t* eu, const int64_t* ev,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Block-offset-DIA packing (solver-setup hot loop).  Mirrors
+// ops.dia.pack_dia's COO path: greedy offset selection by block-delta
+// histogram (coverage target, 0 always included), split W index
+// (widx_hi = (rb*d + slot)*b + col_local, widx_lo = row_local), and the
+// off-offset remainder as row-sorted triplets.  One C++ pass replaces
+// ~15 nnz-sized numpy temporaries (first-touch page faults dominate at
+// millions of entries on the CI host).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DiaPackHandle {
+  std::vector<int64_t> offs;
+  std::vector<int32_t> widx_hi;
+  std::vector<uint16_t> widx_lo;
+  std::vector<double> wval;
+  std::vector<int32_t> rem_rows, rem_cols;
+  std::vector<double> rem_vals;
+};
+
+}  // namespace
+
+int pg_pack_dia(int64_t b, const int64_t* rows, const int64_t* cols,
+                const double* vals, int64_t ne, double coverage,
+                int32_t max_offsets, const int64_t* preset_offs,
+                int32_t n_preset, void** out, char* err, int errlen) {
+  try {
+    auto h = std::make_unique<DiaPackHandle>();
+    if (n_preset > 0) {
+      h->offs.assign(preset_offs, preset_offs + n_preset);
+      std::sort(h->offs.begin(), h->offs.end());
+    } else if (ne == 0) {
+      h->offs = {0};
+    } else {
+      int64_t bdmin = INT64_MAX, bdmax = INT64_MIN;
+      for (int64_t e = 0; e < ne; e++) {
+        int64_t bd = cols[e] / b - rows[e] / b;
+        bdmin = std::min(bdmin, bd);
+        bdmax = std::max(bdmax, bd);
+      }
+      std::vector<int64_t> cnt((size_t)(bdmax - bdmin + 1), 0);
+      for (int64_t e = 0; e < ne; e++)
+        cnt[(size_t)(cols[e] / b - rows[e] / b - bdmin)]++;
+      std::vector<int64_t> present;
+      for (int64_t d0 = 0; d0 < (int64_t)cnt.size(); d0++)
+        if (cnt[d0]) present.push_back(d0);
+      // Count-descending, delta-ascending on ties (deterministic).
+      std::sort(present.begin(), present.end(), [&](int64_t x, int64_t y) {
+        if (cnt[x] != cnt[y]) return cnt[x] > cnt[y];
+        return x < y;
+      });
+      int64_t covered = 0;
+      bool has_zero = false;
+      for (int64_t d0 : present) {
+        if ((int32_t)h->offs.size() >= max_offsets) break;
+        int64_t delta = d0 + bdmin;
+        h->offs.push_back(delta);
+        has_zero |= delta == 0;
+        covered += cnt[(size_t)d0];
+        if ((double)covered >= coverage * (double)ne) break;
+      }
+      if (!has_zero) h->offs.push_back(0);
+      std::sort(h->offs.begin(), h->offs.end());
+    }
+    const int32_t d = (int32_t)h->offs.size();
+    const int64_t omin = h->offs.front(), omax = h->offs.back();
+    std::vector<int32_t> lut((size_t)(omax - omin + 1), -1);
+    for (int32_t s = 0; s < d; s++) lut[(size_t)(h->offs[s] - omin)] = s;
+
+    // Count main/remainder split for exact allocations.
+    int64_t nmain = 0;
+    for (int64_t e = 0; e < ne; e++) {
+      int64_t bd = cols[e] / b - rows[e] / b;
+      nmain += (bd >= omin && bd <= omax && lut[(size_t)(bd - omin)] >= 0);
+    }
+    h->widx_hi.reserve(nmain);
+    h->widx_lo.reserve(nmain);
+    h->wval.reserve(nmain);
+    h->rem_rows.reserve(ne - nmain);
+    h->rem_cols.reserve(ne - nmain);
+    h->rem_vals.reserve(ne - nmain);
+    for (int64_t e = 0; e < ne; e++) {
+      const int64_t r = rows[e], c = cols[e];
+      const int64_t rb = r / b, cb = c / b;
+      const int64_t bd = cb - rb;
+      const int32_t slot =
+          (bd >= omin && bd <= omax) ? lut[(size_t)(bd - omin)] : -1;
+      if (slot >= 0) {
+        h->widx_hi.push_back((int32_t)((rb * d + slot) * b + (c - cb * b)));
+        h->widx_lo.push_back((uint16_t)(r - rb * b));
+        h->wval.push_back(vals[e]);
+      } else {
+        h->rem_rows.push_back((int32_t)r);
+        h->rem_cols.push_back((int32_t)c);
+        h->rem_vals.push_back(vals[e]);
+      }
+    }
+    // Remainder sorted by row, stable (matches the numpy stable
+    // argsort; rem_ell's bucketing depends on row grouping).
+    const int64_t nr = (int64_t)h->rem_rows.size();
+    std::vector<int64_t> order(nr);
+    for (int64_t i = 0; i < nr; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+      return h->rem_rows[x] < h->rem_rows[y];
+    });
+    std::vector<int32_t> rr(nr), rc(nr);
+    std::vector<double> rv(nr);
+    for (int64_t i = 0; i < nr; i++) {
+      rr[i] = h->rem_rows[order[i]];
+      rc[i] = h->rem_cols[order[i]];
+      rv[i] = h->rem_vals[order[i]];
+    }
+    h->rem_rows.swap(rr);
+    h->rem_cols.swap(rc);
+    h->rem_vals.swap(rv);
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+// CSR front-end for pg_pack_dia: walks the CSR structure directly
+// (diagonal entries skipped, row/col ids mapped through `pos`) instead
+// of materializing permuted COO triplets in numpy first — the AMG
+// hierarchy packs every level through this shape.
+int pg_pack_dia_csr(int64_t n_rows, const int32_t* indptr,
+                    const int32_t* indices, const double* data,
+                    const int64_t* pos, int64_t b, double coverage,
+                    int32_t max_offsets, void** out, char* err, int errlen) {
+  try {
+    int64_t ne = 0;
+    for (int64_t i = 0; i < n_rows; i++)
+      for (int32_t jj = indptr[i]; jj < indptr[i + 1]; jj++)
+        ne += indices[jj] != i;
+    std::vector<int64_t> rows(ne), cols(ne);
+    std::vector<double> vals(ne);
+    int64_t o = 0;
+    for (int64_t i = 0; i < n_rows; i++) {
+      const int64_t ri = pos ? pos[i] : i;
+      for (int32_t jj = indptr[i]; jj < indptr[i + 1]; jj++) {
+        const int32_t j = indices[jj];
+        if (j == i) continue;
+        rows[o] = ri;
+        cols[o] = pos ? pos[j] : j;
+        vals[o] = data[jj];
+        o++;
+      }
+    }
+    return pg_pack_dia(b, rows.data(), cols.data(), vals.data(), ne,
+                       coverage, max_offsets, nullptr, 0, out, err, errlen);
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+void pg_pack_dia_sizes(void* h, int64_t* sizes) {
+  DiaPackHandle* ph = (DiaPackHandle*)h;
+  sizes[0] = (int64_t)ph->offs.size();
+  sizes[1] = (int64_t)ph->widx_hi.size();
+  sizes[2] = (int64_t)ph->rem_rows.size();
+}
+
+void pg_pack_dia_read(void* h, int64_t* offs, int32_t* widx_hi,
+                      uint16_t* widx_lo, double* wval, int32_t* rem_rows,
+                      int32_t* rem_cols, double* rem_vals) {
+  DiaPackHandle* ph = (DiaPackHandle*)h;
+  std::memcpy(offs, ph->offs.data(), ph->offs.size() * sizeof(int64_t));
+  std::memcpy(widx_hi, ph->widx_hi.data(),
+              ph->widx_hi.size() * sizeof(int32_t));
+  std::memcpy(widx_lo, ph->widx_lo.data(),
+              ph->widx_lo.size() * sizeof(uint16_t));
+  std::memcpy(wval, ph->wval.data(), ph->wval.size() * sizeof(double));
+  std::memcpy(rem_rows, ph->rem_rows.data(),
+              ph->rem_rows.size() * sizeof(int32_t));
+  std::memcpy(rem_cols, ph->rem_cols.data(),
+              ph->rem_cols.size() * sizeof(int32_t));
+  std::memcpy(rem_vals, ph->rem_vals.data(),
+              ph->rem_vals.size() * sizeof(double));
+}
+
+void pg_pack_dia_free(void* h) { delete (DiaPackHandle*)h; }
+
 int32_t pg_ell_k(void* h) { return ((EllHandle*)h)->k; }
 
 void pg_ell_read(void* h, int32_t* cols, double* vals, double* diag) {

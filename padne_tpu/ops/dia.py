@@ -107,7 +107,12 @@ class DiaPack:
     g: int
     ng: int
     offs: tuple[int, ...]
-    widx: np.ndarray       # (nnz_main,) flat int index into W
+    # Split flat index into W: widx = widx_hi * b + widx_lo.  Kept split
+    # (int32 + uint8/16 instead of one int64 — the flat index exceeds
+    # int32 range at 1M-row packs): 5 bytes/entry on the wire and no
+    # 50+ MB compose/split round-trips on a page-fault-bound host.
+    widx_hi: np.ndarray    # (nnz_main,) int32: (rb * d + slot) * b + col_local
+    widx_lo: np.ndarray    # (nnz_main,) uint8/16: row_local
     wval: np.ndarray       # (nnz_main,) float
     rem_rows: np.ndarray   # (nnz_rem,) int32, sorted
     rem_cols: np.ndarray   # (nnz_rem,) int32
@@ -122,13 +127,12 @@ class DiaPack:
         """Static description consumed by the jitted matvec."""
         return (self.np_, self.b, self.g, self.ng, self.offs)
 
-    def _split_widx(self):
-        """(hi int32, lo uint8/16): widx = hi*b + lo.  5 bytes/entry on
-        the wire instead of int64's 8 (the W-slab flat index exceeds
-        int32 range at 1M-row packs)."""
-        lo_t = np.uint8 if self.b <= 256 else np.uint16
-        return ((self.widx // self.b).astype(np.int32),
-                (self.widx % self.b).astype(lo_t))
+    @property
+    def widx(self) -> np.ndarray:
+        """Composed (nnz_main,) int64 flat index into W (materializes a
+        fresh array — prefer widx_hi/widx_lo in hot paths)."""
+        return (self.widx_hi.astype(np.int64) * self.b
+                + self.widx_lo.astype(np.int64))
 
     def start_upload(self):
         """Begin async device transfer of the nnz-sized arrays (widx
@@ -137,12 +141,11 @@ class DiaPack:
         hierarchy build; to_device picks the handles up later."""
         import jax.numpy as jnp
 
-        if self._dev is not None or not len(self.widx):
+        if self._dev is not None or not len(self.widx_hi):
             return
-        hi, lo = self._split_widx()
         self._dev = {
-            "hi": jnp.asarray(hi),
-            "lo": jnp.asarray(lo),
+            "hi": jnp.asarray(self.widx_hi),
+            "lo": jnp.asarray(self.widx_lo),
             "vals": jnp.asarray(self.wval.astype(np.float32)),
         }
 
@@ -208,18 +211,14 @@ class DiaPack:
         size = ng * g * d * b * b
 
         if w is None:
-            # Split upload: widx = hi*b + lo with hi < size/b (int32 at
-            # any realistic scale) and lo = row_local < b (uint8/16).
-            # 5 bytes/entry through the ~13 MB/s tunnel instead of the
-            # 8 an int64 index costs once size >= 2^31 (1M-row packs).
+            # Split upload (see widx_hi/widx_lo field comment);
             # start_upload() may already have the transfers in flight.
             if self._dev is not None:
                 hi, lo, vals = (self._dev["hi"], self._dev["lo"],
                                 self._dev["vals"])
             else:
-                hi_np, lo_np = self._split_widx()
-                hi = jnp.asarray(hi_np)
-                lo = jnp.asarray(lo_np)
+                hi = jnp.asarray(self.widx_hi)
+                lo = jnp.asarray(self.widx_lo)
                 vals = jnp.asarray(self.wval.astype(np.float32))
 
             @partial(jax.jit, static_argnames=("total",))
@@ -282,7 +281,19 @@ def pack_dia(
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
-    if offs is None and len(rows):
+    nat = None
+    if len(rows) >= 200_000:
+        # Native single-pass packer (offset histogram + split W index +
+        # row-sorted remainder): replaces ~15 nnz-sized numpy
+        # temporaries whose first-touch page faults dominate at
+        # millions of entries (measured 4.8 s -> ~1 s at 6.5M nnz).
+        from padne_tpu import native
+
+        nat = native.pack_dia(b, rows, cols, vals, coverage, max_offsets,
+                              offs=offs)
+        offs = nat[0]
+        rb = cb = bd0 = None
+    elif offs is None and len(rows):
         # Share the block-index arrays with the packing below — the
         # rows//b / cols//b temporaries cost ~1 s at 6.5M nnz on a
         # page-fault-bound host.
@@ -318,10 +329,21 @@ def pack_dia(
     if diag is not None:
         diag_pad[:n] = diag
 
+    lo_t = np.uint8 if b <= 256 else np.uint16
+    if nat is not None:
+        _, hi, lo16, wv, rr, rcc, rv = nat
+        return DiaPack(
+            n=n, np_=np_, b=b, g=g, ng=ng, offs=offs,
+            widx_hi=hi, widx_lo=lo16 if lo_t == np.uint16
+            else lo16.astype(np.uint8),
+            wval=wv, rem_rows=rr, rem_cols=rcc, rem_vals=rv,
+            diag=diag_pad,
+        )
     if len(rows) == 0:
         return DiaPack(
             n=n, np_=np_, b=b, g=g, ng=ng, offs=offs,
-            widx=np.zeros(0, np.int64), wval=np.zeros(0),
+            widx_hi=np.zeros(0, np.int32), widx_lo=np.zeros(0, lo_t),
+            wval=np.zeros(0),
             rem_rows=np.zeros(0, np.int32), rem_cols=np.zeros(0, np.int32),
             rem_vals=np.zeros(0), diag=diag_pad,
         )
@@ -352,10 +374,11 @@ def pack_dia(
     ds = slots[sel]
     r_s, c_s = rows[sel], cols[sel]
     rb_s, cb_s = rb[sel], cb[sel]
-    # c_loc / r_loc in place, then widx composed into rb_s:
+    # c_loc / r_loc in place, then the split index composed into rb_s:
     # W[gi, gg, ds, col_local, row_local] with gi*g + gg == row_block;
     # the kernel computes y^T_blk (R, B) += x^T_blk (R, B) @ W
-    # (contraction over col_local).
+    # (contraction over col_local).  widx_hi = (rb*d + ds)*b + c_loc,
+    # widx_lo = row_local.
     np.multiply(cb_s, b, out=cb_s)
     np.subtract(c_s, cb_s, out=cb_s)        # cb_s = col_local; c_s free
     np.multiply(rb_s, b, out=c_s)
@@ -363,9 +386,7 @@ def pack_dia(
     np.multiply(rb_s, d, out=rb_s)
     np.add(rb_s, ds, out=rb_s)
     np.multiply(rb_s, b, out=rb_s)
-    np.add(rb_s, cb_s, out=rb_s)
-    np.multiply(rb_s, b, out=rb_s)
-    np.add(rb_s, r_s, out=rb_s)             # rb_s = widx
+    np.add(rb_s, cb_s, out=rb_s)            # rb_s = widx_hi
 
     np.logical_not(sel, out=sel)
     rr, rc, rv = rows[sel], cols[sel], vals[sel]
@@ -373,7 +394,8 @@ def pack_dia(
     np.logical_not(sel, out=sel)
     return DiaPack(
         n=n, np_=np_, b=b, g=g, ng=ng, offs=offs,
-        widx=rb_s, wval=vals[sel],
+        widx_hi=rb_s.astype(np.int32), widx_lo=r_s.astype(lo_t),
+        wval=vals[sel],
         rem_rows=rr[order].astype(np.int32),
         rem_cols=rc[order].astype(np.int32),
         rem_vals=rv[order], diag=diag_pad,
@@ -405,6 +427,44 @@ def pack_csr_as_dia(a, **kw) -> DiaPack:
     return pack_dia(
         a.shape[0], coo.row[mask].astype(np.int64),
         coo.col[mask].astype(np.int64), coo.data[mask], diag=diag, **kw,
+    )
+
+
+def pack_csr_pos_as_dia(a, pos, diag, np_override, b: int = DEFAULT_B,
+                        coverage: float = 0.95,
+                        max_offsets: int = 8) -> DiaPack:
+    """Scipy CSR + padded-position map -> DiaPack (the AMG per-level
+    shape: entry (i, j) lands at (pos[i], pos[j]), the diagonal is
+    skipped and supplied pre-padded as `diag`).
+
+    At production sizes this walks the CSR natively (pg_pack_dia_csr)
+    — no permuted-COO numpy temporaries; small levels take the generic
+    pack_dia path."""
+    a = a.tocsr()
+    if a.nnz >= 200_000:
+        from padne_tpu import native
+
+        nat = native.pack_dia_csr(a, pos, b, coverage, max_offsets)
+        offs, hi, lo16, wv, rr, rcc, rv = nat
+        nb = np_override // b
+        g = next(gg for gg in (8, 4, 2, 1) if nb % gg == 0)
+        ng = nb // g
+        lo_t = np.uint8 if b <= 256 else np.uint16
+        # n == np_override here, matching the generic path below (rows
+        # arrive as padded positions, so the "logical" size is padded).
+        return DiaPack(
+            n=np_override, np_=np_override, b=b, g=g, ng=ng, offs=offs,
+            widx_hi=hi, widx_lo=lo16 if lo_t == np.uint16
+            else lo16.astype(np.uint8),
+            wval=wv, rem_rows=rr, rem_cols=rcc, rem_vals=rv, diag=diag,
+        )
+    coo = a.tocoo()
+    mask = coo.row != coo.col
+    pos = np.asarray(pos, dtype=np.int64)
+    return pack_dia(
+        np_override, pos[coo.row[mask]], pos[coo.col[mask]],
+        coo.data[mask], diag=diag, b=b, coverage=coverage,
+        max_offsets=max_offsets, np_override=np_override,
     )
 
 

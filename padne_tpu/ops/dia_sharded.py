@@ -174,7 +174,8 @@ def upload_sharded(pack: DiaPack, plan: ShardPlan, mesh, axis_name: str,
     ng_l = ng // tp
     chunk = ng_l * g * d * b * b
 
-    gi = pack.widx // (g * d * b * b)       # grid step of each entry
+    widx = pack.widx                        # composed once (sharded-path only)
+    gi = widx // (g * d * b * b)            # grid step of each entry
     shard_of = (gi // ng_l).astype(np.int64)
 
     def build_local(idx, v):
@@ -185,7 +186,7 @@ def upload_sharded(pack: DiaPack, plan: ShardPlan, mesh, axis_name: str,
     shards = []
     for s, dev in enumerate(devices):
         sel = shard_of == s
-        idx = jnp.asarray((pack.widx[sel] - s * chunk).astype(
+        idx = jnp.asarray((widx[sel] - s * chunk).astype(
             np.int32 if chunk < 2**31 else np.int64))
         v = jnp.asarray(pack.wval[sel].astype(np.float32))
         with jax.default_device(dev):
