@@ -235,6 +235,16 @@ _lib.pg_pack_dia.argtypes = [
     ctypes.c_int64, _c_int64_p, _c_int64_p, _c_double_p, ctypes.c_int64,
     ctypes.c_double, ctypes.c_int32, _c_int64_p, ctypes.c_int32,
     ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int]
+_lib.pg_hilbert_order.restype = ctypes.c_int
+_lib.pg_hilbert_order.argtypes = [
+    _c_double_p, ctypes.c_int64, ctypes.c_int32, _c_int64_p, _c_int64_p,
+    ctypes.c_char_p, ctypes.c_int]
+
+_lib.pg_strength_csr.restype = ctypes.c_int64
+_lib.pg_strength_csr.argtypes = [
+    ctypes.c_int64, _c_int32_p, _c_int32_p, _c_double_p, _c_double_p,
+    ctypes.c_double, _c_int32_p, _c_int32_p]
+
 _lib.pg_pack_dia_csr.restype = ctypes.c_int
 _lib.pg_pack_dia_csr.argtypes = [
     ctypes.c_int64, _c_int32_p, _c_int32_p, _c_double_p, _c_int64_p,

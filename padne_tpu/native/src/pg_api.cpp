@@ -662,6 +662,85 @@ void pg_ell_read(void* h, int32_t* cols, double* vals, double* diag) {
 void pg_ell_free(void* h) { delete (EllHandle*)h; }
 
 // ---------------------------------------------------------------------------
+// Hilbert-curve ordering of 2-D points (solver-setup hot loop).
+// Mirrors ops.bell.hilbert_order: quantize to a 2^bits grid, compute
+// the Hilbert distance, stable-sort by (group, distance) — group (the
+// mesh/layer id) is the primary key so stacked layers stay contiguous.
+// perm_out: new index -> old index.
+// ---------------------------------------------------------------------------
+int pg_hilbert_order(const double* xy, int64_t n, int32_t bits,
+                     const int64_t* group, int64_t* perm_out, char* err,
+                     int errlen) {
+  try {
+    if (n == 0) return 0;
+    double lox = xy[0], loy = xy[1], hix = xy[0], hiy = xy[1];
+    for (int64_t i = 0; i < n; i++) {
+      lox = std::min(lox, xy[2 * i]);
+      hix = std::max(hix, xy[2 * i]);
+      loy = std::min(loy, xy[2 * i + 1]);
+      hiy = std::max(hiy, xy[2 * i + 1]);
+    }
+    const double span = std::max(std::max(hix - lox, hiy - loy), 1e-30);
+    const double scale = (double)((1LL << bits) - 1) / span;
+    std::vector<std::pair<uint64_t, int64_t>> ki(n);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t x = (int64_t)((xy[2 * i] - lox) * scale);
+      int64_t y = (int64_t)((xy[2 * i + 1] - loy) * scale);
+      uint64_t d = 0;
+      for (int64_t s = 1LL << (bits - 1); s > 0; s >>= 1) {
+        const int64_t rx = (x & s) > 0, ry = (y & s) > 0;
+        d += (uint64_t)(s * s) * (uint64_t)((3 * rx) ^ ry);
+        if (ry == 0) {               // rotate quadrant
+          if (rx == 1) {
+            x = s - 1 - x;
+            y = s - 1 - y;
+          }
+          std::swap(x, y);
+        }
+      }
+      const uint64_t g = group ? (uint64_t)group[i] : 0;
+      ki[i] = {(g << 32) | d, i};
+    }
+    std::stable_sort(ki.begin(), ki.end(),
+                     [](const auto& a, const auto& b) {
+                       return a.first < b.first;
+                     });
+    for (int64_t i = 0; i < n; i++) perm_out[i] = ki[i].second;
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Strength-of-connection filter (AMG setup hot loop): from a CSR
+// operator, keep off-diagonal entries with |a_ij| >= theta *
+// sqrt(d_i d_j) (d = positive-clamped diagonal, precomputed by the
+// caller).  Writes a CSR pattern into caller-allocated buffers
+// (out_indices sized >= input nnz) and returns the output nnz.  A is
+// row-sorted already, so no sort is needed — one pass replaces the
+// tocoo + boolean-mask + csr_matrix round trip.
+// ---------------------------------------------------------------------------
+int64_t pg_strength_csr(int64_t n, const int32_t* indptr,
+                        const int32_t* indices, const double* data,
+                        const double* d, double theta, int32_t* out_indptr,
+                        int32_t* out_indices) {
+  int64_t o = 0;
+  out_indptr[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const double di = d[i];
+    for (int32_t jj = indptr[i]; jj < indptr[i + 1]; jj++) {
+      const int32_t j = indices[jj];
+      if (j == i) continue;
+      const double a = data[jj] < 0 ? -data[jj] : data[jj];
+      if (a >= theta * std::sqrt(di * d[j])) out_indices[o++] = j;
+    }
+    out_indptr[i + 1] = (int32_t)o;
+  }
+  return o;
+}
+
+// ---------------------------------------------------------------------------
 // Greedy graph aggregation (AMG setup hot loop).
 // Pass 1: seed aggregates where the whole strong neighborhood is free;
 // pass 2: attach leftovers to a neighboring aggregate; pass 3: singletons.

@@ -248,36 +248,58 @@ def build_hierarchy(
 # ---------------------------------------------------------------------------
 
 
-def _aggregate_capped(A, cap: int, theta: float = 0.08):
+def _strength_pattern(A, theta: float):
+    """(indptr, indices) int32 CSR pattern of the strong-connection
+    graph |a_ij| >= theta * sqrt(d_i d_j), diagonal excluded.
+
+    Built by one native CSR pass (pg_strength_csr) — A is row-sorted
+    already, so the tocoo + mask + csr_matrix round trip the numpy
+    version needed is pure overhead.  Cached by callers across the
+    aggregation-cap retry loop (same A, same theta -> same graph)."""
+    import ctypes
+
+    from .. import native
+
+    A = A.tocsr()
+    n = A.shape[0]
+    d = np.asarray(A.diagonal())
+    d = np.ascontiguousarray(np.where(d > 0, d, 1.0))
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    out_indptr = np.empty(n + 1, dtype=np.int32)
+    out_indices = np.empty(len(indices), dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    nnz = native.lib.pg_strength_csr(
+        n, indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
+        data.ctypes.data_as(f64p), d.ctypes.data_as(f64p), float(theta),
+        out_indptr.ctypes.data_as(i32p), out_indices.ctypes.data_as(i32p),
+    )
+    return out_indptr, out_indices[:nnz]
+
+
+def _aggregate_capped(A, cap: int, theta: float = 0.08, strength=None):
     """Greedy aggregation with a hard size cap (native sweep).
 
     Bounded aggregate sizes let prolongation/restriction become reshape
     + broadcast/sum on device: fine rows are laid out as (aggregate,
-    slot) with each aggregate padded to `cap` slots."""
-    import ctypes
+    slot) with each aggregate padded to `cap` slots.
 
-    import scipy.sparse
+    strength: optional prebuilt (indptr, indices) from
+    _strength_pattern — reused across the cap retry loop."""
+    import ctypes
 
     from .. import native
 
     n = A.shape[0]
-    d = np.asarray(A.diagonal())
-    d = np.where(d > 0, d, 1.0)
-    coo = A.tocoo()
-    strong = (coo.row != coo.col) & (
-        np.abs(coo.data) >= theta * np.sqrt(d[coo.row] * d[coo.col])
-    )
-    S = scipy.sparse.csr_matrix(
-        (np.ones(strong.sum(), dtype=np.int8),
-         (coo.row[strong], coo.col[strong])),
-        shape=(n, n),
-    )
-    indptr = np.ascontiguousarray(S.indptr.astype(np.int32))
-    indices = np.ascontiguousarray(S.indices.astype(np.int32))
+    indptr, indices = (strength if strength is not None
+                       else _strength_pattern(A, theta))
     agg32 = np.zeros(n, dtype=np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
     nc = native.lib.pg_greedy_aggregate_capped(
-        indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
+        np.ascontiguousarray(indptr).ctypes.data_as(i32p),
+        np.ascontiguousarray(indices).ctypes.data_as(i32p),
         n, cap, agg32.ctypes.data_as(i32p),
     )
     return agg32.astype(np.int64), int(nc)
@@ -391,10 +413,12 @@ def build_hierarchy_dia(
         # stalls coarsening into crude pairwise fallbacks (weak coarse
         # solves cost 2-3x in CG iterations).
         theta_l = theta if level_i < 3 else theta / 4.0
-        agg, nc = _aggregate_capped(A, cap_l, theta_l)
+        strength = _strength_pattern(A, theta_l)
+        agg, nc = _aggregate_capped(A, cap_l, theta_l, strength=strength)
         while cap_l > 2 and nl / nc < 0.7 * cap_l:
             cap_l //= 2
-            agg, nc = _aggregate_capped(A, cap_l, theta_l)
+            agg, nc = _aggregate_capped(A, cap_l, theta_l,
+                                        strength=strength)
         if nc >= nl or nc == 0:
             break
         if nc > 0.6 * nl:

@@ -68,6 +68,30 @@ def hilbert_order(coords: np.ndarray, bits: int = 16,
     n = len(coords)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if n >= 100_000 and bits <= 16 and (
+        group is None or (np.asarray(group) >= 0).all()
+    ):
+        # Native twin: one pass + one pair sort (the 16 vectorized
+        # numpy passes + lexsort cost ~0.7 s at 1M points).  Packing
+        # (group << 32) | distance needs non-negative group ids and
+        # distance < 2^32 (bits <= 16).
+        import ctypes
+
+        from padne_tpu import native
+
+        xy = np.ascontiguousarray(coords)
+        perm = np.empty(n, dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        gp = (np.ascontiguousarray(group, dtype=np.int64)
+              if group is not None else None)
+        err = ctypes.create_string_buffer(256)
+        rc = native.lib.pg_hilbert_order(
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            int(bits), gp.ctypes.data_as(i64p) if gp is not None else None,
+            perm.ctypes.data_as(i64p), err, 256)
+        if rc != 0:
+            raise RuntimeError(err.value.decode())
+        return perm
     lo = coords.min(axis=0)
     span = max(float((coords.max(axis=0) - lo).max()), 1e-30)
     scale = (2**bits - 1) / span
