@@ -24,12 +24,24 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-if os.environ.get("PADNE_TPU_FORCE_CPU"):
+def _pin_cpu_if_needed():
+    """Pin jax to CPU unless a TPU is genuinely reachable.
+
+    This environment's sitecustomize overrides JAX_PLATFORMS, and
+    initializing the axon backend HANGS (not errors) when the tunnel is
+    down — so the decision uses a bounded subprocess probe (bench.py's).
+    PADNE_TPU_FORCE_CPU=1 skips the probe and always pins."""
     import jax
 
-    # This environment's sitecustomize overrides JAX_PLATFORMS; force via
-    # config (see tests/conftest.py).
+    if not os.environ.get("PADNE_TPU_FORCE_CPU"):
+        from bench import _tpu_available
+
+        if _tpu_available():
+            return
     jax.config.update("jax_platforms", "cpu")
+
+
+_pin_cpu_if_needed()
 
 import numpy as np  # noqa: E402
 

@@ -50,6 +50,11 @@ def _machine() -> str:
     try:
         import jax
 
+        # The stage suite itself runs pinned to CPU (benchmarks.py),
+        # so fingerprint the CPU backend directly — initializing the
+        # default (accelerator) backend here would hang indefinitely
+        # when the TPU tunnel is down.
+        jax.config.update("jax_platforms", "cpu")
         dev = jax.devices()[0]
         backend = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
     except Exception:
