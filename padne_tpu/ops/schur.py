@@ -596,10 +596,11 @@ class DiaBorderedSolver:
         # this removes most of the per-pass iteration cost.
         self._Xc = None
 
-    def _run_cg(self, rhs_dev):
+    def _run_cg(self, rhs_dev, tol=None):
+        tol = self.inner_tol if tol is None else tol
         dispatch_cap, maxiter = self.dispatch_cap, self.maxiter
         if dispatch_cap is None or maxiter <= dispatch_cap:
-            res = self.cg_solver(rhs_dev, self.inner_tol, maxiter)
+            res = self.cg_solver(rhs_dev, tol, maxiter)
             self._cg_iters += int(res.iterations)
             return res.x
         total = 0
@@ -607,7 +608,7 @@ class DiaBorderedSolver:
         while True:
             it = int(min(dispatch_cap, maxiter - total))
             res, state = self.cg_solver.stateful(
-                rhs_dev, self.inner_tol, it, state)
+                rhs_dev, tol, it, state)
             chunk = int(res.iterations)
             total += chunk
             if chunk < it or total >= maxiter:
@@ -615,8 +616,14 @@ class DiaBorderedSolver:
         self._cg_iters += total
         return res.x
 
-    def _solve_once(self, rc, rb):
-        """One Schur pass; rc (n,) rb (m,) host f64 -> (dv, dj) f64."""
+    def _solve_once(self, rc, rb, tol=None):
+        """One Schur pass; rc (n,) rb (m,) host f64 -> (dv, dj) f64.
+
+        tol: inner CG relative tolerance for this pass (defaults to
+        self.inner_tol; the refinement loop passes a looser value on
+        the FINAL pass, where only the remaining contraction to the
+        outer target is needed — saves V-cycles vs running every pass
+        to the f32 stall floor)."""
         import time
 
         m, p = self.m, self.p
@@ -631,7 +638,7 @@ class DiaBorderedSolver:
             X = self._run_cg(self._build_rhs(rc_pad))    # (np0, m+1) f32
             self._Xc = X[:, :m]
         else:
-            x_rc = self._run_cg(rc_pad[:, None])         # (np0, 1) f32
+            x_rc = self._run_cg(rc_pad[:, None], tol=tol)  # (np0, 1) f32
             X = jnp.concatenate([self._Xc, x_rc], axis=1)
         X.block_until_ready()
         self._trace("inner cg", t0)
@@ -698,7 +705,14 @@ class DiaBorderedSolver:
         res_norm = float(np.sqrt((res_core**2).sum()
                                  + (res_border**2).sum()))
         while res_norm > target_residual and refinements < max_refinements:
-            dv, dj = self._solve_once(res_core, res_border)
+            # Pass-adaptive inner tolerance: only the remaining
+            # contraction to the outer target is needed, with a 5x
+            # margin.  Early passes hit the f32 stall floor regardless;
+            # the FINAL pass typically needs a factor of only 10-100 —
+            # a few V-cycles instead of running to the stall window.
+            tol_pass = min(0.05, max(self.inner_tol,
+                                     0.2 * target_residual / res_norm))
+            dv, dj = self._solve_once(res_core, res_border, tol=tol_pass)
             v_new, j_new = v + dv, j + dj
             rc_new, rb_new = self._full_residual(v_new, j_new)
             new_norm = float(np.sqrt((rc_new**2).sum()
