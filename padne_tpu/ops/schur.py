@@ -268,18 +268,18 @@ def solve_bordered(
             else int(np.clip(60_000_000 // per_iter_rows, 30, 4000))
         )
 
-    def run_cg(rhs_dev):
+    def run_cg(rhs_dev, tol_run):
         """cg_solver honoring the dispatch cap: the Krylov state is
         threaded through bounded-length dispatches, so the chunked run
         IS one uninterrupted CG iteration sequence."""
         if dispatch_cap is None or maxiter <= dispatch_cap:
-            res = cg_solver(rhs_dev, inner_tol, maxiter)
+            res = cg_solver(rhs_dev, tol_run, maxiter)
             return res.x, int(res.iterations)
         total = 0
         state = None
         while True:
             it = int(min(dispatch_cap, maxiter - total))
-            res, state = cg_solver.stateful(rhs_dev, inner_tol, it, state)
+            res, state = cg_solver.stateful(rhs_dev, tol_run, it, state)
             chunk_iters = int(res.iterations)
             total += chunk_iters
             if chunk_iters < it or total >= maxiter:
@@ -288,8 +288,12 @@ def solve_bordered(
 
     total_cg_iters = 0
 
-    def solve_once(rc, rb):
-        """One pass of the Schur pipeline for core rhs rc, border rhs rb."""
+    def solve_once(rc, rb, tol_pass=None):
+        """One pass of the Schur pipeline for core rhs rc, border rhs rb.
+
+        tol_pass: inner CG tolerance for this pass (defaults to
+        inner_tol; refinement passes request only the remaining
+        contraction to the outer target)."""
         nonlocal total_cg_iters
         # RHS block: [C | rc] -> A^+ of each column.
         rhs = jnp.concatenate([C, rc[:, None]], axis=1)  # (n, m+1)
@@ -297,7 +301,8 @@ def solve_bordered(
             rhs = jnp.concatenate(
                 [rhs, jnp.zeros((pad, m + 1), rhs.dtype)], axis=0
             )
-        x_cg, iters = run_cg(rhs.astype(inner_dtype))
+        x_cg, iters = run_cg(rhs.astype(inner_dtype),
+                             inner_tol if tol_pass is None else tol_pass)
         total_cg_iters += iters
         X = x_cg.astype(jnp.float64)[:n]  # (n, m+1): [A^+ C | A^+ rc]
         Xc, xr = X[:, :m], X[:, m]
@@ -347,7 +352,11 @@ def solve_bordered(
         jnp.sqrt((res_core**2).sum() + (res_border**2).sum())
     )
     while res_norm > target_residual and refinements < max_refinements:
-        dv, dj = solve_once(res_core, res_border)
+        # Pass-adaptive inner tolerance (see DiaBorderedSolver.solve):
+        # request only the remaining contraction, with a 5x margin.
+        tol_pass = min(0.05, max(inner_tol,
+                                 0.2 * target_residual / res_norm))
+        dv, dj = solve_once(res_core, res_border, tol_pass=tol_pass)
         v_new = v + dv
         j_new = j + dj
         rc_new, rb_new = full_residual(v_new, j_new)
