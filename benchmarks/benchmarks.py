@@ -245,6 +245,39 @@ def bench_device(res: Results, quick: bool):
     res.add("device", "amg_pcg_iterations", int(r.iterations), "iters")
 
 
+def bench_native(res: Results, quick: bool):
+    """The native assembly/setup kernels (pg_unique_edges, pg_build_ell,
+    pg_pack_dia, pg_hilbert_order) at a representative size."""
+    from padne_tpu import geom, mesh, native
+    from padne_tpu.ops import bell, dia
+
+    size = 0.5 if quick else 0.2
+    m = mesh.Mesher(
+        mesh.Mesher.Config(maximum_size=size,
+                           variable_size_maximum_factor=1.0)
+    ).poly_to_mesh(geom.box(0, 0, 40, 40))
+    res.add("native", "mesh_n", m.num_vertices, "verts")
+
+    t, (edges, inverse) = _timer(native.unique_edges, m.triangles)
+    res.add("native", "unique_edges", t, "s")
+
+    w = m.cotan_edge_weights
+    t, _ = _timer(native.build_ell, m.num_vertices,
+                  edges[:, 0].astype(np.int64),
+                  edges[:, 1].astype(np.int64), w)
+    res.add("native", "build_ell", t, "s")
+
+    t, perm = _timer(bell.hilbert_order, m.vertices)
+    res.add("native", "hilbert_order", t, "s")
+
+    from padne_tpu.ops import assembly
+
+    ell = assembly.build_ell(m.num_vertices, edges.astype(np.int64), w)
+    t, pack = _timer(dia.pack_ell_as_dia, ell, perm=perm)
+    res.add("native", "pack_dia", t, "s")
+    res.add("native", "pack_dia_remainder", len(pack.rem_rows), "nnz")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
@@ -264,6 +297,7 @@ def main():
         bench_loading(res, args.boards, args.quick)
         bench_solver(res, args.boards, args.quick)
     bench_device(res, args.quick)
+    bench_native(res, args.quick)
 
     if args.json:
         print(json.dumps(res.rows))
