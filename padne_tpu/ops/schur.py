@@ -638,8 +638,22 @@ class DiaBorderedSolver:
         m, p = self.m, self.p
         system = self.system
         t0 = time.time()
+        if self._Xc is None:
+            rc_dev = jnp.asarray(rc.astype(np.float32))
+        else:
+            # Refinement-pass RHS rides the (slow) tunnel as scaled f16
+            # — half the bytes.  Safe: a perturbed RHS only changes
+            # which correction is computed, so per-entry 5e-4 relative
+            # error merely caps the per-pass contraction at ~5e-4,
+            # below the f32 stall floor's ~1e-4-2e-4 anyway in the
+            # passes that matter.  Pass 1 (the original point-source
+            # RHS) stays f32.
+            scale = max(float(np.abs(rc).max()), 1e-300)
+            rc16 = (rc / scale).astype(np.float16)
+            rc_dev = jnp.asarray(rc16).astype(jnp.float32) * jnp.float32(
+                scale)
         rc_pad = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
-            jnp.asarray(rc.astype(np.float32)))
+            rc_dev)
         rc_pad.block_until_ready()
         self._trace("upload rc", t0)
         t0 = time.time()
