@@ -16,7 +16,7 @@ from microbench_apply import get_system, timeit, _sync  # noqa: E402
 
 
 def main():
-    ell, verts = get_system()
+    ell, verts, group = get_system()
     n = len(ell.diag)
     import jax
 
@@ -27,7 +27,8 @@ def main():
     from padne_tpu.ops import amg, cg, dia
 
     R = 8
-    h = amg.build_hierarchy_dia(ell, verts, coarse_size=3000)
+    h = amg.build_hierarchy_dia(ell, verts, coarse_size=3000,
+                                group=group)
     backend = dia.default_backend()
     vcycle_apply, vparams = amg.make_vcycle_dia_t(h, backend=backend)
     meta0 = h.levels[0].pack.meta
