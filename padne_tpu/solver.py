@@ -278,9 +278,13 @@ class NodeIndexer:
         import scipy.spatial
 
         layer_pos = {id(layer): i for i, layer in enumerate(prob.layers)}
-        # KD-tree per layer over all mesh vertices of that layer.
-        layer_trees = {}
+        # Per-layer vertex pools for nearest-vertex snapping.
+        layer_points = {}
         layer_globals = {}
+        n_queries = np.zeros(len(prob.layers), dtype=np.int64)
+        for network in networks:
+            for conn in network.connections:
+                n_queries[layer_pos[id(conn.layer)]] += 1
         for layer_i in range(len(prob.layers)):
             pts = []
             gids = []
@@ -292,18 +296,34 @@ class NodeIndexer:
                 gids.append(np.arange(base, base + m.num_vertices))
             if not pts:
                 continue
-            layer_trees[layer_i] = scipy.spatial.cKDTree(
-                np.concatenate(pts), leafsize=32
-            )
             layer_globals[layer_i] = np.concatenate(gids)
+            pv = np.concatenate(pts)
+            # A KD-tree build costs ~0.25 s per 1M-vertex layer; with
+            # only a few connection queries a vectorized argmin over
+            # the pool is cheaper (the snap RESULT is the same nearest
+            # vertex either way; reference KD-tree: solver.py:398-466).
+            # Via-dense boards carry thousands of connections, where
+            # the tree wins decisively — keep the brute-force window
+            # small.
+            if n_queries[layer_i] * len(pv) <= 30_000_000:
+                layer_points[layer_i] = pv
+            else:
+                layer_points[layer_i] = scipy.spatial.cKDTree(
+                    pv, leafsize=32)
 
         node_to_index: dict = {}
         for network in networks:
             for conn in network.connections:
                 layer_i = layer_pos[id(conn.layer)]
-                if layer_i not in layer_trees:
+                if layer_i not in layer_globals:
                     continue
-                _, k = layer_trees[layer_i].query([conn.point.x, conn.point.y])
+                pool = layer_points[layer_i]
+                if isinstance(pool, np.ndarray):
+                    k = int(np.argmin(
+                        (pool[:, 0] - conn.point.x) ** 2
+                        + (pool[:, 1] - conn.point.y) ** 2))
+                else:
+                    _, k = pool.query([conn.point.x, conn.point.y])
                 gidx = int(layer_globals[layer_i][k])
                 prev = node_to_index.get(conn.node_id)
                 if prev is not None and prev != gidx:
