@@ -104,30 +104,43 @@ def main():
     _progress(f"meshed+assembled n={n} (m={system.border.m}, "
               f"{len(meshes)} meshes) in {t_mesh:.1f}s")
 
-    t0 = time.time()
-    import jax.numpy as jnp
-
-    dia_solver = schur.DiaBorderedSolver(system)
-    t_setup = time.time() - t0
-    _progress(f"AMG setup + upload in {t_setup:.1f}s")
-
     bnorm = float(np.sqrt((system.r_core**2).sum()
                           + (system.border.rhs**2).sum()))
     tol_rel = 1e-8  # BASELINE.md row 1: 1e-8 relative residual
     target_abs = tol_rel * bnorm
 
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    if on_tpu:
+        dia_solver = schur.DiaBorderedSolver(system)
+
+        def run_solve():
+            return dia_solver.solve(target_residual=target_abs,
+                                    max_refinements=12)
+    else:
+        # CPU fallback: the ELL gather path beats the DIA slab off-TPU
+        # (no MXU to feed; the inflated slab stream is pure overhead —
+        # measured 7 s vs 88 s at 250k DoF).  Setup re-runs per call,
+        # which the fallback label makes clear enough.
+        def run_solve():
+            return schur.solve_bordered(
+                system, device_dtype=jnp.float32, operator="ell",
+                target_residual=target_abs, max_refinements=12)
+
+    t_setup = time.time() - t0
+    _progress(f"AMG setup + upload in {t_setup:.1f}s")
+
     _progress("warmup (compile)...")
     t0 = time.time()
-    result = dia_solver.solve(target_residual=target_abs,
-                              max_refinements=12)
+    result = run_solve()
     _progress(f"warmup done in {time.time()-t0:.1f}s "
               f"(rel={result.residual_norm/bnorm:.2e})")
 
     times = []
     for run in range(3):
         t0 = time.time()
-        result = dia_solver.solve(target_residual=target_abs,
-                                  max_refinements=12)
+        result = run_solve()
         times.append(time.time() - t0)
         _progress(f"run {run}: {times[-1]:.2f}s "
                   f"iters={result.cg_iterations} "
@@ -135,7 +148,15 @@ def main():
                   f"rel={result.residual_norm/bnorm:.2e}")
     t_solve = float(np.median(times))
     dof_per_sec = n / t_solve
-    lv0 = dia_solver.hierarchy.levels[0]
+    hierarchy_detail = {}
+    if on_tpu:
+        lv0 = dia_solver.hierarchy.levels[0]
+        hierarchy_detail = {
+            "amg_levels": [lv.pack.np_
+                           for lv in dia_solver.hierarchy.levels],
+            "level0_offsets": list(lv0.pack.offs),
+            "level0_remainder": len(lv0.pack.rem_rows),
+        }
     out = {
         "metric": "solve_dof_per_sec",
         "value": round(dof_per_sec, 1),
@@ -157,10 +178,7 @@ def main():
             "refinement_passes": result.refinement_steps + 1,
             "final_rel_residual": result.residual_norm / bnorm,
             "rhs_columns": system.border.m + 1,
-            "amg_levels": [lv.pack.np_
-                           for lv in dia_solver.hierarchy.levels],
-            "level0_offsets": list(lv0.pack.offs),
-            "level0_remainder": len(lv0.pack.rem_rows),
+            **hierarchy_detail,
             "device": str(jax.devices()[0]) + (
                 "" if on_tpu
                 else " (CPU FALLBACK at reduced DoF — TPU tunnel down)"),
