@@ -692,7 +692,9 @@ class DiaBorderedSolver:
             np.concatenate([c, [0.0]]).astype(np.float32))  # dummy comp
         v_pad = self._combine(X, jnp.asarray(j.astype(np.float32)),
                               c_full, self.comp_pad_dev)
-        v = np.asarray(v_pad, dtype=np.float64)[self.posmap]
+        # Fetch f32 over the wire, widen on host (np.asarray with a
+        # dtype could widen on device first — 2x the tunnel bytes).
+        v = np.asarray(v_pad).astype(np.float64)[self.posmap]
         self._trace("combine+download v", t0)
         return v, j
 
