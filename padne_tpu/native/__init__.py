@@ -96,6 +96,19 @@ _lib.pg_polyset_ring_coords.argtypes = [
 _lib.pg_polyset_free.restype = None
 _lib.pg_polyset_free.argtypes = [ctypes.c_void_p]
 
+_lib.pg_classify_build.restype = ctypes.c_int
+_lib.pg_classify_build.argtypes = [
+    _c_double_p, _c_int32_p, ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int,
+]
+_lib.pg_classify_query.restype = ctypes.c_int
+_lib.pg_classify_query.argtypes = [
+    ctypes.c_void_p, _c_double_p, ctypes.c_int32, _c_int8_p,
+    ctypes.c_char_p, ctypes.c_int,
+]
+_lib.pg_classify_handle_free.restype = None
+_lib.pg_classify_handle_free.argtypes = [ctypes.c_void_p]
+
 _lib.pg_classify_points.restype = ctypes.c_int
 _lib.pg_classify_points.argtypes = [
     _c_double_p, _c_int32_p, ctypes.c_int32,
@@ -334,6 +347,130 @@ def pack_dia(b, rows, cols, vals, coverage, max_offsets, offs=None):
     if rc != 0:
         raise RuntimeError(err.value.decode())
     return _read_pack_dia(out)
+
+
+_lib.pg_ell_csr_nnz.restype = ctypes.c_int64
+_lib.pg_ell_csr_nnz.argtypes = [ctypes.c_int64, ctypes.c_int32, _c_double_p]
+_lib.pg_ell_to_csr.restype = ctypes.c_int
+_lib.pg_ell_to_csr.argtypes = [
+    ctypes.c_int64, ctypes.c_int32, _c_int32_p, _c_double_p, _c_double_p,
+    _c_int32_p, _c_int32_p, _c_double_p, ctypes.c_char_p, ctypes.c_int]
+
+_lib.pg_galerkin.restype = ctypes.c_int
+_lib.pg_galerkin.argtypes = [
+    ctypes.c_int64, _c_int32_p, _c_int32_p, _c_double_p, _c_int32_p,
+    ctypes.c_int64, _c_double_p, ctypes.c_double, ctypes.c_double,
+    ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int]
+_lib.pg_csr_sizes.restype = None
+_lib.pg_csr_sizes.argtypes = [ctypes.c_void_p, _c_int64_p]
+_lib.pg_csr_read.restype = None
+_lib.pg_csr_read.argtypes = [ctypes.c_void_p, _c_int32_p, _c_int32_p,
+                             _c_double_p]
+_lib.pg_csr_free.restype = None
+_lib.pg_csr_free.argtypes = [ctypes.c_void_p]
+
+
+def ell_to_csr(cols, vals, diag):
+    """(indptr int32, indices int32, data f64) CSR arrays from a padded
+    ELL operator — native twin of assembly.EllMatrix.to_scipy (diagonal
+    first in each row, padding slots dropped).  Two passes: an exact nnz
+    count, then a fill into exact-size buffers (the numpy pipeline's
+    ~10 temporaries cost seconds of first-touch page faults at 1M rows)."""
+    import numpy as np
+
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    diag = np.ascontiguousarray(diag, dtype=np.float64)
+    n, k = cols.shape
+    nnz = _lib.pg_ell_csr_nnz(n, k, vals.ctypes.data_as(_c_double_p))
+    if nnz > 2**31 - 1:
+        raise ValueError("ell_to_csr: nnz exceeds int32 index range")
+    indptr = np.empty(n + 1, dtype=np.int32)
+    indices = np.empty(nnz, dtype=np.int32)
+    data = np.empty(nnz, dtype=np.float64)
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_ell_to_csr(
+        n, k, cols.ctypes.data_as(_c_int32_p),
+        vals.ctypes.data_as(_c_double_p), diag.ctypes.data_as(_c_double_p),
+        indptr.ctypes.data_as(_c_int32_p), indices.ctypes.data_as(_c_int32_p),
+        data.ctypes.data_as(_c_double_p), err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    return indptr, indices, data
+
+
+def galerkin(a, agg, nc, dinv, omega_p, drop_tol):
+    """Coarse operator Ac = P^T A P (scipy CSR in, scipy CSR out) with
+    the smoothed prolongation P = P0 - omega_p diag(dinv) (A P0) built
+    internally and the drop_tol sparsify+lump filter fused — native twin
+    of the scipy chain in amg.build_hierarchy_dia."""
+    import numpy as np
+    import scipy.sparse
+
+    indptr = np.ascontiguousarray(a.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(a.indices, dtype=np.int32)
+    data = np.ascontiguousarray(a.data, dtype=np.float64)
+    agg = np.ascontiguousarray(agg, dtype=np.int32)
+    dinv = np.ascontiguousarray(dinv, dtype=np.float64)
+    out = ctypes.c_void_p()
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_galerkin(
+        a.shape[0], indptr.ctypes.data_as(_c_int32_p),
+        indices.ctypes.data_as(_c_int32_p),
+        data.ctypes.data_as(_c_double_p), agg.ctypes.data_as(_c_int32_p),
+        int(nc), dinv.ctypes.data_as(_c_double_p), float(omega_p),
+        float(drop_tol), ctypes.byref(out), err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    try:
+        sizes = np.zeros(2, dtype=np.int64)
+        _lib.pg_csr_sizes(out, sizes.ctypes.data_as(_c_int64_p))
+        nr, nnz = map(int, sizes)
+        out_indptr = np.empty(nr + 1, dtype=np.int32)
+        out_indices = np.empty(nnz, dtype=np.int32)
+        out_data = np.empty(nnz, dtype=np.float64)
+        _lib.pg_csr_read(out, out_indptr.ctypes.data_as(_c_int32_p),
+                         out_indices.ctypes.data_as(_c_int32_p),
+                         out_data.ctypes.data_as(_c_double_p))
+        return scipy.sparse.csr_matrix(
+            (out_data, out_indices, out_indptr), shape=(nr, nr))
+    finally:
+        _lib.pg_csr_free(out)
+
+
+_lib.pg_csr_permute.restype = ctypes.c_int
+_lib.pg_csr_permute.argtypes = [
+    ctypes.c_int64, _c_int32_p, _c_int32_p, _c_double_p, _c_int64_p,
+    _c_int32_p, _c_int32_p, _c_double_p, ctypes.c_char_p, ctypes.c_int]
+
+
+def csr_permute(a, perm):
+    """A[perm][:, perm] as scipy CSR (perm: new index -> old index) —
+    one counting + one gather pass (scipy's fancy-index chain runs two
+    permutation-matrix SpGEMMs).  Columns ascend within each row."""
+    import numpy as np
+    import scipy.sparse
+
+    n = a.shape[0]
+    indptr = np.ascontiguousarray(a.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(a.indices, dtype=np.int32)
+    data = np.ascontiguousarray(a.data, dtype=np.float64)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    out_indptr = np.empty(n + 1, dtype=np.int32)
+    out_indices = np.empty(len(indices), dtype=np.int32)
+    out_data = np.empty(len(data), dtype=np.float64)
+    err = ctypes.create_string_buffer(256)
+    rc = _lib.pg_csr_permute(
+        n, indptr.ctypes.data_as(_c_int32_p),
+        indices.ctypes.data_as(_c_int32_p),
+        data.ctypes.data_as(_c_double_p), perm.ctypes.data_as(_c_int64_p),
+        out_indptr.ctypes.data_as(_c_int32_p),
+        out_indices.ctypes.data_as(_c_int32_p),
+        out_data.ctypes.data_as(_c_double_p), err, 256)
+    if rc != 0:
+        raise RuntimeError(err.value.decode())
+    return scipy.sparse.csr_matrix(
+        (out_data, out_indices, out_indptr), shape=(n, n))
 
 
 lib = _lib

@@ -59,6 +59,59 @@ struct PolySetHandle {
   PolySet ps;
 };
 
+// Parsed ring set + per-ring bounding boxes for point classification.
+// A ring can affect a point's classification only when p.y is within
+// [ymin, ymax] and p.x <= xmax (the winding ray goes toward +x).
+struct ClassifyHandle {
+  struct BB {
+    i64 x0, y0, x1, y1;
+  };
+  std::vector<Ring> rings;
+  std::vector<BB> bbs;
+};
+
+void classify_prepare(ClassifyHandle& h, const double* xy,
+                      const int32_t* sizes, int32_t nrings) {
+  h.rings = read_rings(xy, sizes, nrings);
+  h.bbs.resize(h.rings.size());
+  for (size_t ri = 0; ri < h.rings.size(); ri++) {
+    ClassifyHandle::BB bb{INT64_MAX, INT64_MAX, INT64_MIN, INT64_MIN};
+    for (const Pt& q : h.rings[ri].pts) {
+      bb.x0 = std::min(bb.x0, q.x);
+      bb.y0 = std::min(bb.y0, q.y);
+      bb.x1 = std::max(bb.x1, q.x);
+      bb.y1 = std::max(bb.y1, q.y);
+    }
+    h.bbs[ri] = bb;
+  }
+}
+
+int8_t classify_one(const ClassifyHandle& h, Pt p) {
+  int winding = 0;
+  bool boundary = false;
+  for (size_t ri = 0; ri < h.rings.size() && !boundary; ri++) {
+    const ClassifyHandle::BB& bb = h.bbs[ri];
+    if (p.y < bb.y0 || p.y > bb.y1 || p.x > bb.x1) continue;
+    const Ring& r = h.rings[ri];
+    size_t n = r.pts.size();
+    for (size_t i = 0; i < n; i++) {
+      const Pt& a = r.pts[i];
+      const Pt& b = r.pts[(i + 1) % n];
+      if (on_segment(a, b, p)) {
+        boundary = true;
+        break;
+      }
+      // Winding: signed crossings of the horizontal ray toward +x.
+      if (a.y <= p.y) {
+        if (b.y > p.y && orient2d(a, b, p) > 0) winding++;
+      } else {
+        if (b.y <= p.y && orient2d(a, b, p) < 0) winding--;
+      }
+    }
+  }
+  return boundary ? 1 : (winding != 0 ? 2 : 0);
+}
+
 struct MeshHandle {
   MeshResult mr;
 };
@@ -120,55 +173,47 @@ int pg_classify_points(const double* xy, const int32_t* sizes, int32_t nrings,
                        const double* pts, int32_t npts, int8_t* result,
                        char* err, int errlen) {
   try {
-    std::vector<Ring> rings = read_rings(xy, sizes, nrings);
-    // Per-ring bounding boxes: a ring can affect a point's classification
-    // only when p.y is within [ymin, ymax] and p.x <= xmax (the winding
-    // ray goes toward +x).
-    struct BB {
-      i64 x0, y0, x1, y1;
-    };
-    std::vector<BB> bbs(rings.size());
-    for (size_t ri = 0; ri < rings.size(); ri++) {
-      BB bb{INT64_MAX, INT64_MAX, INT64_MIN, INT64_MIN};
-      for (const Pt& q : rings[ri].pts) {
-        bb.x0 = std::min(bb.x0, q.x);
-        bb.y0 = std::min(bb.y0, q.y);
-        bb.x1 = std::max(bb.x1, q.x);
-        bb.y1 = std::max(bb.y1, q.y);
-      }
-      bbs[ri] = bb;
-    }
-    for (int32_t k = 0; k < npts; k++) {
-      Pt p = snap(pts[2 * k], pts[2 * k + 1]);
-      int winding = 0;
-      bool boundary = false;
-      for (size_t ri = 0; ri < rings.size() && !boundary; ri++) {
-        const BB& bb = bbs[ri];
-        if (p.y < bb.y0 || p.y > bb.y1 || p.x > bb.x1) continue;
-        const Ring& r = rings[ri];
-        size_t n = r.pts.size();
-        for (size_t i = 0; i < n; i++) {
-          const Pt& a = r.pts[i];
-          const Pt& b = r.pts[(i + 1) % n];
-          if (on_segment(a, b, p)) {
-            boundary = true;
-            break;
-          }
-          // Winding: signed crossings of the horizontal ray toward +x.
-          if (a.y <= p.y) {
-            if (b.y > p.y && orient2d(a, b, p) > 0) winding++;
-          } else {
-            if (b.y <= p.y && orient2d(a, b, p) < 0) winding--;
-          }
-        }
-      }
-      result[k] = boundary ? 1 : (winding != 0 ? 2 : 0);
-    }
+    ClassifyHandle h;
+    classify_prepare(h, xy, sizes, nrings);
+    for (int32_t k = 0; k < npts; k++)
+      result[k] = classify_one(h, snap(pts[2 * k], pts[2 * k + 1]));
     return 0;
   } catch (const std::exception& e) {
     return fail(e, err, errlen);
   }
 }
+
+// Persistent variant: parse + bbox the rings ONCE (pg_classify_build),
+// then answer point queries against the handle.  Point-in-polygon is
+// the seed-placement/connectivity hot loop — via-dense boards issue
+// tens of thousands of single-point queries against polygons with
+// thousands of hole rings, and re-snapping every ring per query
+// dominated meshing wall-clock (many_meshes_many_vias: 203 s -> <1 s).
+int pg_classify_build(const double* xy, const int32_t* sizes, int32_t nrings,
+                      void** out, char* err, int errlen) {
+  try {
+    auto h = std::make_unique<ClassifyHandle>();
+    classify_prepare(*h, xy, sizes, nrings);
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+int pg_classify_query(void* handle, const double* pts, int32_t npts,
+                      int8_t* result, char* err, int errlen) {
+  try {
+    const ClassifyHandle& h = *(const ClassifyHandle*)handle;
+    for (int32_t k = 0; k < npts; k++)
+      result[k] = classify_one(h, snap(pts[2 * k], pts[2 * k + 1]));
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+void pg_classify_handle_free(void* h) { delete (ClassifyHandle*)h; }
 
 // Minimum distance from each query point to the ring boundary (mm).
 int pg_distance_to_boundary(const double* xy, const int32_t* sizes,
@@ -864,6 +909,302 @@ int32_t pg_greedy_aggregate_capped(const int32_t* indptr,
     agg[i] = remap[a];
   }
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// ELL -> CSR (solver-setup hot path).  Matches assembly.EllMatrix.to_scipy:
+// per row the diagonal entry comes first, then the row's nonzero ELL slots
+// in stored order (padding slots have val == 0 and are dropped).  Split
+// into a count pass and a fill pass so the caller allocates exact-size
+// numpy buffers once (no handle copy; first-touch page faults dominate
+// allocation cost on the CI host).
+// ---------------------------------------------------------------------------
+int64_t pg_ell_csr_nnz(int64_t n, int32_t k, const double* vals) {
+  int64_t nnz = n;  // one diagonal per row
+  const int64_t total = n * (int64_t)k;
+  for (int64_t e = 0; e < total; e++) nnz += vals[e] != 0.0;
+  return nnz;
+}
+
+int pg_ell_to_csr(int64_t n, int32_t k, const int32_t* cols,
+                  const double* vals, const double* diag,
+                  int32_t* out_indptr, int32_t* out_indices,
+                  double* out_data, char* err, int errlen) {
+  try {
+    int64_t o = 0;
+    out_indptr[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+      out_indices[o] = (int32_t)i;
+      out_data[o] = diag[i];
+      o++;
+      const int32_t* rc = cols + i * k;
+      const double* rv = vals + i * k;
+      for (int32_t s = 0; s < k; s++) {
+        if (rv[s] != 0.0) {
+          out_indices[o] = rc[s];
+          out_data[o] = rv[s];
+          o++;
+        }
+      }
+      if (o > INT32_MAX)
+        throw GeomError("ell_to_csr: nnz exceeds int32 indptr range");
+      out_indptr[i + 1] = (int32_t)o;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Smoothed-aggregation Galerkin coarse operator (AMG setup hot loop):
+// Ac = P^T A P with P = P0 - omega_p * diag(dinv) (A P0), P0 the
+// aggregation indicator (P0[i, agg[i]] = 1).  Replaces the scipy chain
+// diags(dinv) @ (A @ P0) / transpose / csr_matmat (which allocates
+// ~400 MB of intermediates at 1M DoF; first-touch page faults dominate).
+// Exact zeros are skipped on emit (scipy eliminate_zeros parity) and the
+// drop-tolerance filter runs fused: off-diagonals with
+// |v| < drop_tol * sqrt(dc_i dc_j) are LUMPED into the diagonal, keeping
+// row sums (the Neumann constant-vector kernel) exact.  Per-row columns
+// emit in ascending order.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CsrHandle {
+  int64_t n = 0;
+  std::vector<int32_t> indptr, indices;
+  std::vector<double> data;
+};
+
+}  // namespace
+
+int pg_galerkin(int64_t n, const int32_t* indptr, const int32_t* indices,
+                const double* data, const int32_t* agg, int64_t nc,
+                const double* dinv, double omega_p, double drop_tol,
+                void** out, char* err, int errlen) {
+  try {
+    auto h = std::make_unique<CsrHandle>();
+    h->n = nc;
+    const int64_t nnz_a = indptr[n];
+
+    // P in CSR (n x nc).  omega_p == 0 degenerates to one entry per row
+    // (the aggregation indicator).
+    std::vector<int32_t> pptr(n + 1), pind;
+    std::vector<double> pval;
+    if (omega_p == 0.0) {
+      pind.resize(n);
+      pval.assign(n, 1.0);
+      for (int64_t i = 0; i < n; i++) {
+        pptr[i] = (int32_t)i;
+        pind[i] = agg[i];
+      }
+      pptr[n] = (int32_t)n;
+    } else {
+      // Epoch-stamped accumulator over coarse columns: collapse the
+      // per-row contributions {agg[i]: +1} + {agg[j]: -omega_p dinv_i
+      // a_ij} (j runs over the FULL row, diagonal included — matching
+      // A @ P0).
+      std::vector<int32_t> stamp(nc, -1);
+      std::vector<double> acc(nc, 0.0);
+      std::vector<int32_t> touched;
+      pind.reserve(nnz_a);  // upper bound: <= row degree + 1 per row
+      pval.reserve(nnz_a);
+      pptr[0] = 0;
+      for (int64_t i = 0; i < n; i++) {
+        touched.clear();
+        const double w = -omega_p * dinv[i];
+        const int32_t ai = agg[i];
+        stamp[ai] = (int32_t)i;
+        acc[ai] = 1.0;
+        touched.push_back(ai);
+        for (int32_t jj = indptr[i]; jj < indptr[i + 1]; jj++) {
+          const int32_t J = agg[indices[jj]];
+          if (stamp[J] != (int32_t)i) {
+            stamp[J] = (int32_t)i;
+            acc[J] = 0.0;
+            touched.push_back(J);
+          }
+          acc[J] += w * data[jj];
+        }
+        std::sort(touched.begin(), touched.end());
+        for (int32_t J : touched) {
+          if (acc[J] != 0.0) {
+            pind.push_back(J);
+            pval.push_back(acc[J]);
+          }
+        }
+        pptr[i + 1] = (int32_t)pind.size();
+      }
+    }
+
+    // P^T by counting sort (coarse-row-grouped (fine row, value) lists).
+    const int64_t nnz_p = (int64_t)pind.size();
+    std::vector<int32_t> tptr(nc + 1, 0);
+    for (int64_t e = 0; e < nnz_p; e++) tptr[pind[e] + 1]++;
+    for (int64_t I = 0; I < nc; I++) tptr[I + 1] += tptr[I];
+    std::vector<int32_t> trow(nnz_p);
+    std::vector<double> tval(nnz_p);
+    {
+      std::vector<int32_t> cur(tptr.begin(), tptr.end() - 1);
+      for (int64_t i = 0; i < n; i++)
+        for (int32_t e = pptr[i]; e < pptr[i + 1]; e++) {
+          const int32_t o = cur[pind[e]]++;
+          trow[o] = (int32_t)i;
+          tval[o] = pval[e];
+        }
+    }
+
+    // Ac row by row: Ac_I = sum_{(i, p) in PT_I} p * (A P)_i, expanding
+    // (A P)_i on the fly (avoids materializing the B = A P intermediate;
+    // P rows average ~2-3 entries so the recompute is cheap).
+    std::vector<int32_t> stamp(nc, -1);
+    std::vector<double> acc(nc, 0.0);
+    std::vector<int32_t> touched;
+    h->indptr.resize(nc + 1);
+    h->indptr[0] = 0;
+    h->indices.reserve(nnz_a / 2);
+    h->data.reserve(nnz_a / 2);
+    for (int64_t I = 0; I < nc; I++) {
+      touched.clear();
+      for (int32_t t = tptr[I]; t < tptr[I + 1]; t++) {
+        const int32_t i = trow[t];
+        const double p = tval[t];
+        for (int32_t jj = indptr[i]; jj < indptr[i + 1]; jj++) {
+          const double w = p * data[jj];
+          const int32_t j = indices[jj];
+          for (int32_t e = pptr[j]; e < pptr[j + 1]; e++) {
+            const int32_t J = pind[e];
+            if (stamp[J] != (int32_t)I) {
+              stamp[J] = (int32_t)I;
+              acc[J] = 0.0;
+              touched.push_back(J);
+            }
+            acc[J] += w * pval[e];
+          }
+        }
+      }
+      std::sort(touched.begin(), touched.end());
+      for (int32_t J : touched) {
+        // Exact zeros are dropped (eliminate_zeros parity) EXCEPT the
+        // diagonal when the drop filter runs — lumping needs a stored
+        // diagonal slot in every row (a whole-component aggregate has
+        // an exactly-zero Galerkin diagonal).
+        if (acc[J] != 0.0 || (drop_tol > 0.0 && J == (int32_t)I)) {
+          h->indices.push_back(J);
+          h->data.push_back(acc[J]);
+        }
+      }
+      if ((int64_t)h->indices.size() > INT32_MAX)
+        throw GeomError("galerkin: coarse nnz exceeds int32 range");
+      h->indptr[I + 1] = (int32_t)h->indices.size();
+    }
+
+    if (drop_tol > 0.0) {
+      // Fused sparsify + lump (amg.build_hierarchy_dia drop_tol
+      // semantics): needs the full coarse diagonal first, then one
+      // in-place compaction pass.
+      std::vector<double> dc(nc, 1.0);
+      for (int64_t I = 0; I < nc; I++)
+        for (int32_t e = h->indptr[I]; e < h->indptr[I + 1]; e++)
+          if (h->indices[e] == (int32_t)I && h->data[e] > 0.0)
+            dc[I] = h->data[e];
+      int64_t o = 0;
+      int32_t prev_end = h->indptr[0];
+      for (int64_t I = 0; I < nc; I++) {
+        double lump = 0.0;
+        int64_t diag_at = -1;
+        for (int32_t e = prev_end; e < h->indptr[I + 1]; e++) {
+          const int32_t J = h->indices[e];
+          const double v = h->data[e];
+          if (J == (int32_t)I) {
+            diag_at = o;
+          } else if (std::abs(v) < drop_tol * std::sqrt(dc[I] * dc[J])) {
+            lump += v;
+            continue;
+          }
+          h->indices[o] = J;
+          h->data[o] = v;
+          o++;
+        }
+        if (lump != 0.0) {
+          if (diag_at < 0)  // cannot happen: diagonals always emit
+            throw GeomError("galerkin: missing diagonal slot");
+          h->data[diag_at] += lump;
+        }
+        prev_end = h->indptr[I + 1];
+        h->indptr[I + 1] = (int32_t)o;
+      }
+      h->indices.resize(o);
+      h->data.resize(o);
+    }
+
+    *out = h.release();
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
+}
+
+void pg_csr_sizes(void* h, int64_t* sizes) {
+  CsrHandle* ch = (CsrHandle*)h;
+  sizes[0] = ch->n;
+  sizes[1] = (int64_t)ch->indices.size();
+}
+
+void pg_csr_read(void* h, int32_t* indptr, int32_t* indices, double* data) {
+  CsrHandle* ch = (CsrHandle*)h;
+  std::memcpy(indptr, ch->indptr.data(), ch->indptr.size() * sizeof(int32_t));
+  std::memcpy(indices, ch->indices.data(),
+              ch->indices.size() * sizeof(int32_t));
+  std::memcpy(data, ch->data.data(), ch->data.size() * sizeof(double));
+}
+
+void pg_csr_free(void* h) { delete (CsrHandle*)h; }
+
+// ---------------------------------------------------------------------------
+// Symmetric CSR permutation: out = A[perm][:, perm] (perm: new -> old).
+// scipy implements fancy-index row selection as a permutation-matrix
+// SpGEMM; this is one counting pass + one gather pass into exact-size
+// caller buffers.  Columns re-sort per row (small row degrees ->
+// insertion sort).
+// ---------------------------------------------------------------------------
+int pg_csr_permute(int64_t n, const int32_t* indptr, const int32_t* indices,
+                   const double* data, const int64_t* perm,
+                   int32_t* out_indptr, int32_t* out_indices,
+                   double* out_data, char* err, int errlen) {
+  try {
+    std::vector<int32_t> inv(n);  // old -> new
+    for (int64_t i = 0; i < n; i++) inv[perm[i]] = (int32_t)i;
+    out_indptr[0] = 0;
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; i++) {
+      const int64_t old = perm[i];
+      const int64_t start = o;
+      for (int32_t jj = indptr[old]; jj < indptr[old + 1]; jj++) {
+        out_indices[o] = inv[indices[jj]];
+        out_data[o] = data[jj];
+        o++;
+      }
+      // Insertion sort by column (row degrees are small).
+      for (int64_t a = start + 1; a < o; a++) {
+        const int32_t ca = out_indices[a];
+        const double va = out_data[a];
+        int64_t b = a - 1;
+        while (b >= start && out_indices[b] > ca) {
+          out_indices[b + 1] = out_indices[b];
+          out_data[b + 1] = out_data[b];
+          b--;
+        }
+        out_indices[b + 1] = ca;
+        out_data[b + 1] = va;
+      }
+      out_indptr[i + 1] = (int32_t)o;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    return fail(e, err, errlen);
+  }
 }
 
 }  // extern "C"

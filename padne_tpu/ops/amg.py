@@ -387,7 +387,12 @@ def build_hierarchy_dia(
     perm0 = bell.hilbert_order(coords, group=group)
     inv0 = np.empty(n0, dtype=np.int64)
     inv0[perm0] = np.arange(n0)
-    A = A[perm0][:, perm0].tocsr()
+    if A.nnz >= 200_000:
+        from padne_tpu import native
+
+        A = native.csr_permute(A, perm0)
+    else:
+        A = A[perm0][:, perm0].tocsr()
     lvl_group = (np.asarray(group)[perm0] if group is not None else None)
 
     # One downward pass.  Per level: capped aggregation (adaptive cap so
@@ -506,37 +511,46 @@ def build_hierarchy_dia(
         dinv_pad[pos] = dinv
         all_pos.append(pos)
 
-        # Galerkin coarse operator (aggregate-id order).
-        P0 = scipy.sparse.csr_matrix(
-            (np.ones(nl), (np.arange(nl), agg)), shape=(nl, nc)
-        )
-        if omega_p:
-            P = (P0 - omega_p * (scipy.sparse.diags(dinv) @ (A @ P0))).tocsr()
+        # Galerkin coarse operator (aggregate-id order), with the
+        # smoothed prolongation built internally and the drop filter
+        # fused.  Sparsify semantics: relatively-tiny couplings
+        # (|v| < drop_tol * sqrt(dc_i dc_j)) are dropped — preconditioner
+        # quality is insensitive, offset structure is not — and the
+        # dropped mass is LUMPED into the diagonal so row sums (the
+        # Neumann constant-vector kernel) are preserved; plain dropping
+        # turns the kernel into near-null modes that the coarse
+        # pseudo-inverse then amplifies by 1/drop_tol^2.
+        if A.nnz >= 200_000:
+            from padne_tpu import native
+
+            Ac = native.galerkin(A, agg, nc, dinv, omega_p, drop_tol)
         else:
-            P = P0
-        Ac = (P.T @ A @ P).tocsr()
-        Ac.eliminate_zeros()
-        if drop_tol:
-            # Sparsify: drop relatively-tiny couplings (preconditioner
-            # quality is insensitive, offset structure is not).  Dropped
-            # mass is LUMPED into the diagonal so row sums — and with
-            # them the Neumann constant-vector kernel — are preserved;
-            # plain dropping turns the kernel into near-null modes that
-            # the coarse pseudo-inverse then amplifies by 1/drop_tol^2.
-            dc = np.asarray(Ac.diagonal())
-            dc = np.where(dc > 0, dc, 1.0)
-            coo_c = Ac.tocoo()
-            keep = (coo_c.row == coo_c.col) | (
-                np.abs(coo_c.data)
-                >= drop_tol * np.sqrt(dc[coo_c.row] * dc[coo_c.col])
+            P0 = scipy.sparse.csr_matrix(
+                (np.ones(nl), (np.arange(nl), agg)), shape=(nl, nc)
             )
-            lump = np.zeros(Ac.shape[0])
-            np.add.at(lump, coo_c.row[~keep], coo_c.data[~keep])
-            Ac = scipy.sparse.csr_matrix(
-                (coo_c.data[keep], (coo_c.row[keep], coo_c.col[keep])),
-                shape=Ac.shape,
-            )
-            Ac = (Ac + scipy.sparse.diags(lump)).tocsr()
+            if omega_p:
+                P = (P0
+                     - omega_p * (scipy.sparse.diags(dinv) @ (A @ P0))
+                     ).tocsr()
+            else:
+                P = P0
+            Ac = (P.T @ A @ P).tocsr()
+            Ac.eliminate_zeros()
+            if drop_tol:
+                dc = np.asarray(Ac.diagonal())
+                dc = np.where(dc > 0, dc, 1.0)
+                coo_c = Ac.tocoo()
+                keep = (coo_c.row == coo_c.col) | (
+                    np.abs(coo_c.data)
+                    >= drop_tol * np.sqrt(dc[coo_c.row] * dc[coo_c.col])
+                )
+                lump = np.zeros(Ac.shape[0])
+                np.add.at(lump, coo_c.row[~keep], coo_c.data[~keep])
+                Ac = scipy.sparse.csr_matrix(
+                    (coo_c.data[keep], (coo_c.row[keep], coo_c.col[keep])),
+                    shape=Ac.shape,
+                )
+                Ac = (Ac + scipy.sparse.diags(lump)).tocsr()
         levels.append(AlignedLevel(
             pack=pack, dinv=dinv_pad, omega_p=omega_p, omega_s=omega_s,
             cap=cap_l, child_len=0, child_perm=None,   # patched below

@@ -94,6 +94,17 @@ class EllMatrix:
         import scipy.sparse
 
         n, k = self.cols.shape
+        if n * k >= 1_000_000:
+            # Native two-pass fill (exact-size buffers): the numpy
+            # pipeline below allocates ~10 nnz-sized temporaries whose
+            # first-touch page faults cost ~10 s at 1M rows on the CI
+            # host.
+            from padne_tpu import native
+
+            indptr, indices, data = native.ell_to_csr(
+                self.cols, self.vals, self.diag)
+            return scipy.sparse.csr_matrix(
+                (data, indices, indptr), shape=(n, n))
         nz = self.vals != 0
         counts = nz.sum(axis=1) + 1  # +1 for the diagonal
         indptr = np.zeros(n + 1, dtype=np.int64)

@@ -104,3 +104,129 @@ class TestNativeUniqueEdges:
         edges_nat, inv_nat = native.unique_edges(tris)
         np.testing.assert_array_equal(edges_np, edges_nat)
         np.testing.assert_array_equal(inv_np, inv_nat)
+
+
+def _random_laplacian(rng, n, ne):
+    """Random symmetric positive-semidefinite graph Laplacian CSR."""
+    import scipy.sparse
+
+    r = rng.integers(0, n, ne)
+    c = rng.integers(0, n, ne)
+    m = r != c
+    w = rng.random(m.sum()) + 0.05
+    A = scipy.sparse.coo_matrix((-w, (r[m], c[m])), shape=(n, n))
+    A = (A + A.T).tocsr()
+    d = -np.asarray(A.sum(axis=1)).ravel()
+    return (A + scipy.sparse.diags(d)).tocsr()
+
+
+class TestNativeEllToCsr:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_parity_vs_numpy_path(self, seed):
+        import scipy.sparse
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(100, 3000))
+        eu = rng.integers(0, n, 6 * n)
+        ev = rng.integers(0, n, 6 * n)
+        m = eu != ev
+        ell = assembly.build_ell(
+            n, np.stack([eu[m], ev[m]], axis=1), rng.random(m.sum()))
+        ref = ell.to_scipy()  # below threshold -> numpy path
+        ip, ix, dt = native.ell_to_csr(ell.cols, ell.vals, ell.diag)
+        nat = scipy.sparse.csr_matrix((dt, ix, ip), shape=ref.shape)
+        diff = ref - nat
+        assert diff.nnz == 0 or np.abs(diff.data).max() == 0.0
+        assert nat.nnz == ref.nnz
+
+    def test_diag_only(self):
+        import scipy.sparse
+
+        ell = assembly.EllMatrix(
+            cols=np.zeros((3, 1), np.int32),
+            vals=np.zeros((3, 1)),
+            diag=np.array([1.0, 2.0, 3.0]),
+        )
+        ip, ix, dt = native.ell_to_csr(ell.cols, ell.vals, ell.diag)
+        nat = scipy.sparse.csr_matrix((dt, ix, ip), shape=(3, 3))
+        assert np.allclose(nat.toarray(), np.diag([1.0, 2.0, 3.0]))
+
+
+class TestNativeGalerkin:
+    """pg_galerkin vs the scipy P^T A P chain it replaces
+    (amg.build_hierarchy_dia's small-size fallback)."""
+
+    def _scipy_galerkin(self, A, agg, nc, dinv, omega_p, drop_tol):
+        import scipy.sparse
+
+        n = A.shape[0]
+        P0 = scipy.sparse.csr_matrix(
+            (np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+        if omega_p:
+            P = (P0 - omega_p * (scipy.sparse.diags(dinv) @ (A @ P0))
+                 ).tocsr()
+        else:
+            P = P0
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.eliminate_zeros()
+        if drop_tol:
+            dc = np.asarray(Ac.diagonal())
+            dc = np.where(dc > 0, dc, 1.0)
+            coo = Ac.tocoo()
+            keep = (coo.row == coo.col) | (
+                np.abs(coo.data)
+                >= drop_tol * np.sqrt(dc[coo.row] * dc[coo.col]))
+            lump = np.zeros(nc)
+            np.add.at(lump, coo.row[~keep], coo.data[~keep])
+            Ac = scipy.sparse.csr_matrix(
+                (coo.data[keep], (coo.row[keep], coo.col[keep])),
+                shape=Ac.shape)
+            Ac = (Ac + scipy.sparse.diags(lump)).tocsr()
+        return Ac
+
+    @pytest.mark.parametrize("omega_p", [0.0, 0.41])
+    @pytest.mark.parametrize("drop_tol", [0.0, 1e-3])
+    def test_parity(self, omega_p, drop_tol):
+        rng = np.random.default_rng(7)
+        n, nc = 2500, 600
+        A = _random_laplacian(rng, n, 18 * n)
+        agg = rng.integers(0, nc, n).astype(np.int32)
+        agg[:nc] = np.arange(nc)  # every aggregate nonempty
+        d = np.asarray(A.diagonal())
+        dinv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+        ref = self._scipy_galerkin(A, agg, nc, dinv, omega_p, drop_tol)
+        nat = native.galerkin(A, agg, nc, dinv, omega_p, drop_tol)
+        diff = ref - nat
+        err = np.abs(diff.data).max() if diff.nnz else 0.0
+        assert err <= 1e-12 * np.abs(ref.data).max()
+
+    def test_row_sums_preserved_under_drop(self):
+        # The lump keeps the Neumann constant-vector kernel exact.
+        rng = np.random.default_rng(3)
+        n, nc = 1500, 300
+        A = _random_laplacian(rng, n, 12 * n)
+        agg = (np.arange(n) % nc).astype(np.int32)
+        d = np.asarray(A.diagonal())
+        dinv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+        loose = native.galerkin(A, agg, nc, dinv, 0.0, 0.0)
+        tight = native.galerkin(A, agg, nc, dinv, 0.0, 1e-2)
+        ones = np.ones(nc)
+        assert np.allclose(loose @ ones, tight @ ones, atol=1e-11)
+
+
+class TestNativeCsrPermute:
+    @pytest.mark.parametrize("seed", [0, 4])
+    def test_parity(self, seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 2500))
+        A = _random_laplacian(rng, n, 10 * n)
+        perm = rng.permutation(n)
+        ref = A[perm][:, perm].tocsr()
+        ref.sort_indices()
+        nat = native.csr_permute(A, perm)
+        diff = ref - nat
+        assert diff.nnz == 0 or np.abs(diff.data).max() == 0.0
+        # columns ascend within each row
+        for i in range(0, n, max(1, n // 37)):
+            row = nat.indices[nat.indptr[i]:nat.indptr[i + 1]]
+            assert np.all(np.diff(row) > 0)
