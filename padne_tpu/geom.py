@@ -65,6 +65,50 @@ def _pack_rings(rings: Sequence[np.ndarray]):
     return np.ascontiguousarray(xy), np.ascontiguousarray(sizes)
 
 
+class _RingClassifier:
+    """Owns a parsed native point-classification handle: the rings are
+    snapped to the nm grid and bounding-boxed ONCE at construction, so
+    repeated point queries skip the per-call ring parsing that dominated
+    seed placement on via-dense boards (thousands of hole rings x tens
+    of thousands of single-point queries)."""
+
+    __slots__ = ("_h",)
+
+    def __init__(self, rings: Sequence[np.ndarray]):
+        xy, sizes = _pack_rings(list(rings))
+        out = ctypes.c_void_p()
+        err = ctypes.create_string_buffer(_ERRLEN)
+        rc = native.lib.pg_classify_build(
+            _dptr(xy), _i32ptr(sizes), len(sizes), ctypes.byref(out),
+            err, _ERRLEN)
+        if rc:
+            raise GeometryError(err.value.decode())
+        self._h = out
+
+    def query(self, pts: np.ndarray) -> np.ndarray:
+        """0 = outside, 1 = boundary, 2 = inside for each query point."""
+        q = np.ascontiguousarray(np.asarray(pts, dtype=np.float64).reshape(-1))
+        n = len(q) // 2
+        result = np.zeros(n, dtype=np.int8)
+        if n == 0:
+            return result
+        err = ctypes.create_string_buffer(_ERRLEN)
+        rc = native.lib.pg_classify_query(
+            self._h, _dptr(q), n,
+            result.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            err, _ERRLEN)
+        if rc:
+            raise GeometryError(err.value.decode())
+        return result
+
+    def __del__(self, _free=native.lib.pg_classify_handle_free):
+        # _free bound at class-definition time: the `native` module may
+        # already be torn down during interpreter shutdown.
+        h = getattr(self, "_h", None)
+        if h:
+            _free(h)
+
+
 def _dptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -121,19 +165,21 @@ class Polygon:
             float(ext[:, 1].max()),
         )
 
+    @cached_property
+    def _classifier(self) -> _RingClassifier:
+        return _RingClassifier(self._rings)
+
     def _classify(self, pts: np.ndarray) -> np.ndarray:
         """0 = outside, 1 = boundary, 2 = inside for each query point."""
-        xy, sizes = _pack_rings(list(self._rings))
-        q = np.ascontiguousarray(np.asarray(pts, dtype=np.float64).reshape(-1))
-        n = len(q) // 2
-        out = np.zeros(n, dtype=np.int8)
-        err = ctypes.create_string_buffer(_ERRLEN)
-        rc = native.lib.pg_classify_points(
-            _dptr(xy), _i32ptr(sizes), len(sizes), _dptr(q), n,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), err, _ERRLEN)
-        if rc:
-            raise GeometryError(err.value.decode())
-        return out
+        return self._classifier.query(pts)
+
+    def __getstate__(self):
+        # Cached derived state (including the native classifier handle,
+        # which cannot pickle) rebuilds lazily on demand.
+        return self._rings
+
+    def __setstate__(self, state):
+        self._rings = state
 
     def contains(self, point: Point) -> bool:
         """Strict interior containment (boundary excluded)."""
@@ -229,22 +275,20 @@ class MultiPolygon:
     def is_empty(self) -> bool:
         return len(self._geoms) == 0
 
+    @cached_property
+    def _classifier(self) -> _RingClassifier:
+        return _RingClassifier(self.all_rings())
+
     def classify_points(self, pts: np.ndarray) -> np.ndarray:
-        """Batched classification against the whole polygon set in one
-        native call: 0 outside, 1 on boundary, 2 inside."""
-        xy, sizes = _pack_rings(self.all_rings())
-        q = np.ascontiguousarray(np.asarray(pts, dtype=np.float64).reshape(-1))
-        n = len(q) // 2
-        out = np.zeros(n, dtype=np.int8)
-        if len(sizes) == 0 or n == 0:
-            return out
-        err = ctypes.create_string_buffer(_ERRLEN)
-        rc = native.lib.pg_classify_points(
-            _dptr(xy), _i32ptr(sizes), len(sizes), _dptr(q), n,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), err, _ERRLEN)
-        if rc:
-            raise GeometryError(err.value.decode())
-        return out
+        """Batched classification against the whole polygon set (native
+        handle, parsed once): 0 outside, 1 on boundary, 2 inside."""
+        return self._classifier.query(pts)
+
+    def __getstate__(self):
+        return self._geoms
+
+    def __setstate__(self, state):
+        self._geoms = state
 
     def intersects(self, point: Point) -> bool:
         return int(self.classify_points(np.array([[point.x, point.y]]))[0]) >= 1
