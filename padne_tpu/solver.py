@@ -526,9 +526,20 @@ def system_to_scipy(system) -> tuple:
 def produce_layer_solutions(
     layers, vindex, meshes, mesh_to_layer, v, disconnected_by_layer
 ) -> list[LayerSolution]:
-    import jax.numpy as jnp
-
     from .ops import postproc
+
+    # One padded batch over ALL meshes: a per-mesh power_density call
+    # compiles one XLA program per distinct mesh shape (many-mesh boards
+    # paid ~170 compilations / 18 s; on TPU each would be a remote
+    # compile).
+    all_vals = [
+        v[int(vindex.mesh_offsets[i]):
+          int(vindex.mesh_offsets[i]) + m.num_vertices]
+        for i, m in enumerate(meshes)
+    ]
+    all_cond = [layers[mesh_to_layer[i]].conductance
+                for i in range(len(meshes))]
+    all_pd = postproc.power_density_batch(meshes, all_vals, all_cond)
 
     layer_solutions = []
     for layer_i, layer in enumerate(layers):
@@ -536,18 +547,9 @@ def produce_layer_solutions(
         for mesh_i, m in enumerate(meshes):
             if mesh_to_layer[mesh_i] != layer_i:
                 continue
-            base = int(vindex.mesh_offsets[mesh_i])
-            vals = v[base : base + m.num_vertices]
-            zf = mesh.ZeroForm(m, vals)
-            pd = postproc.power_density(
-                jnp.asarray(m.vertices),
-                jnp.asarray(m.triangles),
-                jnp.asarray(vals),
-                layer.conductance,
-            )
             l_meshes.append(m)
-            l_pots.append(zf)
-            l_power.append(mesh.TwoForm(m, np.asarray(pd)))
+            l_pots.append(mesh.ZeroForm(m, all_vals[mesh_i]))
+            l_power.append(mesh.TwoForm(m, np.asarray(all_pd[mesh_i])))
         layer_solutions.append(
             LayerSolution(
                 meshes=l_meshes,
