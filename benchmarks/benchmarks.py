@@ -277,6 +277,39 @@ def bench_native(res: Results, quick: bool):
     res.add("native", "pack_dia", t, "s")
     res.add("native", "pack_dia_remainder", len(pack.rem_rows), "nnz")
 
+    t, (ip, ix, dt_) = _timer(native.ell_to_csr, ell.cols, ell.vals,
+                              ell.diag)
+    res.add("native", "ell_to_csr", t, "s")
+
+    import scipy.sparse
+
+    A = scipy.sparse.csr_matrix((dt_, ix, ip),
+                                shape=(m.num_vertices, m.num_vertices))
+    t, Ap = _timer(native.csr_permute, A, perm)
+    res.add("native", "csr_permute", t, "s")
+
+    from padne_tpu.ops import amg
+
+    d = np.asarray(Ap.diagonal())
+    dinv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    strength = amg._strength_pattern(Ap, 0.08)
+    agg, nc = amg._aggregate_capped(Ap, 8, 0.08, strength=strength)
+    t, _ = _timer(native.galerkin, Ap, agg, nc, dinv, 0.4, 1e-4)
+    res.add("native", "galerkin", t, "s")
+
+    # Point classification: parse once, query many (the connectivity /
+    # seed-placement hot loop).
+    poly = geom.Polygon(
+        [(0, 0), (40, 0), (40, 40), (0, 40)],
+        holes=[[(x + 0.2, y + 0.2), (x + 0.8, y + 0.2),
+                (x + 0.8, y + 0.8), (x + 0.2, y + 0.8)]
+               for x in range(2, 38, 2) for y in range(2, 38, 2)],
+    )
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 40, size=(20_000, 2))
+    t, _ = _timer(poly.classify_points, pts)
+    res.add("native", "classify_20k_pts_324_rings", t, "s")
+
 
 def main():
     ap = argparse.ArgumentParser()

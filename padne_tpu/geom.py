@@ -528,6 +528,32 @@ class BBoxIndex:
         )
         return np.nonzero(mask)[0]
 
+    def query_points(self, pts: np.ndarray, pad: float = 1e-9):
+        """Batched query_point: (point_idx, geom_idx) arrays for every
+        bbox containment over (P, 2) query points.  One broadcast
+        replaces P python-loop queries (the connectivity pre-pass on
+        via-dense boards issues ~100k of them); chunked so the (P, G)
+        mask stays bounded."""
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+        if len(self._geoms) == 0 or len(pts) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        b = self._bounds
+        chunk = max(1, 20_000_000 // max(len(self._geoms), 1))
+        pi_all, gi_all = [], []
+        for at in range(0, len(pts), chunk):
+            p = pts[at:at + chunk]
+            m = (
+                (b[None, :, 0] - pad <= p[:, 0, None])
+                & (p[:, 0, None] <= b[None, :, 2] + pad)
+                & (b[None, :, 1] - pad <= p[:, 1, None])
+                & (p[:, 1, None] <= b[None, :, 3] + pad)
+            )
+            pi, gi = np.nonzero(m)
+            pi_all.append(pi + at)
+            gi_all.append(gi)
+        return np.concatenate(pi_all), np.concatenate(gi_all)
+
 
 class DistanceMap:
     """Quantized boundary-distance field with bilinear queries.

@@ -85,17 +85,35 @@ class ConnectivityGraph:
     ) -> "ConnectivityGraph":
         g = cls([len(layer.geoms) for layer in prob.layers])
         layer_pos = {id(layer): i for i, layer in enumerate(prob.layers)}
-        for network in prob.networks:
-            nodes_here = []
+        # Batched containment: via-dense boards issue ~100k (connection,
+        # candidate-geom) point tests; per-layer bbox broadcast + one
+        # classify call per touched geometry replaces the per-point
+        # native round-trips.
+        pts_by_layer: list[list] = [[] for _ in prob.layers]  # (x, y, net_i)
+        for net_i, network in enumerate(prob.networks):
             for conn in network.connections:
                 layer_i = layer_pos[id(conn.layer)]
-                for geom_i in indices[layer_i].query_point(conn.point):
-                    if not conn.layer.geoms[geom_i].intersects(conn.point):
-                        continue
-                    nid = g.node(layer_i, int(geom_i))
-                    nodes_here.append(nid)
-                    if network.has_source:
-                        g.is_root[nid] = True
+                pts_by_layer[layer_i].append(
+                    (conn.point.x, conn.point.y, net_i))
+        nodes_by_network: list[list[int]] = [[] for _ in prob.networks]
+        for layer_i, items in enumerate(pts_by_layer):
+            if not items:
+                continue
+            arr = np.array([(x, y) for x, y, _ in items])
+            nets = np.array([n for _, _, n in items], dtype=np.int64)
+            pt_idx, geom_idx = indices[layer_i].query_points(arr)
+            layer = prob.layers[layer_i]
+            for geom_i in np.unique(geom_idx):
+                sel = pt_idx[geom_idx == geom_i]
+                cls_ = layer.geoms[geom_i].classify_points(arr[sel])
+                nid = g.node(layer_i, int(geom_i))
+                for net_i in nets[sel[cls_ >= 1]]:
+                    nodes_by_network[int(net_i)].append(nid)
+        for net_i, network in enumerate(prob.networks):
+            nodes_here = nodes_by_network[net_i]
+            if network.has_source:
+                for nid in nodes_here:
+                    g.is_root[nid] = True
             for a in nodes_here:
                 for b in nodes_here:
                     if a != b:
