@@ -357,6 +357,8 @@ def build_hierarchy_dia(
     shard_min: int = 32768,
     group: "np.ndarray | None" = None,
     a_csr=None,
+    deep_max_offsets: "int | None" = None,
+    deep_coverage: "float | None" = None,
 ) -> AlignedHierarchy:
     """Gather-free AMG setup.
 
@@ -494,9 +496,19 @@ def build_hierarchy_dia(
 
         diag_pad = np.zeros(np_l)
         diag_pad[pos] = np.asarray(A.diagonal(), dtype=np.float64)
+        # Deeper levels may widen the offset budget: their slabs are
+        # small (tens of MB) while their remainder density is the
+        # V-cycle's structural weak point (level-1 remainder ~ 0.8
+        # entries/row at 1M DoF).  Widening absorbs 35-60% of each deep
+        # level's remainder into the linear slab stream for a few extra
+        # MXU dots; level 0's slab dominates HBM traffic, so its budget
+        # stays separate.
+        mo_l = max_offsets if level_i == 0 else (deep_max_offsets
+                                                 or max_offsets)
+        cov_l = coverage if level_i == 0 else (deep_coverage or coverage)
         pack = dia.pack_csr_pos_as_dia(
-            A, pos, diag=diag_pad, coverage=coverage,
-            max_offsets=max_offsets, np_override=np_l,
+            A, pos, diag=diag_pad, coverage=cov_l,
+            max_offsets=mo_l, np_override=np_l,
         )
         if shard_l:
             from . import dia_sharded

@@ -448,10 +448,16 @@ class DiaBorderedSolver:
         # the f64 refinement residuals (A_host) — it costs seconds at
         # 1M rows.
         self.A_host = system.ell.to_scipy()
-        hierarchy = amg.build_hierarchy_dia(system.ell, system.coords,
-                                            coarse_size=3000, tp=tp,
-                                            shard_min=shard_min,
-                                            group=grp, a_csr=self.A_host)
+        # A/B knobs for the deep-level offset budget (ROADMAP: widening
+        # levels >= 1 absorbs 35-60% of their remainder; needs TPU
+        # measurement to pick defaults).
+        deep_mo = os.environ.get("PADNE_TPU_DEEP_OFFSETS")
+        deep_cov = os.environ.get("PADNE_TPU_DEEP_COVERAGE")
+        hierarchy = amg.build_hierarchy_dia(
+            system.ell, system.coords, coarse_size=3000, tp=tp,
+            shard_min=shard_min, group=grp, a_csr=self.A_host,
+            deep_max_offsets=int(deep_mo) if deep_mo else None,
+            deep_coverage=float(deep_cov) if deep_cov else None)
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
         self.hierarchy = hierarchy

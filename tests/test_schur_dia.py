@@ -81,3 +81,56 @@ class TestDiaBorderedSolve:
                                    device_dtype=jnp.float32,
                                    dia_threshold=10**7)
         assert res.residual_norm < 1e-9
+
+
+class TestDeepOffsetWidening:
+    def test_widened_deep_levels_match(self, monkeypatch):
+        """PADNE_TPU_DEEP_OFFSETS/_COVERAGE widen levels >= 1 of the DIA
+        hierarchy (more slab offsets, less remainder) without changing
+        the solution: the V-cycle is preconditioner-only and the CG
+        operator sits on level 0, whose budget is untouched."""
+        import jax.numpy as jnp
+
+        system = make_system()
+        base = schur.solve_bordered(system, operator="dia",
+                                    device_dtype=jnp.float32)
+        monkeypatch.setenv("PADNE_TPU_DEEP_OFFSETS", "24")
+        monkeypatch.setenv("PADNE_TPU_DEEP_COVERAGE", "0.995")
+        wide = schur.solve_bordered(system, operator="dia",
+                                    device_dtype=jnp.float32)
+        assert wide.residual_norm < 1e-9
+        scale = max(np.abs(base.v).max(), 1e-12)
+        assert np.abs(wide.v - base.v).max() < 1e-6 * scale
+
+    def test_hierarchy_remainder_shrinks(self):
+        """Widening must actually absorb deep-level remainder entries
+        (guards the per-level budget plumbing in build_hierarchy_dia)."""
+        rng = np.random.default_rng(5)
+        from padne_tpu.ops import amg, assembly
+
+        g = 72
+        n = g * g
+        xs, ys = np.meshgrid(np.arange(g, dtype=float),
+                             np.arange(g, dtype=float))
+        coords = np.stack([xs.ravel(), ys.ravel()], axis=1)
+        coords += rng.normal(scale=0.28, size=coords.shape)
+        edges, w = [], []
+        for i in range(g):
+            for j in range(g):
+                v = i * g + j
+                if j + 1 < g:
+                    edges.append((v, v + 1)); w.append(1.0 + rng.random())
+                if i + 1 < g:
+                    edges.append((v, v + g)); w.append(1.0 + rng.random())
+                if i + 1 < g and j + 1 < g and rng.random() < 0.3:
+                    edges.append((v, v + g + 1)); w.append(rng.random())
+        ell = assembly.build_ell(n, np.array(edges), np.array(w))
+        base = amg.build_hierarchy_dia(ell, coords, coarse_size=64)
+        wide = amg.build_hierarchy_dia(ell, coords, coarse_size=64,
+                                       deep_max_offsets=24,
+                                       deep_coverage=0.995)
+        assert len(base.levels) == len(wide.levels) >= 2
+        for lb, lw in zip(base.levels[1:], wide.levels[1:]):
+            assert len(lw.pack.rem_rows) <= len(lb.pack.rem_rows)
+        assert (sum(len(lv.pack.rem_rows) for lv in wide.levels[1:])
+                < sum(len(lv.pack.rem_rows) for lv in base.levels[1:]))
