@@ -182,3 +182,25 @@ class TestSpmvPallasInterpret:
             jnp.asarray(xpad)))[:n]
         ref = a @ x
         np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestWideOffsetsInterpret:
+    def test_wide_slab_kernel_matches_scipy(self):
+        """The deep-level widening knob produces d=24 slabs; the pallas
+        kernel's grid math must stay exact at wide offset counts."""
+        n = 1600
+        a, rows, cols, vals, diag = banded_system(n, spread=90)
+        pack = dia.pack_dia(n, rows.astype(np.int64),
+                            cols.astype(np.int64), vals, diag,
+                            b=8, max_offsets=24, coverage=0.995)
+        assert len(pack.offs) > 8  # actually exercises the wide shape
+        params = pack.to_device(dtype=jnp.float32)
+        rng = np.random.default_rng(3)
+        xt = jnp.asarray(rng.standard_normal((8, pack.np_)),
+                         dtype=jnp.float32)
+        y_int = dia.dia_matvec_t(pack.meta, params, xt,
+                                 backend="interpret")
+        ref = np.zeros((8, pack.np_))
+        ref[:, :n] = (a @ np.asarray(xt)[:, :n].T).T
+        np.testing.assert_allclose(np.asarray(y_int), ref,
+                                   rtol=3e-5, atol=3e-5)
