@@ -329,6 +329,33 @@ class TestPostprocessing:
         )
         assert np.allclose(np.asarray(g), 0.0)
 
+    def test_power_density_batch_matches_per_mesh(self):
+        """The padded multi-mesh batch (one jit for ALL meshes) must
+        match per-mesh calls exactly, with finite values on every real
+        face regardless of padding."""
+        import jax.numpy as jnp
+
+        from padne_tpu.ops import postproc
+
+        cfgs = [1.2, 0.8, 2.5]  # distinct sizes -> distinct mesh shapes
+        meshes = [
+            mesh.Mesher(mesh.Mesher.Config(
+                maximum_size=s, variable_size_maximum_factor=1.0)
+            ).poly_to_mesh(geom.box(0, 0, 4 + i, 5))
+            for i, s in enumerate(cfgs)
+        ]
+        rng = np.random.default_rng(0)
+        vals = [rng.standard_normal(m.num_vertices) for m in meshes]
+        conds = [3.0, 0.5, 7.7]
+        batched = postproc.power_density_batch(meshes, vals, conds)
+        for m, v, c, pd in zip(meshes, vals, conds, batched):
+            ref = postproc.power_density(
+                jnp.asarray(m.vertices), jnp.asarray(m.triangles),
+                jnp.asarray(v), c)
+            assert np.isfinite(pd).all()
+            assert np.allclose(pd, np.asarray(ref), rtol=1e-12, atol=1e-12)
+        assert postproc.power_density_batch([], [], []) == []
+
 
 class TestDiagnostics:
     def test_unterminated_current_warns(self):
