@@ -1,10 +1,16 @@
-"""Static verification of the exported WebGL HTML viewer.
+"""Verification of the exported WebGL HTML viewer.
 
-No browser ships in the build/CI environment, so this is the strongest
-check available short of one: full JS tokenization + bracket balance of
-every script (a syntax-level lint), WebGL shader source/attribute
-pairing, and embedded mesh-data integrity decoded exactly as the JS
-decoder does.  Reference bar: the Qt/OpenGL GUI (ui.py:929-2309).
+No browser or JS engine ships in the build/CI environment, so the
+viewer is exercised two ways (reference bar: the Qt/OpenGL GUI,
+ui.py:929-2309):
+
+1. static checks — JS tokenization/bracket balance, shader pairing,
+   embedded data integrity, plus a Python twin of the render math;
+2. EXECUTION of the shipped script under tests/jsmini.py (a minimal JS
+   interpreter) against recording DOM/WebGL stubs (tests/jsdom.py):
+   real event dispatch (probe, pan, zoom, mode/layer/edges/rescale)
+   and software-rasterized pixel assertions on the recorded draw calls
+   (TestHtmlViewerExecution below).
 """
 
 import json
@@ -343,3 +349,273 @@ class TestHtmlViewerFrame:
         assert expected_floats == nt * 12
         assert "epos.push(m.v[2*a], m.v[2*a+1], m.v[2*b], m.v[2*b+1])" \
             in html
+
+
+# ---------------------------------------------------------------------------
+# Execution tests: the shipped script runs under tests/jsmini.py against
+# recording DOM/WebGL stubs, events are dispatched for real, and recorded
+# draw calls are software-rasterized for pixel assertions.
+# ---------------------------------------------------------------------------
+
+from jsdom import rasterize_draw, run_viewer, world_to_offset  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def viewer(html):
+    """The viewer script, fully executed (decode, GL init, first frame)."""
+    return run_viewer(html)
+
+
+def _last_draw(dom, mode=4.0):
+    draws = [d for d in dom.gl.draws if d["mode"] == mode]
+    assert draws, f"no draw with mode {mode}"
+    return draws[-1]
+
+
+def _inferno(t):
+    """Python twin of the template's inferno() colormap."""
+    t = np.clip(t, 0.0, 1.0)
+    return np.stack([
+        t ** 0.7 * 1.1, t ** 1.8 * 1.05,
+        0.15 + 2.2 * t - 6.4 * t * t + 4.6 * t ** 3 + 0.35 * t,
+    ], axis=-1)
+
+
+def _pot_range(layer):
+    lo = min(float(m["pot"].min()) for m in layer["meshes"])
+    hi = max(float(m["pot"].max()) for m in layer["meshes"])
+    return lo, (hi if hi > lo else lo + 1e-12)
+
+
+class TestHtmlViewerExecution:
+    def test_script_executes_and_draws_every_face(self, html, viewer):
+        interp, dom = viewer
+        data = _extract_data(html)
+        layer0 = data["layers"][0]
+        expected = 3 * (
+            sum(len(m["t"]) for m in layer0["meshes"])
+            + sum(
+                len(np.frombuffer(__import__("base64").b64decode(
+                    d["triangles"]), np.uint32)) // 3
+                for d in layer0["disconnected"]
+            )
+        )
+        draw = _last_draw(dom)
+        assert draw["count"] == expected
+        # Shaders were compiled from the template's sources.
+        srcs = list(dom.gl.shader_sources.values())
+        assert any("gl_Position" in s for s in srcs)
+        assert any("gl_FragColor" in s for s in srcs)
+        # Legend gradient: 220 one-pixel-wide fills with varying colors.
+        assert len(dom.ctx2d.rects) >= 220
+        assert len({r[0] for r in dom.ctx2d.rects[-220:]}) > 100
+
+    def test_vertex_colors_match_colormap_of_decoded_potentials(
+            self, html, viewer):
+        """Every corner color the JS pushed equals plasma(normalized
+        potential) of the decoded f32 value — computed independently."""
+        interp, dom = viewer
+        data = _extract_data(html)
+        layer = data["layers"][0]
+        lo, hi = _pot_range(layer)
+        draw = _last_draw(dom)
+        col = draw["attribs"][1.0][0].reshape(-1, 3)
+        k = 0
+        checked = 0
+        for m in layer["meshes"]:
+            for tri in m["t"]:
+                for vi in tri:
+                    expect = _plasma(
+                        (float(m["pot"][vi]) - lo) / (hi - lo))
+                    assert np.allclose(col[k], expect, atol=1e-6), (
+                        k, col[k], expect)
+                    k += 1
+                    checked += 1
+        assert checked >= 3
+
+    def test_rasterized_frame_pixels(self, html, viewer):
+        """Rasterize the recorded draw call and assert actual pixels:
+        coverage, color variation, and an exact interior sample."""
+        interp, dom = viewer
+        data = _extract_data(html)
+        layer = data["layers"][0]
+        lo, hi = _pot_range(layer)
+        draw = _last_draw(dom)
+        img = rasterize_draw(draw)
+        bg = np.array(draw["clear_color"][:3])
+        lit_mask = np.abs(img - bg).sum(axis=-1) > 1e-6
+        assert 0.05 < lit_mask.mean() < 0.999
+        assert img[lit_mask].std(axis=0).max() > 0.01
+
+        # Exact pixel check at the largest face's centroid.
+        m = max(layer["meshes"], key=lambda m: len(m["t"]))
+        v, t = m["v"].astype(np.float64), m["t"]
+        e1 = v[t[:, 1]] - v[t[:, 0]]
+        e2 = v[t[:, 2]] - v[t[:, 0]]
+        areas = np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        fi = int(np.argmax(areas))
+        tri = t[fi]
+        cen = v[tri].mean(axis=0)
+        view = np.asarray(draw["uniforms"]["view"])
+        w, h = (int(draw["canvas_size"][0]), int(draw["canvas_size"][1]))
+        q = (cen - view[:2]) * view[2:4]
+        px = (q[0] * 2 - 1 + 1) / 2 * w
+        py = h - (1 - q[1] * 2 + 1) / 2 * h
+        xi, yi = int(px), int(py)
+        assert 0 <= xi < w and 0 <= yi < h
+        # Barycentric weights of the pixel CENTER in world space (the
+        # affine screen map preserves them).
+        cx = view[0] + ((xi + 0.5) / w) / view[2]
+        cy = view[1] + ((yi + 0.5) / h) / view[3]
+        a, b, c = v[tri]
+        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+        w0 = ((b[1] - c[1]) * (cx - c[0]) + (c[0] - b[0]) * (cy - c[1])) / det
+        w1 = ((c[1] - a[1]) * (cx - c[0]) + (a[0] - c[0]) * (cy - c[1])) / det
+        w2 = 1.0 - w0 - w1
+        if min(w0, w1, w2) < 1e-6:
+            pytest.skip("pixel center fell outside the chosen face")
+        cols = _plasma((m["pot"][tri].astype(np.float64) - lo) / (hi - lo))
+        expect = w0 * cols[0] + w1 * cols[1] + w2 * cols[2]
+        assert np.allclose(img[yi, xi], expect, atol=1e-5), (
+            img[yi, xi], expect)
+
+    def test_probe_event_reports_vertex_potential_and_face_power(
+            self, html, viewer):
+        interp, dom = viewer
+        data = _extract_data(html)
+        layer = data["layers"][0]
+        m = max(layer["meshes"], key=lambda m: len(m["t"]))
+        draw = _last_draw(dom)
+        view = draw["uniforms"]["view"]
+        w, h = draw["canvas_size"]
+
+        # Aim at a face centroid: nearest vertex + containing face known.
+        v, t = m["v"].astype(np.float64), m["t"]
+        e1 = v[t[:, 1]] - v[t[:, 0]]
+        e2 = v[t[:, 2]] - v[t[:, 0]]
+        areas = np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        fi = int(np.argmax(areas))
+        cen = v[t[fi]].mean(axis=0)
+        ox, oy = world_to_offset(view, w, h, cen[0], cen[1])
+        dom.elements["c"].fire(interp, "mousemove", offsetX=ox, offsetY=oy)
+        txt = dom.elements["probe"].props["textContent"]
+        assert "V" in txt, txt
+        nums = re.findall(r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?", txt)
+        # (wx, wy) -> V [| P W/mm2]
+        assert len(nums) >= 3, txt
+        probed_v = float(nums[2])
+        expect_v, expect_p = _probe_at(layer, cen[0], cen[1])
+        assert probed_v == pytest.approx(expect_v, rel=1e-4, abs=1e-9)
+        if expect_p is not None:
+            assert "W/mm" in txt
+            assert float(nums[3]) == pytest.approx(
+                expect_p, rel=1e-4, abs=1e-30)
+
+    def test_pan_drag_shifts_view(self, viewer):
+        interp, dom = viewer
+        before = np.asarray(_last_draw(dom)["uniforms"]["view"])
+        w, h = _last_draw(dom)["canvas_size"]
+        canvas = dom.elements["c"]
+        canvas.fire(interp, "mousedown", clientX=100.0, clientY=100.0)
+        canvas.fire(interp, "mousemove", clientX=110.0, clientY=95.0,
+                    offsetX=110.0, offsetY=95.0)
+        dom.window.fire(interp, "mouseup")
+        after = np.asarray(_last_draw(dom)["uniforms"]["view"])
+        assert after[0] == pytest.approx(before[0] - 10.0 / (before[2] * w))
+        assert after[1] == pytest.approx(before[1] + 5.0 / (before[3] * h))
+        assert after[2] == before[2] and after[3] == before[3]
+
+    def test_wheel_zoom_preserves_cursor_world_point(self, viewer):
+        interp, dom = viewer
+        draw = _last_draw(dom)
+        v0 = np.asarray(draw["uniforms"]["view"])
+        w, h = draw["canvas_size"]
+        ox, oy = 200.0, 150.0
+        wx0 = v0[0] + ox / (v0[2] * w)
+        wy0 = v0[1] + oy / (v0[3] * h)
+        dom.elements["c"].fire(interp, "wheel", deltaY=-1.0,
+                               offsetX=ox, offsetY=oy)
+        v1 = np.asarray(_last_draw(dom)["uniforms"]["view"])
+        assert v1[2] == pytest.approx(v0[2] * 1.2)
+        assert v1[0] + ox / (v1[2] * w) == pytest.approx(wx0, rel=1e-12)
+        assert v1[1] + oy / (v1[3] * h) == pytest.approx(wy0, rel=1e-12)
+        # zoom back so later tests see a deterministic view
+        dom.elements["c"].fire(interp, "wheel", deltaY=1.0,
+                               offsetX=ox, offsetY=oy)
+
+    def test_edges_toggle_draws_wireframe(self, html, viewer):
+        interp, dom = viewer
+        data = _extract_data(html)
+        # layer index at this point in the sequence is still 0
+        nt = sum(len(m["t"]) for m in data["layers"][0]["meshes"])
+        edges = dom.elements["edges"]
+        edges.props["checked"] = True
+        edges.fire(interp, "change")
+        lines = _last_draw(dom, mode=1.0)
+        assert lines["count"] == 6 * nt  # 3 edges x 2 endpoints per face
+        edges.props["checked"] = False
+        edges.fire(interp, "change")
+
+    def test_mode_switch_to_power_density(self, html, viewer):
+        interp, dom = viewer
+        data = _extract_data(html)
+        layer = data["layers"][0]
+        mode = dom.elements["mode"]
+        mode.props["selectedIndex"] = 1.0
+        mode.fire(interp, "change")
+        assert "W/mm" in dom.elements["vmax"].props["textContent"]
+        # Power density is per-face: all three corners share one inferno
+        # color equal to the Python twin's value.
+        draw = _last_draw(dom)
+        col = draw["attribs"][1.0][0].reshape(-1, 3)
+        lo = min(float(m["pow"].min()) for m in layer["meshes"]
+                 if m["pow"] is not None)
+        hi = max(float(m["pow"].max()) for m in layer["meshes"]
+                 if m["pow"] is not None)
+        if not hi > lo:
+            hi = lo + 1e-12
+        k = 0
+        for m in layer["meshes"]:
+            for fi in range(len(m["t"])):
+                expect = (_inferno((float(m["pow"][fi]) - lo) / (hi - lo))
+                          if m["pow"] is not None else np.zeros(3))
+                for _ in range(3):
+                    assert np.allclose(col[k], expect, atol=1e-6)
+                    k += 1
+            break  # first mesh is enough
+        mode.props["selectedIndex"] = 0.0
+        mode.fire(interp, "change")
+
+    def test_rescale_overrides_color_range(self, viewer):
+        interp, dom = viewer
+        dom.elements["vmin_in"].props["value"] = "0.2"
+        dom.elements["vmax_in"].props["value"] = "0.8"
+        dom.elements["rescale"].fire(interp, "click")
+        assert dom.elements["vmin"].props["textContent"].startswith("0.2")
+        assert dom.elements["vmax"].props["textContent"].startswith("0.8")
+        # Bad override (hi <= lo) resets to the data range.
+        dom.elements["vmax_in"].props["value"] = "0.1"
+        dom.elements["rescale"].fire(interp, "click")
+        assert not dom.elements["vmax"].props["textContent"].startswith(
+            "0.1")
+
+    def test_layer_switch_rebuilds_buffers(self, html, viewer):
+        interp, dom = viewer
+        data = _extract_data(html)
+        if len(data["layers"]) < 2:
+            pytest.skip("single-layer board")
+        sel = dom.elements["layer"]
+        # The script populated one <option> per layer on load.
+        assert len(sel.children) == len(data["layers"])
+        sel.props["value"] = "1"
+        sel.fire(interp, "change")
+        import base64 as _b64mod
+        expected = 3 * (
+            sum(len(m["t"]) for m in data["layers"][1]["meshes"])
+            + sum(len(np.frombuffer(_b64mod.b64decode(d["triangles"]),
+                                    np.uint32)) // 3
+                  for d in data["layers"][1]["disconnected"])
+        )
+        assert _last_draw(dom)["count"] == expected
+        sel.props["value"] = "0"
+        sel.fire(interp, "change")
