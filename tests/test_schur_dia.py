@@ -134,3 +134,45 @@ class TestDeepOffsetWidening:
             assert len(lw.pack.rem_rows) <= len(lb.pack.rem_rows)
         assert (sum(len(lv.pack.rem_rows) for lv in wide.levels[1:])
                 < sum(len(lv.pack.rem_rows) for lv in base.levels[1:]))
+
+
+class TestDeviceResidentRefinement:
+    """Passes 2+ run on device with a double-f32 incremental residual;
+    the host-anchored loop is the PADNE_TPU_HOST_REFINE=1 fallback."""
+
+    def test_matches_host_anchored_loop(self, monkeypatch):
+        system = make_system(g=64, with_regulator=True, seed=3)
+        dev = schur.DiaBorderedSolver(system)
+        sol_dev = dev.solve(target_residual=1e-10)
+        monkeypatch.setenv("PADNE_TPU_HOST_REFINE", "1")
+        host = schur.DiaBorderedSolver(system)
+        sol_host = host.solve(target_residual=1e-10)
+        # Both converge; the device loop must have actually refined.
+        assert sol_dev.residual_norm < 1e-10
+        assert sol_host.residual_norm < 1e-10
+        assert sol_dev.refinement_steps >= 1
+        scale = max(np.abs(sol_host.v).max(), 1e-12)
+        assert np.abs(sol_dev.v - sol_host.v).max() < 1e-8 * scale
+        assert np.abs(sol_dev.j - sol_host.j).max() < 1e-8
+
+    def test_true_residual_matches_reported(self):
+        """The reported norm is the exact host f64 residual of the
+        returned (v, j) — the device-incremental bookkeeping cannot
+        drift the report."""
+        import scipy.sparse
+
+        system = make_system(g=64, seed=7)
+        sol = schur.DiaBorderedSolver(system).solve(target_residual=1e-10)
+        b = system.border
+        A = system.ell.to_scipy()
+        C = scipy.sparse.coo_matrix(
+            (b.col_val, (b.col_node, b.col_idx)),
+            shape=(system.n, b.m)).tocsr()
+        B = scipy.sparse.coo_matrix(
+            (b.row_val, (b.row_idx, b.row_node)),
+            shape=(b.m, system.n)).tocsr()
+        rc = system.r_core + A @ sol.v - C @ sol.j
+        rb = b.rhs - B @ sol.v
+        true_norm = float(np.sqrt((rc**2).sum() + (rb**2).sum()))
+        assert np.isclose(true_norm, sol.residual_norm,
+                          rtol=1e-6, atol=1e-13)
