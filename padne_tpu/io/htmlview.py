@@ -22,6 +22,35 @@ def _b64(arr: np.ndarray, dtype) -> str:
     return base64.b64encode(np.ascontiguousarray(arr, dtype=dtype).tobytes()).decode()
 
 
+def _boundary_edges(tri: np.ndarray) -> np.ndarray:
+    """(k, 2) vertex-index pairs of edges used by exactly one triangle
+    (the copper outline the reference GUI draws per mesh, ui.py:746-766)."""
+    tri = np.asarray(tri)
+    if len(tri) == 0:
+        return np.zeros((0, 2), np.uint32)
+    e = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]])
+    key = np.sort(e, axis=1)
+    order = np.lexsort((key[:, 1], key[:, 0]))
+    k = key[order]
+    new = np.ones(len(k), bool)
+    new[1:] = (k[1:] != k[:-1]).any(axis=1)
+    grp = np.cumsum(new) - 1
+    once = np.bincount(grp)[grp] == 1
+    return e[order][once].astype(np.uint32)
+
+
+def _layer_points(problem, layer) -> np.ndarray:
+    """(k, 2) world coordinates of the network connection points landing
+    on `layer` (the reference's connection-point markers, ui.py:876-927)."""
+    pts = [
+        (c.point.x, c.point.y)
+        for net in problem.networks
+        for c in net.connections
+        if c.layer is layer
+    ]
+    return np.asarray(pts, np.float32).reshape(-1, 2)
+
+
 def _solution_payload(sol: solver_mod.Solution) -> dict:
     layers = []
     for layer, ls in zip(sol.problem.layers, sol.layer_solutions):
@@ -30,6 +59,7 @@ def _solution_payload(sol: solver_mod.Solution) -> dict:
             meshes.append({
                 "vertices": _b64(m.vertices, np.float32),
                 "triangles": _b64(m.triangles, np.uint32),
+                "boundary": _b64(_boundary_edges(m.triangles), np.uint32),
                 "nv": m.num_vertices,
                 "nt": m.num_faces,
                 "potential": _b64(ls.potentials[mi].values, np.float32),
@@ -41,10 +71,15 @@ def _solution_payload(sol: solver_mod.Solution) -> dict:
             disc.append({
                 "vertices": _b64(m.vertices, np.float32),
                 "triangles": _b64(m.triangles, np.uint32),
+                "boundary": _b64(_boundary_edges(m.triangles), np.uint32),
                 "nv": m.num_vertices,
                 "nt": m.num_faces,
             })
-        layers.append({"name": layer.name, "meshes": meshes, "disconnected": disc})
+        pts = _layer_points(sol.problem, layer)
+        layers.append({"name": layer.name, "meshes": meshes,
+                       "disconnected": disc,
+                       "points": _b64(pts, np.float32),
+                       "npts": int(len(pts))})
     return {
         "project": sol.problem.project_name or "solution",
         "residual": sol.solver_info.residual_norm,
@@ -68,6 +103,8 @@ _TEMPLATE = """<!DOCTYPE html>
  <label>layer <select id="layer"></select></label>
  <label>mode <select id="mode"><option>Potential</option><option>Power density</option></select></label>
  <label><input type="checkbox" id="edges"> edges</label>
+ <label><input type="checkbox" id="boundary"> boundary</label>
+ <label><input type="checkbox" id="points" checked> points</label>
  <label>min <input id="vmin_in" size="9"></label>
  <label>max <input id="vmax_in" size="9"></label>
  <button id="rescale">apply scale</button>
@@ -85,12 +122,15 @@ function decode(b64, T){ const s=atob(b64); const a=new Uint8Array(s.length);
 for (const L of DATA.layers){
   for (const m of L.meshes){
     m.v = decode(m.vertices, Float32Array); m.t = decode(m.triangles, Uint32Array);
+    m.bnd = decode(m.boundary, Uint32Array);
     m.pot = decode(m.potential, Float32Array);
     m.pow = m.power ? decode(m.power, Float32Array) : null;
   }
   for (const m of L.disconnected){
     m.v = decode(m.vertices, Float32Array); m.t = decode(m.triangles, Uint32Array);
+    m.bnd = decode(m.boundary, Uint32Array);
   }
+  L.pts = decode(L.points, Float32Array);
 }
 // PLASMA / INFERNO approximations
 function plasma(t){t=Math.min(1,Math.max(0,t));return [
@@ -102,7 +142,8 @@ function inferno(t){t=Math.min(1,Math.max(0,t));return [
 const canvas = document.getElementById('c');
 const gl = canvas.getContext('webgl');
 const vs = `attribute vec2 p; attribute vec3 col; uniform vec4 view; varying vec3 c;
- void main(){ vec2 q=(p-view.xy)*view.zw; gl_Position=vec4(q.x*2.0-1.0, 1.0-q.y*2.0,0.,1.); c=col; }`;
+ void main(){ vec2 q=(p-view.xy)*view.zw; gl_Position=vec4(q.x*2.0-1.0, 1.0-q.y*2.0,0.,1.);
+  gl_PointSize=7.0; c=col; }`;
 const fs = `precision mediump float; varying vec3 c; void main(){ gl_FragColor=vec4(c,1.); }`;
 function shader(type, src){ const s=gl.createShader(type); gl.shaderSource(s,src);
  gl.compileShader(s); return s; }
@@ -114,6 +155,7 @@ const locP = gl.getAttribLocation(prog,'p'), locC = gl.getAttribLocation(prog,'c
 const locView = gl.getUniformLocation(prog,'view');
 let layerIdx=0, modeIdx=0, view={x:0,y:0,sx:1,sy:1};
 let bbox=null, buffers=null, range=[0,1], rangeOverride=null, showEdges=false;
+let showBoundary=false, showPoints=true, lastProbe=null;
 function computeBBox(){
   let x0=1e30,y0=1e30,x1=-1e30,y1=-1e30;
   const L=DATA.layers[layerIdx];
@@ -177,9 +219,31 @@ function buildBuffers(){
       }
     }
   }
+  // Copper outlines (boundary edges) + connection-point markers — the
+  // reference GUI's per-mesh boundary VAO and RenderedPoints.
+  const bpos=[]; const bcol=[];
+  if (showBoundary){
+    for (const group of [L.meshes, L.disconnected]) for (const m of group){
+      for(let i=0;i<m.bnd.length;i+=2){
+        const a=m.bnd[i], b=m.bnd[i+1];
+        bpos.push(m.v[2*a], m.v[2*a+1], m.v[2*b], m.v[2*b+1]);
+        bcol.push(0.95,0.62,0.12, 0.95,0.62,0.12);
+      }
+    }
+  }
+  const ppos=[]; const pcol=[];
+  if (showPoints){
+    for(let i=0;i<L.npts;i++){
+      ppos.push(L.pts[2*i], L.pts[2*i+1]);
+      pcol.push(1.0,1.0,1.0);
+    }
+  }
   buffers = { n: tris.length/2, ne: epos.length/2,
+    nb: bpos.length/2, np: ppos.length/2,
     pos: gl.createBuffer(), col: gl.createBuffer(),
-    epos: gl.createBuffer(), ecol: gl.createBuffer() };
+    epos: gl.createBuffer(), ecol: gl.createBuffer(),
+    bpos: gl.createBuffer(), bcol: gl.createBuffer(),
+    ppos: gl.createBuffer(), pcol: gl.createBuffer() };
   gl.bindBuffer(gl.ARRAY_BUFFER, buffers.pos);
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(tris), gl.STATIC_DRAW);
   gl.bindBuffer(gl.ARRAY_BUFFER, buffers.col);
@@ -188,6 +252,14 @@ function buildBuffers(){
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(epos), gl.STATIC_DRAW);
   gl.bindBuffer(gl.ARRAY_BUFFER, buffers.ecol);
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(ecol), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.bpos);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(bpos), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.bcol);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(bcol), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.ppos);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(ppos), gl.STATIC_DRAW);
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffers.pcol);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(pcol), gl.STATIC_DRAW);
   drawLegend();
 }
 function drawLegend(){
@@ -218,6 +290,20 @@ function draw(){
     gl.bindBuffer(gl.ARRAY_BUFFER, buffers.ecol);
     gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
     gl.drawArrays(gl.LINES, 0, buffers.ne);
+  }
+  if (showBoundary && buffers.nb){
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffers.bpos);
+    gl.vertexAttribPointer(locP,2,gl.FLOAT,false,0,0);
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffers.bcol);
+    gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
+    gl.drawArrays(gl.LINES, 0, buffers.nb);
+  }
+  if (showPoints && buffers.np){
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffers.ppos);
+    gl.vertexAttribPointer(locP,2,gl.FLOAT,false,0,0);
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffers.pcol);
+    gl.vertexAttribPointer(locC,3,gl.FLOAT,false,0,0);
+    gl.drawArrays(gl.POINTS, 0, buffers.np);
   }
 }
 function resize(){
@@ -278,6 +364,7 @@ function probe(e){
   const wx = view.x + e.offsetX/(view.sx*canvas.width);
   const wy = view.y + e.offsetY/(view.sy*canvas.height);
   const r = probeAt(wx, wy);
+  lastProbe = r;
   let txt='';
   if (r.v!==null){
     txt = `(${wx.toFixed(3)}, ${wy.toFixed(3)}) → ${r.v.toPrecision(6)} V`;
@@ -295,6 +382,36 @@ document.getElementById('mode').addEventListener('change', e=>{
 document.getElementById('reset').addEventListener('click', resetView);
 document.getElementById('edges').addEventListener('change', e=>{
   showEdges = e.target.checked; buildBuffers(); draw(); });
+document.getElementById('boundary').addEventListener('change', e=>{
+  showBoundary = e.target.checked; buildBuffers(); draw(); });
+document.getElementById('points').addEventListener('change', e=>{
+  showPoints = e.target.checked; buildBuffers(); draw(); });
+// Keyboard tools (reference shortcuts: M / Shift+M set the color-scale
+// min / max from the value under the cursor, C toggles connection
+// points; B and E toggle the boundary / wireframe overlays).
+window.addEventListener('keydown', e=>{
+  if (e.key==='c' || e.key==='C'){
+    showPoints = !showPoints;
+    document.getElementById('points').checked = showPoints;
+    buildBuffers(); draw();
+  } else if (e.key==='b' || e.key==='B'){
+    showBoundary = !showBoundary;
+    document.getElementById('boundary').checked = showBoundary;
+    buildBuffers(); draw();
+  } else if (e.key==='e' || e.key==='E'){
+    showEdges = !showEdges;
+    document.getElementById('edges').checked = showEdges;
+    buildBuffers(); draw();
+  } else if ((e.key==='m' || e.key==='M') && lastProbe){
+    const val = modeIdx===0 ? lastProbe.v : lastProbe.p;
+    if (val!==null){
+      rangeOverride = (e.key==='m') ? [val, range[1]] : [range[0], val];
+      const box = (e.key==='m') ? 'vmin_in' : 'vmax_in';
+      document.getElementById(box).value = val.toPrecision(6);
+      buildBuffers(); draw();
+    }
+  }
+});
 document.getElementById('rescale').addEventListener('click', ()=>{
   const lo = parseFloat(document.getElementById('vmin_in').value);
   const hi = parseFloat(document.getElementById('vmax_in').value);

@@ -212,8 +212,9 @@ class GLRecorder:
 class ViewerDom:
     """The document/window pair the htmlview template expects."""
 
-    ELEMENT_IDS = ("layer", "mode", "edges", "vmin_in", "vmax_in",
-                   "rescale", "reset", "vmin", "vmax", "probe")
+    ELEMENT_IDS = ("layer", "mode", "edges", "boundary", "points",
+                   "vmin_in", "vmax_in", "rescale", "reset", "vmin",
+                   "vmax", "probe")
 
     def __init__(self, width=640, height=480):
         self.elements = {}

@@ -619,3 +619,104 @@ class TestHtmlViewerExecution:
         assert _last_draw(dom)["count"] == expected
         sel.props["value"] = "0"
         sel.fire(interp, "change")
+
+
+class TestBoundaryEdgesHelper:
+    def test_square_two_triangles(self):
+        tri = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        bnd = htmlview._boundary_edges(tri)
+        assert len(bnd) == 4
+        keys = {tuple(sorted(e)) for e in bnd.tolist()}
+        assert keys == {(0, 1), (1, 2), (2, 3), (0, 3)}  # no (0, 2)
+
+    def test_empty(self):
+        assert htmlview._boundary_edges(np.zeros((0, 3), np.uint32)).shape \
+            == (0, 2)
+
+
+class TestViewerOverlays:
+    """Connection points, boundary outline, and the cursor min/max
+    tools (reference: RenderedPoints ui.py:876-927, boundary VAO
+    :746-766, SetMin/SetMaxValueTool :325-372)."""
+
+    def test_connection_points_drawn_by_default(self, html, viewer):
+        interp, dom = viewer
+        import base64 as b64mod
+
+        data = _extract_data(html)
+        layer = data["layers"][0]
+        pts = np.frombuffer(b64mod.b64decode(layer["points"]),
+                            np.float32).reshape(-1, 2)
+        assert layer["npts"] == len(pts) >= 1
+        pdraws = [d for d in dom.gl.draws if d["mode"] == 0.0]
+        assert pdraws, "no POINTS draw in the initial frames"
+        d = pdraws[-1]
+        assert d["count"] == len(pts)
+        got = d["attribs"][0.0][0].reshape(-1, 2)
+        assert np.allclose(np.sort(got, axis=0), np.sort(pts, axis=0),
+                           atol=1e-6)
+
+    def test_keyboard_toggles_points_and_boundary(self, html, viewer):
+        interp, dom = viewer
+        import base64 as b64mod
+
+        data = _extract_data(html)
+        layer = data["layers"][0]
+        # 'c' hides connection points: frames drawn after it contain no
+        # POINTS draw.
+        dom.window.fire(interp, "keydown", key="c")
+        n0 = len(dom.gl.draws)
+        dom.elements["reset"].fire(interp, "click")
+        assert all(d["mode"] != 0.0 for d in dom.gl.draws[n0:])
+        # 'b' shows the copper outline: one LINES draw whose vertex
+        # count is twice the boundary-edge count of every mesh.
+        dom.window.fire(interp, "keydown", key="b")
+        nb = 0
+        for group in ("meshes", "disconnected"):
+            for m in layer[group]:
+                nb += len(np.frombuffer(b64mod.b64decode(m["boundary"]),
+                                        np.uint32)) // 2
+        lines = _last_draw(dom, mode=1.0)
+        assert lines["count"] == 2 * nb
+        # Boundary payload matches an independent recomputation.
+        m0 = layer["meshes"][0]
+        twin = htmlview._boundary_edges(m0["t"])
+        got = np.frombuffer(b64mod.b64decode(m0["boundary"]),
+                            np.uint32).reshape(-1, 2)
+        assert {tuple(sorted(e)) for e in got.tolist()} \
+            == {tuple(sorted(e)) for e in twin.tolist()}
+        # restore
+        dom.window.fire(interp, "keydown", key="b")
+        dom.window.fire(interp, "keydown", key="c")
+
+    def test_cursor_min_max_tools(self, html, viewer):
+        interp, dom = viewer
+        from jsdom import world_to_offset
+
+        data = _extract_data(html)
+        m0 = data["layers"][0]["meshes"][0]
+        vi = int(np.argmax(m0["pot"]))
+        wx, wy = float(m0["v"][vi, 0]), float(m0["v"][vi, 1])
+        draw = _last_draw(dom)
+        view = draw["uniforms"]["view"]
+        w, h = draw["canvas_size"]
+        ox, oy = world_to_offset(view, w, h, wx, wy)
+        dom.elements["c"].fire(interp, "mousemove",
+                               offsetX=ox, offsetY=oy)
+        dom.window.fire(interp, "keydown", key="M")
+        expect = float(m0["pot"][vi])
+        assert dom.elements["vmax_in"].props["value"] == (
+            f"{expect:.6g}" if "e" not in f"{expect:.6g}"
+            else dom.elements["vmax_in"].props["value"])
+        assert dom.elements["vmax"].props["textContent"].split(" ")[0] \
+            == dom.elements["vmax_in"].props["value"] \
+            or abs(float(dom.elements["vmax_in"].props["value"]) - expect) \
+            <= 1e-5 * max(abs(expect), 1e-12)
+        # 'm' sets the minimum from the cursor value.
+        dom.window.fire(interp, "keydown", key="m")
+        assert abs(float(dom.elements["vmin_in"].props["value"]) - expect) \
+            <= 1e-5 * max(abs(expect), 1e-12)
+        # reset the override for later tests
+        mode = dom.elements["mode"]
+        mode.props["selectedIndex"] = 0.0
+        mode.fire(interp, "change")
