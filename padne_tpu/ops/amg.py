@@ -341,6 +341,110 @@ class AlignedHierarchy:
         return len(self.levels) + 1
 
 
+def _eigh_pinv(Ad: np.ndarray) -> np.ndarray:
+    """True pseudo-inverse via syevd (annihilates the Neumann nullspace
+    instead of amplifying the f32 noise in it).
+
+    Cut at 1e-6 * lambda_max: the exact nullspace (per-component
+    constants) is handled by the CG deflation projector; aggregation/
+    dropping can leave NEAR-null junk modes below 1e-6*lambda_max, and
+    inverting those turns the preconditioner into a 1e6x amplifier.
+    f32 end to end: ssyevd + sgemm run ~2x dsyevd + dgemm, and the kept
+    spectrum sits well above f32 eps — preconditioner-grade accuracy.
+    Scale to unit |A|_max first so the f32 dynamic range is spent on
+    the spectrum shape.  (syevd measured ~8x faster than
+    scipy.linalg.pinvh's internal solver at a ~3k bottom.)
+    """
+    import scipy.linalg
+
+    d_scale = max(float(np.abs(Ad).max()), 1e-300)
+    w_eig, V = scipy.linalg.eigh(
+        (Ad / d_scale).astype(np.float32), driver="evd",
+        check_finite=False)
+    lam_max = max(float(w_eig[-1]), 1e-300)
+    keep = w_eig > 1e-6 * lam_max
+    w_inv = np.where(keep, 1.0 / np.where(keep, w_eig, 1.0),
+                     np.float32(0.0)).astype(np.float32)
+    w_inv /= np.float32(d_scale)
+    return (V * w_inv[None, :]) @ V.T
+
+
+def _coarse_inv_dense(A_sp, Ad: np.ndarray) -> np.ndarray:
+    """Coarse-bottom dense inverse with pseudo-inverse semantics.
+
+    Fast path (~4x fewer flops than the syevd pinv): shift the exact
+    structural nullspace out of the way and Cholesky-invert,
+
+        M = A/s + lam_g * Z Z^T,   inv = (M^-1) / s,
+
+    where Z is the orthonormal indicator basis of the connected
+    components of the (dropped/lumped) bottom operator — its EXACT
+    nullspace, including components split by the drop filter, since
+    lumping preserves row sums — and lam_g is the Gershgorin bound on
+    the scaled spectrum.  Because range(A) ⊥ null(A) for symmetric A,
+    M^-1 acts exactly like the pseudo-inverse on the deflated residuals
+    the V-cycle feeds it (the shifted modes get 1/lam_g instead of 0 —
+    invisible to component-deflated CG, harmless otherwise).
+
+    Near-null JUNK that is not structural (values-level near-splits the
+    graph walk cannot see) would be amplified by the plain inverse, so
+    the factorization is validated: a failed/indefinite Cholesky or a
+    power-iteration top mode of M^-1 beyond the pinv cut (1e-6 *
+    lambda_max) falls back to the syevd pseudo-inverse, which zeroes
+    junk exactly like before.
+    """
+    import logging
+    import os
+
+    import scipy.linalg
+    import scipy.sparse.csgraph as csgraph
+    from scipy.linalg.lapack import dpotrf, dpotri
+
+    if os.environ.get("PADNE_TPU_COARSE_EIGH"):
+        return _eigh_pinv(Ad)   # A/B + belt-and-braces escape hatch
+    log = logging.getLogger(__name__)
+    nL = Ad.shape[0]
+    d_scale = max(float(np.abs(Ad).max()), 1e-300)
+    As = (Ad / d_scale).astype(np.float64)
+    ncomp, labels = csgraph.connected_components(A_sp, directed=False)
+    lam_g = max(float(np.abs(As).sum(axis=1).max()), 1e-300)
+    M = As.copy()
+    for c in range(ncomp):
+        idx = np.nonzero(labels == c)[0]
+        M[np.ix_(idx, idx)] += lam_g / len(idx)
+    cfac, info = dpotrf(M, lower=1, overwrite_a=1, clean=0)
+    if info == 0:
+        inv, info = dpotri(cfac, lower=1, overwrite_c=1)
+    if info != 0:
+        log.info("coarse inverse: Cholesky reported junk (info=%d), "
+                 "falling back to the syevd pseudo-inverse", info)
+        return _eigh_pinv(Ad)
+    inv = np.tril(inv)
+    inv = inv + inv.T - np.diag(np.diag(inv))
+    # Junk check: the dominant mode of M^-1 is 1/eps_min(M); eps_min
+    # below the pinv cut means a non-structural near-null mode survived
+    # the shift.  lambda_max estimated by a short power iteration on As
+    # (Gershgorin can overestimate 2x, which would loosen the cut).
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=nL)
+    for _ in range(20):
+        v = inv @ v
+        v /= max(float(np.linalg.norm(v)), 1e-300)
+    mu_max = float(v @ (inv @ v))
+    w = rng.normal(size=nL)
+    for _ in range(10):
+        w = As @ w
+        w /= max(float(np.linalg.norm(w)), 1e-300)
+    lam_max = max(float(w @ (As @ w)), 1e-300)
+    if mu_max > 1.0 / (1e-6 * lam_max):
+        log.info("coarse inverse: near-null junk beyond the structural "
+                 "nullspace (1/mu=%.2e < 1e-6*lam=%.2e), falling back "
+                 "to the syevd pseudo-inverse", 1.0 / mu_max,
+                 1e-6 * lam_max)
+        return _eigh_pinv(Ad)
+    return (inv / d_scale).astype(np.float32)
+
+
 def build_hierarchy_dia(
     ell: assembly.EllMatrix,
     coords: np.ndarray,
@@ -572,54 +676,23 @@ def build_hierarchy_dia(
         lvl_coords = coords_c
         lvl_group = group_c
 
-    # Coarsest: dense inverse over the padded size.  A small diagonal
-    # shift regularizes the Neumann nullspace (and the zero dummy rows)
-    # — exact nullspace handling lives in the CG deflation projector,
-    # the coarse solve only needs to be a good preconditioner.  LU
-    # inverse is ~50x faster than pinv's SVD at a few thousand rows.
+    # Coarsest: dense pseudo-inverse-equivalent over the padded size
+    # (_coarse_inv_dense: Cholesky fast path + eigh-pinv fallback).
+    # Deferred: it runs on a worker thread (LAPACK releases the GIL),
+    # joined lazily at AlignedHierarchy.coarse_inv — it overlaps the
+    # callers' level-parameter uploads, which touch coarse_inv last.
     nL = A.shape[0]
     npL = max(((nL + 127) // 128) * 128, 128)
     Ad = np.asarray(A.todense())
-    # True pseudo-inverse (annihilates the Neumann nullspace instead of
-    # amplifying the f32 noise in it), composed manually from
-    # np.linalg.eigh: LAPACK syevd here runs ~8x faster than
-    # scipy.linalg.pinvh's internal solver at a ~3k bottom (5.3 s vs
-    # 42 s measured on the CI host) and the (V * w^-1) @ V^T compose is
-    # one BLAS gemm.
-    #
-    # Cut at 1e-6 * lambda_max: the exact nullspace (per-component
-    # constants) is handled by the CG deflation projector; aggregation/
-    # dropping can leave NEAR-null junk modes below 1e-6*lambda_max,
-    # and inverting those turns the preconditioner into a 1e6x
-    # amplifier.
-    # f32 end to end: ssyevd + sgemm run ~2x dsyevd + dgemm, and the
-    # kept spectrum sits well above f32 eps (the cut is 1e-6*lam_max vs
-    # eps 6e-8) — preconditioner-grade accuracy.  Scale to unit lam_max
-    # first so the f32 dynamic range is spent on the spectrum shape.
-    # Deferred: the eigh runs on a worker thread (LAPACK releases the
-    # GIL), joined lazily at AlignedHierarchy.coarse_inv — it overlaps
-    # the callers' level-parameter uploads, which touch coarse_inv last.
+    A_sp_bottom = A
+
     def _compute_coarse_inv():
         if nL:
-            import scipy.linalg
-
-            d_scale = max(float(np.abs(Ad).max()), 1e-300)
-            # scipy's syevd binding measured ~40% faster than
-            # np.linalg.eigh at 3k rows (workspace reuse, no finiteness
-            # scan).
-            w_eig, V = scipy.linalg.eigh(
-                (Ad / d_scale).astype(np.float32), driver="evd",
-                check_finite=False)
-            lam_max = max(float(w_eig[-1]), 1e-300)
-            keep = w_eig > 1e-6 * lam_max
-            w_inv = np.where(keep, 1.0 / np.where(keep, w_eig, 1.0),
-                             np.float32(0.0)).astype(np.float32)
-            w_inv /= np.float32(d_scale)
-            inv_real = (V * w_inv[None, :]) @ V.T
+            inv_real = _coarse_inv_dense(A_sp_bottom, Ad)
         else:
             inv_real = np.zeros((0, 0), np.float32)
-        # f32 throughout: the factorization itself is f32, so widening
-        # adds no information — only a 75 MB page-fault bill at 3k rows.
+        # f32 result: preconditioner-grade accuracy; widening would
+        # only add a 75 MB page-fault bill at 3k rows.
         ci = np.zeros((npL, npL), np.float32)  # padding rows stay zero
         ci[:nL, :nL] = inv_real
         return ci
