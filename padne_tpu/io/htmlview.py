@@ -40,15 +40,16 @@ def _boundary_edges(tri: np.ndarray) -> np.ndarray:
 
 
 def _layer_points(problem, layer) -> np.ndarray:
-    """(k, 2) world coordinates of the network connection points landing
-    on `layer` (the reference's connection-point markers, ui.py:876-927)."""
+    """(k, 3) connection-point markers landing on `layer`: world x, y
+    plus a sourced flag (the reference draws red=sourced, gray=passive,
+    ui.py:876-927, 1366-1403)."""
     pts = [
-        (c.point.x, c.point.y)
+        (c.point.x, c.point.y, 1.0 if net.has_source else 0.0)
         for net in problem.networks
         for c in net.connections
         if c.layer is layer
     ]
-    return np.asarray(pts, np.float32).reshape(-1, 2)
+    return np.asarray(pts, np.float32).reshape(-1, 3)
 
 
 def _solution_payload(sol: solver_mod.Solution) -> dict:
@@ -234,8 +235,9 @@ function buildBuffers(){
   const ppos=[]; const pcol=[];
   if (showPoints){
     for(let i=0;i<L.npts;i++){
-      ppos.push(L.pts[2*i], L.pts[2*i+1]);
-      pcol.push(1.0,1.0,1.0);
+      ppos.push(L.pts[3*i], L.pts[3*i+1]);
+      if (L.pts[3*i+2] > 0.5) pcol.push(0.92,0.26,0.21);  // sourced
+      else pcol.push(0.72,0.72,0.75);                     // passive
     }
   }
   buffers = { n: tris.length/2, ne: epos.length/2,

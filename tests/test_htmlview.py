@@ -646,15 +646,25 @@ class TestViewerOverlays:
         data = _extract_data(html)
         layer = data["layers"][0]
         pts = np.frombuffer(b64mod.b64decode(layer["points"]),
-                            np.float32).reshape(-1, 2)
+                            np.float32).reshape(-1, 3)
         assert layer["npts"] == len(pts) >= 1
         pdraws = [d for d in dom.gl.draws if d["mode"] == 0.0]
         assert pdraws, "no POINTS draw in the initial frames"
         d = pdraws[-1]
         assert d["count"] == len(pts)
         got = d["attribs"][0.0][0].reshape(-1, 2)
-        assert np.allclose(np.sort(got, axis=0), np.sort(pts, axis=0),
-                           atol=1e-6)
+        assert np.allclose(np.sort(got, axis=0),
+                           np.sort(pts[:, :2], axis=0), atol=1e-6)
+        # Sourced markers are red, passive gray (reference ui.py:881).
+        cols = d["attribs"][1.0][0].reshape(-1, 3)
+        flag_of = {(round(float(x), 5), round(float(y), 5)): s > 0.5
+                   for x, y, s in pts}
+        assert flag_of, "no points"
+        for (x, y), col in zip(got, cols):
+            sourced = flag_of[(round(float(x), 5), round(float(y), 5))]
+            assert np.allclose(
+                col, (0.92, 0.26, 0.21) if sourced else (0.72, 0.72, 0.75),
+                atol=1e-6)
 
     def test_keyboard_toggles_points_and_boundary(self, html, viewer):
         interp, dom = viewer
