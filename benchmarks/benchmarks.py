@@ -311,6 +311,57 @@ def bench_native(res: Results, quick: bool):
     res.add("native", "classify_20k_pts_324_rings", t, "s")
 
 
+def bench_postproc_export(res: Results, boards_dir: pathlib.Path,
+                          quick: bool):
+    """Post-processing + consumer stages (reference ASV analogs:
+    PowerDensitySuite, NFormSuite, SpatialIndexSuite, RenderedMeshSuite,
+    paraview; benchmarks.py:753-869)."""
+    import tempfile
+    import warnings
+
+    import jax
+
+    from padne_tpu import kicad, mesh, solver, ui
+    from padne_tpu.io import htmlview, paraview
+    from padne_tpu.ops import postproc
+
+    name = "via_tht_4layer"
+    pro = boards_dir / name / f"{name}.kicad_pro"
+    if not pro.exists():
+        return
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sol = solver.solve(kicad.load_kicad_project(pro))
+
+    ls = sol.layer_solutions[0]
+    m = ls.meshes[0]
+    pot = ls.potentials[0]
+
+    f = jax.jit(postproc.power_density)
+    args_pd = (m.vertices, m.triangles, pot.values,
+               sol.problem.layers[0].conductance)
+    jax.block_until_ready(f(*args_pd))
+    t, _ = _timer(lambda: jax.block_until_ready(f(*args_pd)), repeat=5)
+    res.add("postproc", "power_density_jit", t, "s")
+
+    t, _ = _timer(lambda: pot.d(), repeat=5)
+    res.add("postproc", "zero_form_exterior_derivative", t, "s")
+
+    viewer = ui.SolutionViewer(sol)
+    viewer._probe_index()   # build the index outside the timed query
+    x0, y0 = float(m.vertices[0, 0]), float(m.vertices[0, 1])
+    t, _ = _timer(lambda: viewer.probe_value(x0, y0), repeat=5)
+    res.add("postproc", "spatial_probe_query", t, "s")
+
+    with tempfile.TemporaryDirectory() as td:
+        t, _ = _timer(htmlview.export_html, sol,
+                      pathlib.Path(td) / "v.html", repeat=1)
+        res.add("export", "htmlview_export", t, "s")
+        t, _ = _timer(paraview.export_solution, sol,
+                      pathlib.Path(td) / "pv", repeat=1)
+        res.add("export", "paraview_export", t, "s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
@@ -329,6 +380,7 @@ def main():
     if args.boards.exists():
         bench_loading(res, args.boards, args.quick)
         bench_solver(res, args.boards, args.quick)
+        bench_postproc_export(res, args.boards, args.quick)
     bench_device(res, args.quick)
     bench_native(res, args.quick)
 
