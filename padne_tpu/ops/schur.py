@@ -453,11 +453,13 @@ class DiaBorderedSolver:
         # measurement to pick defaults).
         deep_mo = os.environ.get("PADNE_TPU_DEEP_OFFSETS")
         deep_cov = os.environ.get("PADNE_TPU_DEEP_COVERAGE")
+        drop = os.environ.get("PADNE_TPU_DROP_TOL")
         hierarchy = amg.build_hierarchy_dia(
             system.ell, system.coords, coarse_size=3000, tp=tp,
             shard_min=shard_min, group=grp, a_csr=self.A_host,
             deep_max_offsets=int(deep_mo) if deep_mo else None,
-            deep_coverage=float(deep_cov) if deep_cov else None)
+            deep_coverage=float(deep_cov) if deep_cov else None,
+            **({"drop_tol": float(drop)} if drop else {}))
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
         self.hierarchy = hierarchy

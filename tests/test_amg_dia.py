@@ -190,3 +190,77 @@ class TestTransposedPath:
         rel = np.linalg.norm(b - A @ xt) / np.linalg.norm(b)
         assert rel < 5e-5
         assert int(rt.iterations) < 120
+
+
+class TestCoarseInvDense:
+    """The Cholesky fast path must act like the syevd pseudo-inverse on
+    deflated vectors, and must DETECT non-structural near-null junk and
+    fall back (amg._coarse_inv_dense)."""
+
+    @staticmethod
+    def _path_laplacian(n, w=1.0):
+        import scipy.sparse
+
+        i = np.arange(n - 1)
+        rows = np.concatenate([i, i + 1, np.arange(n)])
+        cols = np.concatenate([i + 1, i, np.arange(n)])
+        deg = np.zeros(n)
+        np.add.at(deg, i, w)
+        np.add.at(deg, i + 1, w)
+        vals = np.concatenate([-w * np.ones(n - 1),
+                               -w * np.ones(n - 1), deg])
+        return scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+    def test_clean_matches_pinv_on_deflated_vectors(self):
+        from padne_tpu.ops import amg
+
+        A = self._path_laplacian(180)
+        Ad = np.asarray(A.todense())
+        ci = amg._coarse_inv_dense(A, Ad)
+        pi = amg._eigh_pinv(Ad)
+        rng = np.random.default_rng(0)
+        r = rng.normal(size=180)
+        r -= r.mean()                      # deflated: perpendicular to 1
+        a, b = ci @ r, pi @ r
+        assert np.abs(a - b).max() < 1e-3 * np.abs(b).max()
+
+    def test_two_components_structural_nullspace(self):
+        import scipy.sparse
+
+        from padne_tpu.ops import amg
+
+        A = scipy.sparse.block_diag(
+            [self._path_laplacian(90), self._path_laplacian(70, w=2.0)]
+        ).tocsr()
+        Ad = np.asarray(A.todense())
+        ci = amg._coarse_inv_dense(A, Ad)
+        pi = amg._eigh_pinv(Ad)
+        rng = np.random.default_rng(1)
+        r = rng.normal(size=160)
+        r[:90] -= r[:90].mean()
+        r[90:] -= r[90:].mean()            # deflated per component
+        a, b = ci @ r, pi @ r
+        assert np.abs(a - b).max() < 1e-3 * np.abs(b).max()
+
+    def test_values_level_junk_falls_back(self, caplog):
+        """A 1e-9 bridge keeps the graph connected (one structural
+        component) but leaves a near-null junk mode: the guard must
+        fall back to the syevd pseudo-inverse, which zeroes it."""
+        import logging
+
+        import scipy.sparse
+
+        from padne_tpu.ops import amg
+
+        A = scipy.sparse.block_diag(
+            [self._path_laplacian(80), self._path_laplacian(80)]).tolil()
+        A[79, 80] = A[80, 79] = -1e-9
+        A[79, 79] += 1e-9
+        A[80, 80] += 1e-9
+        A = A.tocsr()
+        Ad = np.asarray(A.todense())
+        with caplog.at_level(logging.INFO, logger="padne_tpu.ops.amg"):
+            ci = amg._coarse_inv_dense(A, Ad)
+        assert any("falling back" in m for m in caplog.messages)
+        pi = amg._eigh_pinv(Ad)
+        assert np.allclose(ci, pi, atol=0)   # identical code path
