@@ -109,8 +109,9 @@ class DiaPack:
     offs: tuple[int, ...]
     # Split flat index into W: widx = widx_hi * b + widx_lo.  Kept split
     # (int32 + uint8/16 instead of one int64 — the flat index exceeds
-    # int32 range at 1M-row packs): 5 bytes/entry on the wire and no
-    # 50+ MB compose/split round-trips on a page-fault-bound host.
+    # int32 range at 1M-row packs), and widx_hi travels as an int16
+    # delta stream (_hi_delta): 3 bytes/entry on the wire and no 50+ MB
+    # compose/split round-trips on a page-fault-bound host.
     widx_hi: np.ndarray    # (nnz_main,) int32: (rb * d + slot) * b + col_local
     widx_lo: np.ndarray    # (nnz_main,) uint8/16: row_local
     wval: np.ndarray       # (nnz_main,) float
@@ -134,17 +135,35 @@ class DiaPack:
         return (self.widx_hi.astype(np.int64) * self.b
                 + self.widx_lo.astype(np.int64))
 
+    def _hi_delta(self):
+        """widx_hi as an int16 delta stream + exceptions (2 B/entry on
+        the wire instead of 4).  The packer emits entries in CSR row
+        order, so hi is near-sorted with steps bounded by ~(d+1)*b —
+        comfortably int16; the rare larger jump (a run of empty row
+        blocks) rides a sparse exception list the device patches in
+        before the reconstructing cumsum."""
+        hi = self.widx_hi.astype(np.int64)
+        d = np.diff(hi, prepend=np.int64(0))   # d[0] == hi[0]
+        exc = np.nonzero((d > 32767) | (d < -32768))[0]
+        with np.errstate(over="ignore"):
+            d16 = d.astype(np.int16)           # wrapped slots get patched
+        return d16, exc.astype(np.int32), d[exc].astype(np.int32)
+
     def start_upload(self):
         """Begin async device transfer of the nnz-sized arrays (widx
-        split + values).  Called as soon as the pack exists so the
-        multi-second tunnel transfer overlaps the remaining host-side
-        hierarchy build; to_device picks the handles up later."""
+        delta stream + row-locals + values).  Called as soon as the
+        pack exists so the multi-second tunnel transfer overlaps the
+        remaining host-side hierarchy build; to_device picks the
+        handles up later."""
         import jax.numpy as jnp
 
         if self._dev is not None or not len(self.widx_hi):
             return
+        d16, exc_i, exc_v = self._hi_delta()
         self._dev = {
-            "hi": jnp.asarray(self.widx_hi),
+            "d16": jnp.asarray(d16),
+            "exc_i": jnp.asarray(exc_i),
+            "exc_v": jnp.asarray(exc_v),
             "lo": jnp.asarray(self.widx_lo),
             "vals": jnp.asarray(self.wval.astype(np.float32)),
         }
@@ -211,18 +230,27 @@ class DiaPack:
         size = ng * g * d * b * b
 
         if w is None:
-            # Split upload (see widx_hi/widx_lo field comment);
-            # start_upload() may already have the transfers in flight.
+            # Delta-compressed upload (see _hi_delta); start_upload()
+            # may already have the transfers in flight.
             if self._dev is not None:
-                hi, lo, vals = (self._dev["hi"], self._dev["lo"],
-                                self._dev["vals"])
+                d16, exc_i, exc_v, lo, vals = (
+                    self._dev["d16"], self._dev["exc_i"],
+                    self._dev["exc_v"], self._dev["lo"],
+                    self._dev["vals"])
             else:
-                hi = jnp.asarray(self.widx_hi)
+                d16_h, exc_i_h, exc_v_h = self._hi_delta()
+                d16 = jnp.asarray(d16_h)
+                exc_i = jnp.asarray(exc_i_h)
+                exc_v = jnp.asarray(exc_v_h)
                 lo = jnp.asarray(self.widx_lo)
                 vals = jnp.asarray(self.wval.astype(np.float32))
 
             @partial(jax.jit, static_argnames=("total",))
-            def _build(hi, lo, v, total: int):
+            def _build(d16, exc_i, exc_v, lo, v, total: int):
+                d32 = d16.astype(jnp.int32)
+                if exc_i.shape[0]:
+                    d32 = d32.at[exc_i].set(exc_v)
+                hi = jnp.cumsum(d32)
                 it = jnp.int64 if total >= 2**31 else jnp.int32
                 idx = hi.astype(it) * b + lo.astype(it)
                 w = jnp.zeros(total, jnp.float32)
@@ -230,7 +258,7 @@ class DiaPack:
                                   unique_indices=True)
                 return w.reshape(ng, g, d, b, b).astype(dtype)
 
-            w = _build(hi, lo, vals, size)
+            w = _build(d16, exc_i, exc_v, lo, vals, size)
             self._dev = None   # release the nnz device buffers
 
         buckets, sp_r, sp_c, sp_v = self.rem_ell()

@@ -133,3 +133,48 @@ class TestAdapters:
         y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
         yref = a @ x
         assert np.abs(y[:900] - yref).max() / np.abs(yref).max() < 1e-5
+
+
+class TestHiDeltaEncoding:
+    """widx_hi travels as an int16 delta stream; large block jumps ride
+    the exception list (DiaPack._hi_delta)."""
+
+    def test_roundtrip_random(self):
+        rows, cols, vals, diag, a = random_system()
+        pk = dia.pack_dia(a.shape[0], rows, cols, vals, diag=diag,
+                          coverage=0.9, max_offsets=4)
+        d16, exc_i, exc_v = pk._hi_delta()
+        d = d16.astype(np.int64)
+        d[exc_i] = exc_v
+        assert np.array_equal(np.cumsum(d), pk.widx_hi.astype(np.int64))
+
+    def test_exception_path_and_matvec(self):
+        """A sparse system with a ~100-block dead gap forces deltas
+        beyond int16; the matvec must still match scipy."""
+        n = 40_000
+        rng = np.random.default_rng(3)
+        # entries clustered at both ends, nothing in the middle
+        lo_rows = rng.integers(0, 2000, 3000)
+        hi_rows = rng.integers(n - 2000, n, 3000)
+        rows = np.concatenate([lo_rows, hi_rows])
+        cols = np.clip(rows + rng.integers(-60, 61, len(rows)), 0, n - 1)
+        keep = rows != cols
+        rows, cols = rows[keep], cols[keep]
+        key = rows * n + cols
+        _, ui = np.unique(key, return_index=True)
+        rows, cols = rows[ui], cols[ui]
+        vals = rng.standard_normal(len(rows))
+        diag = rng.random(n) + 1.0
+        a = scipy.sparse.coo_matrix(
+            (vals, (rows, cols)), shape=(n, n)).tocsr() \
+            + scipy.sparse.diags(diag)
+        pk = dia.pack_dia(n, rows, cols, vals, diag=diag)
+        d16, exc_i, exc_v = pk._hi_delta()
+        assert len(exc_i) >= 1, "gap must force an int16 exception"
+        pk.start_upload()
+        params = pk.to_device()
+        x = rng.standard_normal((n, 2)).astype(np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
+        yref = a @ x
+        assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 1e-5
