@@ -23,6 +23,7 @@ per second (1M-DoF board in <1 s).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -80,6 +81,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # x64 on: enables the f64 device anchor (the solver keeps its hot
+    # path in explicit f32; this only allows f64 arrays to exist).
+    # PADNE_TPU_X64=0 restores the pre-anchor configuration.
+    if os.environ.get("PADNE_TPU_X64", "1") != "0":
+        jax.config.update("jax_enable_x64", True)
 
     from padne_tpu import kicad, mesh, solver
     from padne_tpu.ops import schur

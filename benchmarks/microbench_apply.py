@@ -116,7 +116,9 @@ def main():
     @jax.jit
     def slab_only(prm, xt):
         xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
-        return dia._pallas_main(meta0, prm["w"], xt_pad)
+        # Follow the platform (pallas on TPU, einsum elsewhere) so a
+        # CPU dry-run of this script exercises the same structure.
+        return dia._run_main(backend, meta0, prm["w"], xt_pad)
 
     @jax.jit
     def slab_diag(prm, xt):
@@ -163,7 +165,7 @@ def main():
     @jax.jit
     def slab_bf16(w, xt):
         xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
-        return dia._pallas_main(meta0, w, xt_pad)
+        return dia._run_main(backend, meta0, w, xt_pad)
 
     # Dispatch/tunnel round-trip latency baseline.
     tiny = jnp.zeros((8, 128), jnp.float32)

@@ -285,6 +285,12 @@ def apply_jax_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # x64 on: enables the solver's f64 device anchor (hot-path arrays
+    # stay explicit f32).  PADNE_TPU_X64=0 opts out.
+    if os.environ.get("PADNE_TPU_X64", "1") != "0":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
 
 def main(argv=None) -> None:

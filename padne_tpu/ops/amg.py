@@ -1137,14 +1137,19 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
     return apply_local, params, specs, n_sh, plans
 
 
-def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None):
+def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None,
+                         keep_widx: bool = False):
     """Exact level-0 operator params for the CG matvec, sharing the
     (multi-GB) weight slab with the V-cycle params — only the exact
     diagonal and the remainder arrays are fresh device arrays.
 
     vparams=None (or a V-cycle holding reduced-precision slabs) builds
     a fresh full-precision slab instead; pass its "w" back into
-    make_vcycle_dia* via w0= to avoid a second nnz upload."""
+    make_vcycle_dia* via w0= to avoid a second nnz upload.
+
+    keep_widx: retain the device widx split in the params (consumed by
+    the f64 anchor residual; only possible when the slab is built here,
+    not reused)."""
     import jax.numpy as jnp
 
     lv = h.levels[0]
@@ -1154,7 +1159,8 @@ def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None):
         # The V-cycle may hold reduced-precision slabs; the CG matvec
         # must stay exact, so build a full-precision slab.
         w = None
-    return lv.pack.to_device(dtype=dtype, w=w)
+    return lv.pack.to_device(dtype=dtype, w=w,
+                             keep_widx=keep_widx and w is None)
 
 
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:

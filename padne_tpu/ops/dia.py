@@ -214,14 +214,19 @@ class DiaPack:
         return (out, rr[sp].astype(np.int32),
                 self.rem_cols[sp].astype(np.int32), self.rem_vals[sp])
 
-    def to_device(self, dtype=None, w=None) -> dict:
+    def to_device(self, dtype=None, w=None, keep_widx: bool = False) -> dict:
         """Device parameter dict: W slab (one on-device scatter), the
         unique-row remainder, and the diagonal.
 
         w: reuse an already-built device slab (any dtype) instead of
         scattering a fresh one — avoids re-uploading the nnz-sized
         index/value arrays when one pack feeds two operators (e.g. the
-        exact f32 CG matvec and a bf16 V-cycle)."""
+        exact f32 CG matvec and a bf16 V-cycle).
+
+        keep_widx: additionally return the reconstructed device widx
+        split as params["_hi"]/params["_lo"] (int32 / uint8) — consumed
+        by coo_from_widx for value-correction overlays (the f64 anchor
+        residual) without re-uploading nnz-sized index arrays."""
         import jax
         import jax.numpy as jnp
 
@@ -256,29 +261,39 @@ class DiaPack:
                 w = jnp.zeros(total, jnp.float32)
                 w = w.at[idx].set(v, mode="promise_in_bounds",
                                   unique_indices=True)
-                return w.reshape(ng, g, d, b, b).astype(dtype)
+                return w.reshape(ng, g, d, b, b).astype(dtype), hi
 
-            w = _build(d16, exc_i, exc_v, lo, vals, size)
+            w, hi_dev = _build(d16, exc_i, exc_v, lo, vals, size)
+            lo_dev = lo
             self._dev = None   # release the nnz device buffers
+        else:
+            hi_dev = lo_dev = None
 
         buckets, sp_r, sp_c, sp_v = self.rem_ell()
+        # Cast on host BEFORE the upload: a f64 upload through the
+        # ~13 MB/s tunnel followed by a device cast doubles the
+        # transferred bytes.  f64 requests upload values as-is (no f32
+        # round-trip — the f64 operator must be EXACT for the anchor
+        # residual).
+        f64 = dtype == jnp.float64
+
+        def _val(a):
+            return jnp.asarray(a if f64 else a.astype(np.float32)
+                               ).astype(dtype)
+
         params = {
             "w": w,
             "sp_rows": jnp.asarray(sp_r),
             "sp_cols": jnp.asarray(sp_c),
-            "sp_vals": jnp.asarray(sp_v.astype(np.float32)).astype(dtype),
-            # Cast on host BEFORE the upload: a f64 upload through the
-            # ~13 MB/s tunnel followed by a device cast doubles the
-            # transferred bytes.  (f64 requests upload as-is.)
-            "diag": jnp.asarray(self.diag if dtype == jnp.float64
-                                else self.diag.astype(np.float32)
-                                ).astype(dtype),
+            "sp_vals": _val(sp_v),
+            "diag": _val(self.diag),
         }
         for d, (rows_d, cols_d, vals_d) in buckets.items():
             params[f"r{d}_rows"] = jnp.asarray(rows_d)
             params[f"r{d}_cols"] = jnp.asarray(cols_d)
-            params[f"r{d}_vals"] = jnp.asarray(
-                vals_d.astype(np.float32)).astype(dtype)
+            params[f"r{d}_vals"] = _val(vals_d)
+        if keep_widx:
+            params["_hi"], params["_lo"] = hi_dev, lo_dev
         return params
 
 
@@ -610,9 +625,14 @@ def _run_main(backend: str, meta, w, xt_pad):
     return _xla_main(meta, w, xt_pad)
 
 
-def dia_matvec(meta, params, x, backend: Optional[str] = None):
+def dia_matvec(meta, params, x, backend: Optional[str] = None,
+               compute_dtype=None):
     """y = (Diag + OffDiag) @ x for (np_, R) or (np_,) x.  Jit-traceable;
-    `meta` and `backend` must be static under jit."""
+    `meta` and `backend` must be static under jit.
+
+    compute_dtype overrides the contraction dtype (xla backend only) —
+    the f64 anchor residual passes float64 while reusing the f32 slab
+    (cast per offset inside the einsum)."""
     import jax.numpy as jnp
 
     np_, b, g, ng, offs = meta
@@ -623,8 +643,9 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None):
     dmax = _dmax(offs)
     # The pallas kernel is f32; the XLA path follows the slab dtype
     # (enables f64 V-cycles on CPU for reference computations).
-    compute_dtype = (jnp.float32 if backend in ("pallas", "interpret")
-                     else params["w"].dtype)
+    if compute_dtype is None:
+        compute_dtype = (jnp.float32 if backend in ("pallas", "interpret")
+                         else params["w"].dtype)
     xt = x.astype(compute_dtype).T
     xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
     main = _run_main(backend, meta, params["w"], xt_pad).T
@@ -701,6 +722,29 @@ def _apply_remainder(params, x, y):
         sp = params["sp_vals"][:, None] * x[params["sp_cols"]]
         y = y.at[params["sp_rows"]].add(sp.astype(y.dtype), mode="drop")
     return y
+
+
+def coo_from_widx(meta, hi, lo):
+    """Reconstruct per-entry (rows, cols) of the slab's main entries
+    from the device widx split (params["_hi"]/["_lo"], to_device with
+    keep_widx=True).  Jit-traceable; used to overlay nnz-sized value
+    corrections (e.g. the f32→f64 value residue in the anchor residual)
+    without uploading index arrays a second time.
+
+    widx_hi = (rb * d + slot) * b + col_local, widx_lo = row_local.
+    """
+    import jax.numpy as jnp
+
+    np_, b, g, ng, offs = meta
+    d = len(offs)
+    offs_arr = jnp.asarray(np.asarray(offs, np.int32))
+    c_loc = hi % b
+    t = hi // b
+    slot = t % d
+    rb = t // d
+    rows = rb * b + lo.astype(jnp.int32)
+    cols = (rb + offs_arr[slot]) * b + c_loc
+    return rows, cols
 
 
 def pad_to(x, np_: int):

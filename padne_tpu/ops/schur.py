@@ -479,7 +479,7 @@ class DiaBorderedSolver:
             # nnz-sized host arrays upload only once (the cycle's bf16
             # copy is a device-side cast).
             cycle_bf16 = backend == "pallas"
-            op_params = amg.make_dia_cg_operator(hierarchy)
+            op_params = amg.make_dia_cg_operator(hierarchy, keep_widx=True)
             w0 = (op_params["w"].astype(jnp.bfloat16)
                   if cycle_bf16 else op_params["w"])
             vcycle_apply, vparams = amg.make_vcycle_dia_t(
@@ -652,6 +652,28 @@ class DiaBorderedSolver:
         self._border_single = border_single
         self._ztr_device = ztr_device
 
+        # f64 device anchor: pass 1's exact full-system residual
+        # computed on device (no v download / host SpMV / rc re-upload).
+        # Needs x64 mode and the retained widx split; falls back to the
+        # host anchor on setup OR first-call failure (e.g. a backend
+        # without f64 einsum support).
+        self._anchor = None
+        self._v1_pad = None
+        self._want_v_dev = False
+        if (self._refine_step is not None
+                and jax.config.jax_enable_x64
+                and "_hi" in (self._op_exact or {})
+                and not os.environ.get("PADNE_TPU_HOST_ANCHOR")
+                and not os.environ.get("PADNE_TPU_HOST_REFINE")):
+            try:
+                self._setup_anchor(level0.pack, row_node_pos,
+                                   row_idx_dev, col_node_pos,
+                                   col_idx_dev)
+            except Exception:
+                log.info("f64 device anchor setup failed; keeping the "
+                         "host anchor", exc_info=True)
+                self._anchor = None
+
         # Host-side small dense pieces.
         self.BZ = np.zeros((m, p))
         np.add.at(self.BZ, (b.row_idx, system.comp_id[b.row_node]),
@@ -749,11 +771,71 @@ class DiaBorderedSolver:
             np.concatenate([c, [0.0]]).astype(np.float32))  # dummy comp
         v_pad = self._combine(X, jnp.asarray(j.astype(np.float32)),
                               c_full, self.comp_pad_dev)
+        if self._want_v_dev:
+            # Anchor mode: v stays resident; the f64 anchor evaluates
+            # the pass-1 residual on device, so nothing n-sized needs
+            # to cross the tunnel here.
+            v_pad.block_until_ready()
+            self._v1_pad = v_pad
+            self._trace("combine (v kept on device)", t0)
+            return None, j
         # Fetch f32 over the wire, widen on host (np.asarray with a
         # dtype could widen on device first — 2x the tunnel bytes).
         v = np.asarray(v_pad).astype(np.float64)[self.posmap]
         self._trace("combine+download v", t0)
         return v, j
+
+    def _setup_anchor(self, pack, row_node_pos, row_idx_dev,
+                      col_node_pos, col_idx_dev):
+        """Build the f64 device anchor jit.
+
+        rc = r_core + A v - C j evaluated entirely on device in float64:
+        the resident f32 slab is cast per offset inside the einsum, and
+        its f32→f64 value residue (A_lo = A - f32(A), |A_lo| <= 6e-8|A|)
+        is overlaid from a COO correction whose (row, col) pairs are
+        reconstructed from the already-resident widx split — the only
+        new upload is the nnz-sized lo-value array, dispatched async at
+        setup.  Also returns B v for the exact border residual and the
+        squared core norm.  Replaces the host anchor's v download + f64
+        CSR SpMV + rc re-upload (the residual pair seeds the
+        device-resident refinement loop directly)."""
+        from . import dia
+
+        system = self.system
+        b = system.border
+        m, np0 = self.m, self.np0
+        meta0 = self._meta0
+        op = self._op_exact
+        hi_dev, lo_dev = op["_hi"], op["_lo"]
+        op64 = pack.to_device(dtype=jnp.float64, w=op["w"])
+        wlo = (np.asarray(pack.wval, np.float64)
+               - np.asarray(pack.wval, np.float64).astype(np.float32)
+               ).astype(np.float32)
+        vals_lo = jnp.asarray(wlo)
+        rows, cols = jax.jit(
+            lambda h, lo: dia.coo_from_widx(meta0, h, lo))(hi_dev, lo_dev)
+        b64 = jnp.zeros(np0, jnp.float64).at[self.posmap_dev].set(
+            jnp.asarray(np.asarray(system.r_core, np.float64)))
+        cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
+        rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
+
+        @jax.jit
+        def anchor(v_pad, j64):
+            v64 = v_pad.astype(jnp.float64)
+            av = dia.dia_matvec(meta0, op64, v64, backend="xla",
+                                compute_dtype=jnp.float64)
+            av = av.at[rows].add(vals_lo.astype(jnp.float64) * v64[cols])
+            cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
+                cv64 * j64[col_idx_dev])
+            rc = b64 + av - cj
+            hi = rc.astype(jnp.float32)
+            lo = (rc - hi.astype(jnp.float64)).astype(jnp.float32)
+            bv = jax.ops.segment_sum(v64[row_node_pos] * rv64,
+                                     row_idx_dev, num_segments=m)
+            return hi, lo, bv, jnp.sum(rc * rc)
+
+        self._anchor = anchor
+        self._want_v_dev = True
 
     def _small_correction(self, BXc, Bxr, rb, Ztr):
         """Solve the small dense (m+p) Schur block with lstsq (graceful
@@ -773,7 +855,8 @@ class DiaBorderedSolver:
         return j, c
 
     def _device_refine(self, v, j, res_core, res_border,
-                       target_residual, max_refinements):
+                       target_residual, max_refinements,
+                       rc_pair=None, res_norm0=None, v_pad_dev=None):
         """Device-resident refinement passes (passes 2+ of solve()).
 
         The host anchor (pass 1's exact f64 residual) uploads once as
@@ -793,15 +876,22 @@ class DiaBorderedSolver:
         import time
 
         p = self.p
-        res_norm = float(np.sqrt((res_core**2).sum()
-                                 + (res_border**2).sum()))
-        t0 = time.time()
-        rc_hi = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
-            jnp.asarray(res_core.astype(np.float32)))
-        rc_lo = jnp.zeros(self.np0, jnp.float32)
+        if rc_pair is not None:
+            # Device-anchored entry: the residual pair is already
+            # resident (f64 anchor); res_core is not materialized.
+            rc_hi, rc_lo = rc_pair
+            res_norm = res_norm0
+        else:
+            res_norm = float(np.sqrt((res_core**2).sum()
+                                     + (res_border**2).sum()))
+            t0 = time.time()
+            rc_hi = jnp.zeros(self.np0,
+                              jnp.float32).at[self.posmap_dev].set(
+                jnp.asarray(res_core.astype(np.float32)))
+            rc_lo = jnp.zeros(self.np0, jnp.float32)
+            rc_hi.block_until_ready()
+            self._trace("upload anchor rc", t0)
         dcorr = jnp.zeros(self.np0, jnp.float32)
-        rc_hi.block_until_ready()
-        self._trace("upload anchor rc", t0)
         rb = res_border.astype(np.float64).copy()
         refinements = 0
         while res_norm > target_residual and refinements < max_refinements:
@@ -834,7 +924,16 @@ class DiaBorderedSolver:
                 break
             res_norm = new_norm
         t0 = time.time()
-        v = v + np.asarray(dcorr).astype(np.float64)[self.posmap]
+        if v_pad_dev is not None:
+            # Combine on device in f64 (x64 is on in anchor mode), one
+            # download for the final result.
+            v_full = jax.jit(
+                lambda a, c: a.astype(jnp.float64)
+                + c.astype(jnp.float64))(v_pad_dev, dcorr)
+            base = np.asarray(v_full)[self.posmap]
+            v = base if v is None else v + base
+        else:
+            v = v + np.asarray(dcorr).astype(np.float64)[self.posmap]
         self._trace("download correction", t0)
         res_core, res_border = self._full_residual(v, j)
         res_norm = float(np.sqrt((res_core**2).sum()
@@ -865,26 +964,65 @@ class DiaBorderedSolver:
 
     def solve(self, target_residual: float = 1e-10,
               max_refinements: int = 8) -> BorderedSolution:
+        import logging
         import os
 
         system, b = self.system, self.system.border
         self._cg_iters = 0
+        # Keep-v-on-device applies to THIS pass only: later host-
+        # fallback passes through _solve_once must return host arrays.
+        self._want_v_dev = self._anchor is not None
         v, j = self._solve_once(system.r_core, b.rhs)
+        self._want_v_dev = False
         refinements = 0
-        res_core, res_border = self._full_residual(v, j)
-        res_norm = float(np.sqrt((res_core**2).sum()
-                                 + (res_border**2).sum()))
-        # Device-resident passes first (no per-pass n-sized transfers);
-        # the host-anchored loop below mops up if the device floor sits
-        # above the target.  PADNE_TPU_HOST_REFINE=1 forces the legacy
-        # host loop (A/B + fallback).
-        if (self._refine_step is not None and res_norm > target_residual
-                and refinements < max_refinements
-                and not os.environ.get("PADNE_TPU_HOST_REFINE")):
-            (v, j, res_core, res_border, res_norm,
-             refinements) = self._device_refine(
-                v, j, res_core, res_border, target_residual,
-                max_refinements)
+        anchored = False
+        if v is None:
+            # Anchor mode: v stayed on device; evaluate the exact pass-1
+            # residual there.  A runtime failure (platform without f64
+            # einsum) permanently falls back to the host anchor.
+            import time
+
+            try:
+                t0 = time.time()
+                rc_hi, rc_lo, bv, n2 = self._anchor(
+                    self._v1_pad, jnp.asarray(j.astype(np.float64)))
+                n2 = float(n2)
+                self._trace("f64 device anchor", t0)
+            except Exception:
+                logging.getLogger(__name__).info(
+                    "f64 device anchor failed at runtime; host anchor "
+                    "takes over", exc_info=True)
+                self._anchor = None
+                self._want_v_dev = False
+            if self._anchor is None:
+                v = np.asarray(self._v1_pad).astype(
+                    np.float64)[self.posmap]
+            else:
+                rb = b.rhs - np.asarray(bv, dtype=np.float64)
+                res_norm = float(np.sqrt(n2 + (rb**2).sum()))
+                (v, j, res_core, res_border, res_norm,
+                 refinements) = self._device_refine(
+                    None, j, None, rb, target_residual,
+                    max_refinements, rc_pair=(rc_hi, rc_lo),
+                    res_norm0=res_norm, v_pad_dev=self._v1_pad)
+                anchored = True
+        if not anchored:
+            # Host-anchored entry (anchor off, or it fell back).
+            res_core, res_border = self._full_residual(v, j)
+            res_norm = float(np.sqrt((res_core**2).sum()
+                                     + (res_border**2).sum()))
+            # Device-resident passes (no per-pass n-sized transfers);
+            # the host-anchored loop below mops up if the device floor
+            # sits above the target.  PADNE_TPU_HOST_REFINE=1 forces
+            # the legacy host loop (A/B + fallback).
+            if (self._refine_step is not None
+                    and res_norm > target_residual
+                    and refinements < max_refinements
+                    and not os.environ.get("PADNE_TPU_HOST_REFINE")):
+                (v, j, res_core, res_border, res_norm,
+                 refinements) = self._device_refine(
+                    v, j, res_core, res_border, target_residual,
+                    max_refinements)
         while res_norm > target_residual and refinements < max_refinements:
             # Pass-adaptive inner tolerance: only the remaining
             # contraction to the outer target is needed, with a 5x

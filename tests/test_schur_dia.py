@@ -176,3 +176,64 @@ class TestDeviceResidentRefinement:
         true_norm = float(np.sqrt((rc**2).sum() + (rb**2).sum()))
         assert np.isclose(true_norm, sol.residual_norm,
                           rtol=1e-6, atol=1e-13)
+
+
+class TestF64DeviceAnchor:
+    """Pass 1's residual is computed on device in f64 (the anchor);
+    PADNE_TPU_HOST_ANCHOR=1 restores the host anchor."""
+
+    def test_anchor_is_exact(self):
+        import jax
+        import jax.numpy as jnp
+        import scipy.sparse
+
+        system = make_system(g=64, with_regulator=True, seed=5)
+        s = schur.DiaBorderedSolver(system)
+        if s._anchor is None:
+            pytest.skip("anchor unavailable (x64 off?)")
+        b = system.border
+        n, m = system.n, b.m
+        A = system.ell.to_scipy()
+        C = scipy.sparse.coo_matrix(
+            (b.col_val, (b.col_node, b.col_idx)), shape=(n, m))
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=s.np0).astype(np.float32)
+        jv = rng.normal(size=m)
+        hi, lo, bv, n2 = s._anchor(jnp.asarray(v), jnp.asarray(jv))
+        rc_dev = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        v_real = v.astype(np.float64)[s.posmap]
+        rc_ref = system.r_core + A @ v_real - C @ jv
+        scale = max(np.abs(rc_ref).max(), 1e-300)
+        assert np.abs(rc_dev[s.posmap] - rc_ref).max() < 1e-12 * scale
+        B = scipy.sparse.coo_matrix(
+            (b.row_val, (b.row_idx, b.row_node)), shape=(m, n))
+        assert np.abs(np.asarray(bv) - B @ v_real).max() < 1e-10
+        # Padding rows carry no residual.
+        mask = np.ones(s.np0, bool)
+        mask[s.posmap] = False
+        assert np.abs(rc_dev[mask]).max() == 0.0
+
+    def test_anchor_solve_matches_host_anchor(self, monkeypatch):
+        system = make_system(g=64, seed=9)
+        a = schur.DiaBorderedSolver(system)
+        if a._anchor is None:
+            pytest.skip("anchor unavailable (x64 off?)")
+        sol_a = a.solve(target_residual=1e-10)
+        monkeypatch.setenv("PADNE_TPU_HOST_ANCHOR", "1")
+        h = schur.DiaBorderedSolver(system)
+        assert h._anchor is None
+        sol_h = h.solve(target_residual=1e-10)
+        assert sol_a.residual_norm < 1e-10
+        assert sol_h.residual_norm < 1e-10
+        scale = max(np.abs(sol_h.v).max(), 1e-12)
+        assert np.abs(sol_a.v - sol_h.v).max() < 1e-8 * scale
+
+    def test_second_solve_reuses_anchor(self):
+        system = make_system(g=64, seed=4)
+        s = schur.DiaBorderedSolver(system)
+        if s._anchor is None:
+            pytest.skip("anchor unavailable (x64 off?)")
+        s1 = s.solve(target_residual=1e-10)
+        s2 = s.solve(target_residual=1e-10)
+        assert s2.residual_norm < 1e-10
+        assert np.abs(s1.v - s2.v).max() < 1e-9
