@@ -793,11 +793,16 @@ class DiaBorderedSolver:
         the resident f32 slab is cast per offset inside the einsum, and
         its f32→f64 value residue (A_lo = A - f32(A), |A_lo| <= 6e-8|A|)
         is overlaid from a COO correction whose (row, col) pairs are
-        reconstructed from the already-resident widx split — the only
-        new upload is the nnz-sized lo-value array, dispatched async at
-        setup.  Also returns B v for the exact border residual and the
-        squared core norm.  Replaces the host anchor's v download + f64
-        CSR SpMV + rc re-upload (the residual pair seeds the
+        reconstructed from the already-resident widx split.  Every f64
+        residue stream (slab values, remainder values, diagonal,
+        r_core) uploads as an int16 fixed-point ratio against its
+        resident f32 mantissa (dia.ratio16_encode: 2 B/entry, ~2^-39
+        relative reconstruction error — two decades below the f64
+        refinement floor); the slab residue's f32 bases are gathered
+        back from the slab itself, so NOTHING nnz-sized re-uploads at
+        full width.  Also returns B v for the exact border residual and
+        the squared core norm.  Replaces the host anchor's v download +
+        f64 CSR SpMV + rc re-upload (the residual pair seeds the
         device-resident refinement loop directly)."""
         from . import dia
 
@@ -805,17 +810,46 @@ class DiaBorderedSolver:
         b = system.border
         m, np0 = self.m, self.np0
         meta0 = self._meta0
+        blk = meta0[1]
         op = self._op_exact
         hi_dev, lo_dev = op["_hi"], op["_lo"]
-        op64 = pack.to_device(dtype=jnp.float64, w=op["w"])
-        wlo = (np.asarray(pack.wval, np.float64)
-               - np.asarray(pack.wval, np.float64).astype(np.float32)
-               ).astype(np.float32)
-        vals_lo = jnp.asarray(wlo)
-        rows, cols = jax.jit(
-            lambda h, lo: dia.coo_from_widx(meta0, h, lo))(hi_dev, lo_dev)
+
+        # f64 view of the exact operator: resident f32 arrays widened
+        # in place by int16 ratio streams (rows/cols reused verbatim).
+        buckets, _sp_r, _sp_c, sp_v = pack.rem_ell()
+        op64 = {
+            "w": op["w"],   # f32 slab; cast per offset in the einsum
+            "diag": dia.ratio16_widen(
+                op["diag"], jnp.asarray(dia.ratio16_encode(pack.diag))),
+            "sp_rows": op["sp_rows"],
+            "sp_cols": op["sp_cols"],
+            "sp_vals": dia.ratio16_widen(
+                op["sp_vals"], jnp.asarray(dia.ratio16_encode(sp_v))),
+        }
+        for d in dia.DiaPack.REM_BUCKETS:
+            op64[f"r{d}_rows"] = op[f"r{d}_rows"]
+            op64[f"r{d}_cols"] = op[f"r{d}_cols"]
+            op64[f"r{d}_vals"] = dia.ratio16_widen(
+                op[f"r{d}_vals"],
+                jnp.asarray(dia.ratio16_encode(buckets[d][2])))
+
+        q_slab = jnp.asarray(dia.ratio16_encode(pack.wval))
+
+        @jax.jit
+        def _coo(w, h, lo, q):
+            rows, cols = dia.coo_from_widx(meta0, h, lo)
+            idx = h.astype(jnp.int64) * blk + lo.astype(jnp.int64)
+            vlo = w.reshape(-1)[idx] * (
+                q.astype(jnp.float32)
+                * jnp.float32(dia.RATIO16_SCALE))
+            return rows, cols, vlo
+
+        rows, cols, vals_lo = _coo(op["w"], hi_dev, lo_dev, q_slab)
+        rc32 = np.asarray(system.r_core, np.float64).astype(np.float32)
         b64 = jnp.zeros(np0, jnp.float64).at[self.posmap_dev].set(
-            jnp.asarray(np.asarray(system.r_core, np.float64)))
+            dia.ratio16_widen(
+                jnp.asarray(rc32),
+                jnp.asarray(dia.ratio16_encode(system.r_core))))
         cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
         rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
 

@@ -178,3 +178,50 @@ class TestHiDeltaEncoding:
         y = np.asarray(dia.dia_matvec(pk.meta, params, xp, backend="xla"))
         yref = a @ x
         assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 1e-5
+
+
+class TestRatio16:
+    """int16 fixed-point ratio residue (a64 vs its f32 rounding)."""
+
+    def _decode(self, a64, q):
+        a32 = np.asarray(a64, np.float64).astype(np.float32)
+        return a32.astype(np.float64) * (
+            1.0 + q.astype(np.float64) * dia.RATIO16_SCALE)
+
+    def test_reconstruction_error_bound(self):
+        rng = np.random.default_rng(0)
+        mag = 10.0 ** rng.uniform(-30, 30, 20_000)
+        a = mag * rng.choice([-1.0, 1.0], len(mag))
+        a *= 1.0 + rng.uniform(-1e-7, 1e-7, len(a))  # off-grid mantissas
+        q = dia.ratio16_encode(a)
+        rec = self._decode(a, q)
+        # Half-step quantization: ~2^-40 relative (9.2e-13).
+        assert (np.abs(rec - a) <= 1e-12 * np.abs(a)).all()
+
+    def test_exact_f32_values_round_trip(self):
+        a = np.array([0.0, 1.0, -2.5, 2.0**-126, 65504.0], np.float64)
+        q = dia.ratio16_encode(a)
+        assert (q == 0).all()
+        assert (self._decode(a, q) == a).all()
+
+    def test_subnormal_and_underflow_guards(self):
+        # a64 that underflows f32 entirely -> encodes 0, error is |a64|.
+        tiny = np.array([3e-46, -3e-46, 1e-50], np.float64)
+        q = dia.ratio16_encode(tiny)
+        rec = self._decode(tiny, q)
+        assert np.isfinite(rec).all()
+        assert (np.abs(rec - tiny) <= 7e-46).all()
+        # subnormal f32 base: ratio clips but error stays <= half-ulp.
+        sub = np.array([1.5e-45, 2.9e-45, -6.0e-44], np.float64)
+        q = dia.ratio16_encode(sub)
+        rec = self._decode(sub, q)
+        assert np.isfinite(rec).all()
+        assert (np.abs(rec - sub) <= 1.5e-45).all()
+
+    def test_device_widen_matches_host_decode(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal(4096) * 10.0 ** rng.integers(-6, 7, 4096)
+        q = dia.ratio16_encode(a)
+        a32 = jnp.asarray(a.astype(np.float32))
+        dev = np.asarray(dia.ratio16_widen(a32, jnp.asarray(q)))
+        assert (dev == self._decode(a, q)).all()
