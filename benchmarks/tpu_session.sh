@@ -27,6 +27,10 @@ run bench_deepwide 2400 env PADNE_TPU_DEEP_OFFSETS=24 PADNE_TPU_DEEP_COVERAGE=0.
 run bench_drop3 2400 env PADNE_TPU_DROP_TOL=1e-3 python bench.py
 # A/B: legacy host-anchored refinement loop (vs new device-resident)
 run bench_hostrefine 2400 env PADNE_TPU_HOST_REFINE=1 python bench.py
+# A/B: host anchor for pass 1 (vs f64 device anchor + int16 residues)
+run bench_hostanchor 2400 env PADNE_TPU_HOST_ANCHOR=1 python bench.py
+# A/B: x64 off entirely (pre-anchor configuration)
+run bench_nox64 2400 env PADNE_TPU_X64=0 python bench.py
 # Official number last (warm cache, default knobs)
 run bench_final 2400 python bench.py
 echo "=== session done; logs in $OUT ==="
