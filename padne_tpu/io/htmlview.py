@@ -114,6 +114,7 @@ _TEMPLATE = """<!DOCTYPE html>
 </div>
 <div id="legend"><canvas id="grad" width="220" height="12"></canvas>
  <span id="vmin"></span><span>…</span><span id="vmax"></span>
+ <span id="vdelta" style="opacity:.7"></span>
  <span id="probe"></span></div>
 <canvas id="c"></canvas>
 <script>
@@ -157,6 +158,43 @@ const locView = gl.getUniformLocation(prog,'view');
 let layerIdx=0, modeIdx=0, view={x:0,y:0,sx:1,sy:1};
 let bbox=null, buffers=null, range=[0,1], rangeOverride=null, showEdges=false;
 let showBoundary=false, showPoints=true, lastProbe=null;
+// SI-prefixed value formatting/parsing (parity with padne_tpu.units:
+// smart precision, prefix ladder p..T, 'u' accepted for micro).
+const SI_EXP = {'12':'T','9':'G','6':'M','3':'k','0':'',
+                '-3':'m','-6':'μ','-9':'n','-12':'p'};
+const SI_MULT = {'T':1e12,'G':1e9,'M':1e6,'k':1e3,'m':1e-3,
+                 'u':1e-6,'μ':1e-6,'n':1e-9,'p':1e-12};
+function fmtSI(v, unit){
+  if (v===0 || Math.abs(v)<1e-10) return '0 '+unit;
+  let mag=Math.abs(v), exp=0;
+  if (mag>=1){ while(mag>=1000 && exp<12){ mag/=1000; exp+=3; } }
+  else { while(mag<1 && exp>-12){ mag*=1000; exp-=3; } }
+  let text = mag>=100 ? mag.toFixed(1) : (mag>=10 ? mag.toFixed(2)
+                                                  : mag.toFixed(3));
+  if (text.indexOf('.')>=0){
+    let e=text.length;
+    while(text.charAt(e-1)==='0') e--;
+    if (text.charAt(e-1)==='.') e--;
+    text=text.slice(0,e);
+  }
+  return (v<0?'-':'')+text+' '+SI_EXP[String(exp)]+unit;
+}
+function parseSI(s, unit){
+  if (!s) return NaN;
+  let t=''; // strip all whitespace
+  for (let i=0;i<s.length;i++) if (s.charAt(i)!==' ') t+=s.charAt(i);
+  if (unit && t.endsWith(unit)) t=t.slice(0, t.length-unit.length);
+  let mult=1;
+  const last=t.charAt(t.length-1);
+  if (SI_MULT[last]!==undefined){ mult=SI_MULT[last]; t=t.slice(0,-1); }
+  // digits/sign/dot/exponent only beyond this point
+  for (let i=0;i<t.length;i++){
+    if ('0123456789+-.eE'.indexOf(t.charAt(i))<0) return NaN;
+  }
+  const num=parseFloat(t);
+  return isFinite(num) ? num*mult : NaN;
+}
+function modeUnit(){ return modeIdx===0 ? 'V' : 'W/mm²'; }
 function computeBBox(){
   let x0=1e30,y0=1e30,x1=-1e30,y1=-1e30;
   const L=DATA.layers[layerIdx];
@@ -270,9 +308,11 @@ function drawLegend(){
   for(let i=0;i<220;i++){ const c=cm(i/219);
     g.fillStyle=`rgb(${255*c[0]|0},${255*c[1]|0},${255*c[2]|0})`;
     g.fillRect(i,0,1,12); }
-  const unit = modeIdx===0? ' V' : ' W/mm²';
-  document.getElementById('vmin').textContent=range[0].toPrecision(5)+unit;
-  document.getElementById('vmax').textContent=range[1].toPrecision(5)+unit;
+  const unit = modeUnit();
+  document.getElementById('vmin').textContent=fmtSI(range[0], unit);
+  document.getElementById('vmax').textContent=fmtSI(range[1], unit);
+  document.getElementById('vdelta').textContent=
+    'Δ '+fmtSI(range[1]-range[0], unit);
 }
 function draw(){
   gl.viewport(0,0,canvas.width,canvas.height);
@@ -409,14 +449,14 @@ window.addEventListener('keydown', e=>{
     if (val!==null){
       rangeOverride = (e.key==='m') ? [val, range[1]] : [range[0], val];
       const box = (e.key==='m') ? 'vmin_in' : 'vmax_in';
-      document.getElementById(box).value = val.toPrecision(6);
+      document.getElementById(box).value = fmtSI(val, modeUnit());
       buildBuffers(); draw();
     }
   }
 });
 document.getElementById('rescale').addEventListener('click', ()=>{
-  const lo = parseFloat(document.getElementById('vmin_in').value);
-  const hi = parseFloat(document.getElementById('vmax_in').value);
+  const lo = parseSI(document.getElementById('vmin_in').value, modeUnit());
+  const hi = parseSI(document.getElementById('vmax_in').value, modeUnit());
   rangeOverride = (isFinite(lo) && isFinite(hi) && hi > lo) ? [lo, hi] : null;
   buildBuffers(); draw(); });
 resize(); buildBuffers(); resetView();

@@ -214,7 +214,7 @@ class ViewerDom:
 
     ELEMENT_IDS = ("layer", "mode", "edges", "boundary", "points",
                    "vmin_in", "vmax_in", "rescale", "reset", "vmin",
-                   "vmax", "probe")
+                   "vmax", "vdelta", "probe")
 
     def __init__(self, width=640, height=480):
         self.elements = {}

@@ -838,6 +838,7 @@ class Interp:
             ),
             "isFinite": lambda x: math.isfinite(to_number(x)),
             "isNaN": lambda x: to_number(x) != to_number(x),
+            "String": lambda x="": to_display(x),
             "atob": atob,
             "console": JSObject({"log": lambda *a: None,
                                  "warn": lambda *a: None,
@@ -892,6 +893,21 @@ class Interp:
                 return lambda i=0.0, _s=obj: float(ord(_s[int(to_number(i))]))
             if name == "charAt":
                 return lambda i=0.0, _s=obj: _s[int(to_number(i))]
+            if name == "indexOf":
+                return lambda sub, _s=obj: float(_s.find(to_display(sub)))
+            if name == "trim":
+                return lambda _s=obj: _s.strip()
+            if name == "endsWith":
+                return lambda sub, _s=obj: _s.endswith(to_display(sub))
+            if name == "slice":
+                def str_slice(start=0.0, end=UNDEF, _s=obj):
+                    n = len(_s)
+                    a = int(to_number(start))
+                    a = max(n + a, 0) if a < 0 else min(a, n)
+                    b = n if end is UNDEF else int(to_number(end))
+                    b = max(n + b, 0) if b < 0 else min(b, n)
+                    return _s[a:b] if a < b else ""
+                return str_slice
             raise JSError(f"string has no member {name}")
         if _num_like(obj):
             if name == "toFixed":

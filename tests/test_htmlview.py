@@ -381,6 +381,24 @@ def _inferno(t):
     ], axis=-1)
 
 
+_SI_MULT = {"T": 1e12, "G": 1e9, "M": 1e6, "k": 1e3, "m": 1e-3,
+            "u": 1e-6, "μ": 1e-6, "n": 1e-9, "p": 1e-12}
+
+
+def _parse_si(text):
+    """Python mirror of the viewer's parseSI (SI prefix + unit strip)."""
+    t = text.replace(" ", "")
+    for unit in ("W/mm²", "V"):
+        if t.endswith(unit):
+            t = t[: -len(unit)]
+            break
+    mult = 1.0
+    if t and t[-1] in _SI_MULT:
+        mult = _SI_MULT[t[-1]]
+        t = t[:-1]
+    return float(t) * mult
+
+
 def _pot_range(layer):
     lo = min(float(m["pot"].min()) for m in layer["meshes"])
     hi = max(float(m["pot"].max()) for m in layer["meshes"])
@@ -591,13 +609,35 @@ class TestHtmlViewerExecution:
         dom.elements["vmin_in"].props["value"] = "0.2"
         dom.elements["vmax_in"].props["value"] = "0.8"
         dom.elements["rescale"].fire(interp, "click")
-        assert dom.elements["vmin"].props["textContent"].startswith("0.2")
-        assert dom.elements["vmax"].props["textContent"].startswith("0.8")
+        # Scale labels render SI-prefixed (ColorScaleWidget parity).
+        assert dom.elements["vmin"].props["textContent"] == "200 mV"
+        assert dom.elements["vmax"].props["textContent"] == "800 mV"
+        assert dom.elements["vdelta"].props["textContent"] == "Δ 600 mV"
         # Bad override (hi <= lo) resets to the data range.
         dom.elements["vmax_in"].props["value"] = "0.1"
         dom.elements["rescale"].fire(interp, "click")
-        assert not dom.elements["vmax"].props["textContent"].startswith(
-            "0.1")
+        assert dom.elements["vmax"].props["textContent"] != "100 mV"
+
+    def test_rescale_parses_si_prefixed_input(self, viewer):
+        """The min/max boxes accept SI-prefixed values with an optional
+        unit, like the reference's EditableValueLabel (units.Value.parse
+        semantics: '250m', '0.8 V', '1.2kV', 'u' for micro)."""
+        interp, dom = viewer
+        dom.elements["vmin_in"].props["value"] = "250m"
+        dom.elements["vmax_in"].props["value"] = "0.8 V"
+        dom.elements["rescale"].fire(interp, "click")
+        assert dom.elements["vmin"].props["textContent"] == "250 mV"
+        assert dom.elements["vmax"].props["textContent"] == "800 mV"
+        assert dom.elements["vdelta"].props["textContent"] == "Δ 550 mV"
+        dom.elements["vmin_in"].props["value"] = "50uV"
+        dom.elements["vmax_in"].props["value"] = "1.5mV"
+        dom.elements["rescale"].fire(interp, "click")
+        assert dom.elements["vmin"].props["textContent"] == "50 μV"
+        assert dom.elements["vmax"].props["textContent"] == "1.5 mV"
+        # Garbage input resets to the data range (no crash).
+        dom.elements["vmin_in"].props["value"] = "abc"
+        dom.elements["rescale"].fire(interp, "click")
+        assert dom.elements["vmin"].props["textContent"] != "abc"
 
     def test_layer_switch_rebuilds_buffers(self, html, viewer):
         interp, dom = viewer
@@ -715,17 +755,18 @@ class TestViewerOverlays:
                                offsetX=ox, offsetY=oy)
         dom.window.fire(interp, "keydown", key="M")
         expect = float(m0["pot"][vi])
-        assert dom.elements["vmax_in"].props["value"] == (
-            f"{expect:.6g}" if "e" not in f"{expect:.6g}"
-            else dom.elements["vmax_in"].props["value"])
-        assert dom.elements["vmax"].props["textContent"].split(" ")[0] \
-            == dom.elements["vmax_in"].props["value"] \
-            or abs(float(dom.elements["vmax_in"].props["value"]) - expect) \
-            <= 1e-5 * max(abs(expect), 1e-12)
+        # The input pre-fills with the SI-formatted value (reference
+        # EditableValueLabel behavior) and the legend shows the same
+        # string; the SI text round-trips to the probe value within
+        # fmtSI's 4-significant-digit display precision.
+        si_text = dom.elements["vmax_in"].props["value"]
+        assert dom.elements["vmax"].props["textContent"] == si_text
+        assert abs(_parse_si(si_text) - expect) \
+            <= 1e-3 * max(abs(expect), 1e-12)
         # 'm' sets the minimum from the cursor value.
         dom.window.fire(interp, "keydown", key="m")
-        assert abs(float(dom.elements["vmin_in"].props["value"]) - expect) \
-            <= 1e-5 * max(abs(expect), 1e-12)
+        assert abs(_parse_si(dom.elements["vmin_in"].props["value"])
+                   - expect) <= 1e-3 * max(abs(expect), 1e-12)
         # reset the override for later tests
         mode = dom.elements["mode"]
         mode.props["selectedIndex"] = 0.0
