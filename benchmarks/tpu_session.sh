@@ -31,6 +31,9 @@ run bench_hostrefine 2400 env PADNE_TPU_HOST_REFINE=1 python bench.py
 run bench_hostanchor 2400 env PADNE_TPU_HOST_ANCHOR=1 python bench.py
 # A/B: x64 off entirely (pre-anchor configuration)
 run bench_nox64 2400 env PADNE_TPU_X64=0 python bench.py
+# A/B: fully lumped V-cycle (2 fewer full-remainder passes/iter;
+# CPU-measured +11% iterations at 150k — net win iff remainder-bound)
+run bench_cyclelump 2400 env PADNE_TPU_CYCLE_LUMPED=1 python bench.py
 # Official number last (warm cache, default knobs)
 run bench_final 2400 python bench.py
 echo "=== session done; logs in $OUT ==="

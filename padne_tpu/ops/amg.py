@@ -970,11 +970,25 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
     nc0, clen0 = len(lv0.child_perm), lv0.child_len
     np0 = lv0.pack.np_
 
+    # PADNE_TPU_CYCLE_LUMPED=1: use the strength-lumped operator for
+    # EVERY level-0 application in the cycle (pre/post smoothing and
+    # the coarse-grid residual, not just the transfer sandwich).  The
+    # cycle then is the exact AMG preconditioner of the lumped operator
+    # A~ — symmetric positive definite by construction (consistent
+    # smoother/operator pair, transpose transfers), just preconditioning
+    # A slightly less sharply.  Saves two full-remainder gather/scatter
+    # passes per V-cycle; CPU-measured iteration cost at 322k DoF: none
+    # (see benchmarks/tune_hierarchy.py).  Default off until TPU timing
+    # confirms the per-iteration win.
+    import os
+
+    cycle_lumped = bool(os.environ.get("PADNE_TPU_CYCLE_LUMPED"))
+
     def apply_t(p, bt):
         e = p[0]
         r_cols = bt.shape[0]
 
-        def mv(xt):
+        def mv_exact(xt):
             return dia.dia_matvec_t(meta0, e, xt, backend=backend)
 
         if lump:
@@ -982,10 +996,12 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
                 return dia.dia_matvec_t(meta0, e["sm"], xt,
                                         backend=backend)
         else:
-            mv_sm = mv
+            mv_sm = mv_exact
 
-        dinv = e["dinv"][None, :]
-        dinv_sm = e["sm"]["dinv"][None, :] if lump else dinv
+        mv = mv_sm if (cycle_lumped and lump) else mv_exact
+        dinv_ex = e["dinv"][None, :]
+        dinv_sm = e["sm"]["dinv"][None, :] if lump else dinv_ex
+        dinv = dinv_sm if (cycle_lumped and lump) else dinv_ex
         x = om_s * dinv * bt
         r1 = bt - mv(x)
         t = r1 - om_p * mv_sm(dinv_sm * r1) if om_p else r1

@@ -242,3 +242,17 @@ class TestF64DeviceAnchor:
         s2 = s.solve(target_residual=1e-10)
         assert s2.residual_norm < 1e-10
         assert np.abs(s1.v - s2.v).max() < 1e-9
+
+
+class TestCycleLumpedKnob:
+    def test_lumped_cycle_converges_and_matches(self, monkeypatch):
+        """PADNE_TPU_CYCLE_LUMPED=1 (V-cycle built entirely on the
+        strength-lumped operator) must stay a valid SPD preconditioner:
+        same solution, target residual reached."""
+        system = make_system(g=64, with_regulator=True, seed=11)
+        ref = schur.DiaBorderedSolver(system).solve(target_residual=1e-10)
+        monkeypatch.setenv("PADNE_TPU_CYCLE_LUMPED", "1")
+        lum = schur.DiaBorderedSolver(system).solve(target_residual=1e-10)
+        assert lum.residual_norm < 1e-10
+        scale = max(np.abs(ref.v).max(), 1e-12)
+        assert np.abs(lum.v - ref.v).max() < 1e-8 * scale
