@@ -523,6 +523,8 @@ class DiaBorderedSolver:
                 comp_id=comp_pad, num_components=p_cg,
                 mesh=dia_mesh, op_specs=vspecs[0], pp_specs=vspecs,
             )
+            self._shard_refine = (vparams[0], vspecs[0], plan0_meta,
+                                  dia_mesh)
         elif use_t:
             def a_apply_t(prm, xt):
                 return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
@@ -540,9 +542,12 @@ class DiaBorderedSolver:
                 operator=(a_apply, op_params),
             )
         self.cg_solver = cg_solver
-        # Device-resident refinement needs the exact level-0 operator in
-        # the plain (column) layout; the sharded path keeps the host
-        # anchor loop (its operator lives inside shard_map).
+        # _op_exact: the plain-layout exact operator (single-device
+        # only) — feeds the single-device refine step and the f64
+        # anchor.  The sharded path refines on device too (its refine
+        # step wraps the matvec in shard_map, below) but keeps the host
+        # anchor for pass 1: the sharded params don't retain the widx
+        # split, so the f64 residue overlay has nothing to index.
         self._sharded = bool(sharded)
         self._op_exact = None if sharded else op_params
         self._meta0 = meta0
@@ -614,6 +619,23 @@ class DiaBorderedSolver:
             return jax.ops.segment_sum(rc_hi + rc_lo, comp_pad_dev,
                                        num_segments=p + 1)
 
+        def _two_sum_update(adv, dv, dcorr, rc_hi, rc_lo, dj):
+            """Shared tail of a refinement update: absorb
+            delta = A dv - C dj into the double-f32 residual pair via an
+            error-free Knuth two-sum and accumulate the correction."""
+            cdj = jnp.zeros_like(dv).at[col_node_pos].add(
+                col_val_dev * dj[col_idx_dev])
+            delta = adv - cdj
+            s = rc_hi + delta
+            t = s - rc_hi
+            err = (rc_hi - (s - t)) + (delta - t)
+            lo = rc_lo + err
+            hi2 = s + lo
+            lo2 = lo - (hi2 - s)
+            dcorr = dcorr + dv
+            n2 = jnp.sum(jnp.square(hi2))
+            return dcorr, hi2, lo2, n2
+
         if self._op_exact is not None:
             from . import dia as _dia
 
@@ -632,23 +654,45 @@ class DiaBorderedSolver:
                 dv = xc @ dj - xr + c_full[comp_pad_dev]
                 adv = _dia.dia_matvec(op_meta, params, dv,
                                       backend=op_backend)
-                cdj = jnp.zeros_like(dv).at[col_node_pos].add(
-                    col_val_dev * dj[col_idx_dev])
-                delta = adv - cdj
-                # Knuth two-sum: (hi, lo) + delta, exactly.
-                s = rc_hi + delta
-                t = s - rc_hi
-                err = (rc_hi - (s - t)) + (delta - t)
-                lo = rc_lo + err
-                hi2 = s + lo
-                lo2 = lo - (hi2 - s)
-                dcorr = dcorr + dv
-                n2 = jnp.sum(jnp.square(hi2))
-                return dcorr, hi2, lo2, n2
+                return _two_sum_update(adv, dv, dcorr, rc_hi, rc_lo, dj)
 
             self._refine_step = refine_step
+            self._refine_params = self._op_exact
+        elif sharded:
+            # Multi-chip device-resident refinement: same update, with
+            # the exact matvec under shard_map (the vparams[0] operator
+            # the sharded CG already uses).  Elementwise pieces stay
+            # global ops; XLA inserts the (cheap, n-sized on-fabric)
+            # reshards around the matvec.
+            from jax.sharding import PartitionSpec as P
+
+            from . import dia_sharded as _dsh
+            from .spmv import shard_map_unchecked
+
+            sh_params, sh_specs, sh_plan_meta, sh_mesh = \
+                self._shard_refine
+
+            def _adv_local(prm, xt):
+                return _dsh.dia_matvec_t_local(
+                    meta0, sh_plan_meta, prm, xt, "tp", backend)
+
+            adv_sharded = shard_map_unchecked(
+                _adv_local, mesh=sh_mesh,
+                in_specs=(sh_specs, P(None, "tp")),
+                out_specs=P(None, "tp"))
+
+            @jax.jit
+            def refine_step_sharded(params, xc, dcorr, rc_hi, rc_lo,
+                                    xr, dj, c_full):
+                dv = xc @ dj - xr + c_full[comp_pad_dev]
+                adv = adv_sharded(params, dv[None, :])[0]
+                return _two_sum_update(adv, dv, dcorr, rc_hi, rc_lo, dj)
+
+            self._refine_step = refine_step_sharded
+            self._refine_params = sh_params
         else:
             self._refine_step = None
+            self._refine_params = None
         self._border_single = border_single
         self._ztr_device = ztr_device
 
@@ -945,7 +989,7 @@ class DiaBorderedSolver:
                 np.concatenate([c, [0.0]]).astype(np.float32))
             prev = (dcorr, rc_hi, rc_lo, rb, j, res_norm)
             dcorr, rc_hi, rc_lo, n2 = self._refine_step(
-                self._op_exact, self._Xc, dcorr, rc_hi, rc_lo, xr,
+                self._refine_params, self._Xc, dcorr, rc_hi, rc_lo, xr,
                 jnp.asarray(dj.astype(np.float32)), c_full)
             rb = rb - (self._BXc_host @ dj - Bxr + self.BZ @ c)
             j = j + dj

@@ -145,3 +145,46 @@ class TestShardedBorderedSolve:
         np.testing.assert_allclose(shard.v, serial.v,
                                    atol=1e-7 * max(span, 1.0), rtol=0)
         np.testing.assert_allclose(shard.j, serial.j, rtol=1e-6)
+
+
+class TestShardedDeviceRefinement:
+    def test_sharded_solver_refines_on_device(self, monkeypatch):
+        """The sharded solver's refinement passes (2+) run on device
+        (refine_step under shard_map) — not the legacy host loop — and
+        match the host-anchored loop's solution."""
+        ell, coords = grid_system(260, 160)  # 41.6k DoF, shardable
+        n = len(ell.diag)
+        border = schur.BorderSpec(
+            m=1,
+            row_idx=np.array([0, 0]), row_node=np.array([0, n - 1]),
+            row_val=np.array([1.0, -1.0]),
+            col_idx=np.array([0, 0]), col_node=np.array([0, n - 1]),
+            col_val=np.array([1.0, -1.0]),
+            rhs=np.array([1.0]),
+        )
+        system = schur.CoreSystem(
+            n=n, ell=ell, comp_id=np.zeros(n, dtype=np.int32),
+            num_components=1, border=border,
+            r_core=np.zeros(n), ground_var=0, coords=coords,
+        )
+        from padne_tpu.parallel import sharding
+
+        mesh = sharding.make_mesh(8, dp=1)
+        dev = schur.DiaBorderedSolver(system, mesh=mesh,
+                                      shard_min=4096)
+        assert dev._sharded, "fixture must exercise the sharded path"
+        assert dev._refine_step is not None, (
+            "sharded solver must have the device-resident refine step")
+        sol_dev = dev.solve(target_residual=1e-10)
+        assert sol_dev.residual_norm < 1e-10
+        assert sol_dev.refinement_steps >= 1
+
+        monkeypatch.setenv("PADNE_TPU_HOST_REFINE", "1")
+        host = schur.DiaBorderedSolver(system, mesh=mesh,
+                                       shard_min=4096)
+        sol_host = host.solve(target_residual=1e-10)
+        assert sol_host.residual_norm < 1e-10
+        span = sol_host.v.max() - sol_host.v.min()
+        np.testing.assert_allclose(sol_dev.v, sol_host.v,
+                                   atol=1e-7 * max(span, 1.0), rtol=0)
+        np.testing.assert_allclose(sol_dev.j, sol_host.j, rtol=1e-6)
