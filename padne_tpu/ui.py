@@ -70,6 +70,37 @@ class SolutionViewer:
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
         self.fig.canvas.mpl_connect("button_press_event", self.on_click)
         self.fig.canvas.mpl_connect("scroll_event", self.on_scroll)
+        self._build_scale_boxes()
+        self.redraw()
+
+    def _build_scale_boxes(self):
+        """Editable color-scale bounds (the reference toolbar's
+        EditableValueLabel, ui.py:1922-1994): two text boxes accepting
+        SI-prefixed values via units.Value.parse; invalid input leaves
+        the scale untouched and restores the displayed value."""
+        from matplotlib.widgets import TextBox
+
+        self.fig.subplots_adjust(bottom=0.14)
+        ax_lo = self.fig.add_axes([0.12, 0.02, 0.16, 0.05])
+        ax_hi = self.fig.add_axes([0.38, 0.02, 0.16, 0.05])
+        self._box_lo = TextBox(ax_lo, "min ")
+        self._box_hi = TextBox(ax_hi, "max ")
+        self._box_lo.on_submit(lambda text: self._scale_edited(0, text))
+        self._box_hi.on_submit(lambda text: self._scale_edited(1, text))
+        self._box_guard = False
+
+    def _scale_edited(self, which: int, text: str):
+        if self._box_guard:   # programmatic set_val during redraw
+            return
+        try:
+            parsed = units.Value.parse(text.replace("μ", "u"))
+        except ValueError:
+            self.redraw()     # restore the displayed value
+            return
+        lo, hi = self.value_range()
+        new = (parsed.value, hi) if which == 0 else (lo, parsed.value)
+        if new[1] > new[0]:
+            self.scale_override = new
         self.redraw()
 
     # -- data access --------------------------------------------------------
@@ -141,6 +172,16 @@ class SolutionViewer:
         layer_name = self.solution.problem.layers[self.layer_idx].name
         lo = units.Value(vmin, self.mode.unit).pretty_format()
         hi = units.Value(vmax, self.mode.unit).pretty_format()
+        if getattr(self, "_box_lo", None) is not None:
+            # Mirror the displayed bounds into the editable boxes
+            # without re-entering the submit callbacks ("μ" -> "u" so
+            # the prefilled text round-trips through Value.parse).
+            self._box_guard = True
+            try:
+                self._box_lo.set_val(lo.replace("μ", "u"))
+                self._box_hi.set_val(hi.replace("μ", "u"))
+            finally:
+                self._box_guard = False
         self.ax.set_title(
             f"{layer_name} — {self.mode.name} [{lo} .. {hi}]\n"
             "keys: 1-9 layer, m mode, e edges, c connections, "

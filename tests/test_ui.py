@@ -192,3 +192,51 @@ class TestProbeAndZoom:
         assert v.ax.get_xlim()[1] - v.ax.get_xlim()[0] == pytest.approx(
             x1 - x0)
         v.on_scroll(FakeScrollEvent(None, None, "up"))  # off-axes: no-op
+
+
+class TestEditableScaleBoxes:
+    def test_boxes_prefill_with_si_text(self, strip_solution):
+        from padne_tpu import ui, units
+
+        v = ui.SolutionViewer(strip_solution)
+        lo, hi = v.value_range()
+        assert v._box_lo.text == units.Value(
+            lo, v.mode.unit).pretty_format().replace("μ", "u")
+        assert v._box_hi.text == units.Value(
+            hi, v.mode.unit).pretty_format().replace("μ", "u")
+
+    def test_si_edit_overrides_scale(self, strip_solution):
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        v._scale_edited(1, "5V")
+        assert v.scale_override is not None
+        assert v.scale_override[1] == pytest.approx(5.0)
+        assert v._cbar.mappable.norm.vmax == pytest.approx(5.0)
+        # min edit composes with the max override; SI prefix parses.
+        v._scale_edited(0, "250m")
+        assert v.scale_override == (pytest.approx(0.25),
+                                    pytest.approx(5.0))
+
+    def test_invalid_edit_restores_display(self, strip_solution):
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        before = v.scale_override
+        txt = v._box_hi.text
+        v._scale_edited(1, "garbage")
+        assert v.scale_override == before
+        assert v._box_hi.text == txt        # display restored
+        # An inverted range (hi <= lo) is rejected too.
+        lo, _ = v.value_range()
+        v._scale_edited(1, f"{lo - 1.0}")
+        assert v.scale_override == before
+
+    def test_programmatic_setval_does_not_reenter(self, strip_solution):
+        """redraw() mirrors values into the boxes via set_val; the guard
+        must keep that from recursing into _scale_edited."""
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        v.redraw()
+        assert v.scale_override is None
