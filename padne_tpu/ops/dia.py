@@ -122,6 +122,13 @@ class DiaPack:
     # start_upload() parks async device copies of the nnz arrays here;
     # to_device consumes them (field, not in __eq__/__repr__ noise).
     _dev: Optional[dict] = None
+    # rem_ell() result cache as (rem_rows_ref, result) — the bucketing
+    # (np.unique + searchsorted over nnz_rem) is needed by both
+    # to_device and the anchor's ratio encoding in the same setup.  The
+    # identity check on rem_rows keeps dataclasses.replace()-derived
+    # packs (which copy this field but swap the remainder arrays) from
+    # inheriting a stale result.
+    _rem_cache: Optional[tuple] = None
 
     @property
     def meta(self) -> tuple:
@@ -187,6 +194,9 @@ class DiaPack:
         Returns ({d: (rows (U_d,), cols (U_d, d), vals (U_d, d))},
         spill_rows, spill_cols, spill_vals).
         """
+        if (self._rem_cache is not None
+                and self._rem_cache[0] is self.rem_rows):
+            return self._rem_cache[1]
         rr = self.rem_rows
         out = {}
         if len(rr) == 0:
@@ -194,7 +204,9 @@ class DiaPack:
                 z = np.zeros(0, np.int32)
                 out[d] = (z, z.reshape(0, d), np.zeros((0, d)))
             z = np.zeros(0, np.int32)
-            return out, z, z, np.zeros(0)
+            result = (out, z, z, np.zeros(0))
+            self._rem_cache = (self.rem_rows, result)
+            return result
         u, start, counts = np.unique(rr, return_index=True,
                                      return_counts=True)
         seq = np.arange(len(rr))
@@ -211,8 +223,10 @@ class DiaPack:
             vals_d[row_of, slot[sel]] = self.rem_vals[sel]
             out[d] = (ud.astype(np.int32), cols_d, vals_d)
         sp = deg > self.REM_BUCKETS[-1]
-        return (out, rr[sp].astype(np.int32),
-                self.rem_cols[sp].astype(np.int32), self.rem_vals[sp])
+        result = (out, rr[sp].astype(np.int32),
+                  self.rem_cols[sp].astype(np.int32), self.rem_vals[sp])
+        self._rem_cache = (self.rem_rows, result)
+        return result
 
     def to_device(self, dtype=None, w=None, keep_widx: bool = False) -> dict:
         """Device parameter dict: W slab (one on-device scatter), the
@@ -234,6 +248,12 @@ class DiaPack:
         d, b, g, ng = len(self.offs), self.b, self.g, self.ng
         size = ng * g * d * b * b
 
+        if keep_widx and w is not None:
+            raise ValueError(
+                "keep_widx needs the slab built here (the widx split is "
+                "reconstructed during the scatter); it cannot be honored "
+                "when reusing an existing slab via w="
+            )
         if w is None:
             # Delta-compressed upload (see _hi_delta); start_upload()
             # may already have the transfers in flight.
@@ -765,9 +785,15 @@ def ratio16_encode(a64) -> np.ndarray:
     half-ulp (~7e-46) — far below any physical matrix scale.
     """
     a64 = np.asarray(a64, np.float64)
-    a32 = a64.astype(np.float32).astype(np.float64)
+    with np.errstate(over="ignore"):
+        a32 = a64.astype(np.float32).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        r = np.where(a32 != 0.0, (a64 - a32) / a32, 0.0)
+        # isfinite guard: a64 beyond f32 range (a32 = inf) would make
+        # the ratio NaN and the int16 cast undefined; q=0 keeps the
+        # encode well-defined (the widened value is then a32 itself,
+        # i.e. the non-finite input stays visibly non-finite).
+        ok = (a32 != 0.0) & np.isfinite(a32)
+        r = np.where(ok, (a64 - a32) / np.where(ok, a32, 1.0), 0.0)
     q = np.rint(np.clip(r / RATIO16_SCALE, -32767.0, 32767.0))
     return q.astype(np.int16)
 

@@ -479,7 +479,15 @@ class DiaBorderedSolver:
             # nnz-sized host arrays upload only once (the cycle's bf16
             # copy is a device-side cast).
             cycle_bf16 = backend == "pallas"
-            op_params = amg.make_dia_cg_operator(hierarchy, keep_widx=True)
+            # Retain the widx split only when the f64 anchor can use it
+            # (x64 on, anchor knobs not disabled) — otherwise the
+            # nnz-sized _hi/_lo arrays would sit in HBM unused.
+            want_anchor = (
+                bool(jax.config.jax_enable_x64)
+                and not os.environ.get("PADNE_TPU_HOST_ANCHOR")
+                and not os.environ.get("PADNE_TPU_HOST_REFINE"))
+            op_params = amg.make_dia_cg_operator(hierarchy,
+                                                 keep_widx=want_anchor)
             w0 = (op_params["w"].astype(jnp.bfloat16)
                   if cycle_bf16 else op_params["w"])
             vcycle_apply, vparams = amg.make_vcycle_dia_t(
@@ -717,6 +725,13 @@ class DiaBorderedSolver:
                 log.info("f64 device anchor setup failed; keeping the "
                          "host anchor", exc_info=True)
                 self._anchor = None
+        if self._op_exact is not None:
+            # The widx split is consumed at anchor setup (the COO pairs
+            # and value residues are materialized); release the ~5 B/nnz
+            # device arrays either way so they don't ride along as
+            # unused CG-operator params.
+            self._op_exact.pop("_hi", None)
+            self._op_exact.pop("_lo", None)
 
         # Host-side small dense pieces.
         self.BZ = np.zeros((m, p))
@@ -897,8 +912,13 @@ class DiaBorderedSolver:
         cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
         rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
 
+        # All large device arrays travel as jit ARGUMENTS (closure-
+        # captured arrays would be inlined into the HLO as constants —
+        # the multi-GB slab in particular; same rule as make_vcycle).
         @jax.jit
-        def anchor(v_pad, j64):
+        def anchor(v_pad, j64, op64, rows, cols, vals_lo, b64, cv64,
+                   rv64, col_node_pos, col_idx_dev, row_node_pos,
+                   row_idx_dev):
             v64 = v_pad.astype(jnp.float64)
             av = dia.dia_matvec(meta0, op64, v64, backend="xla",
                                 compute_dtype=jnp.float64)
@@ -912,7 +932,11 @@ class DiaBorderedSolver:
                                      row_idx_dev, num_segments=m)
             return hi, lo, bv, jnp.sum(rc * rc)
 
-        self._anchor = anchor
+        anchor_args = (op64, rows, cols, vals_lo, b64, cv64, rv64,
+                       col_node_pos, col_idx_dev, row_node_pos,
+                       row_idx_dev)
+        self._anchor = lambda v_pad, j64: anchor(v_pad, j64,
+                                                 *anchor_args)
         self._want_v_dev = True
 
     def _small_correction(self, BXc, Bxr, rb, Ztr):
@@ -1003,13 +1027,13 @@ class DiaBorderedSolver:
             res_norm = new_norm
         t0 = time.time()
         if v_pad_dev is not None:
-            # Combine on device in f64 (x64 is on in anchor mode), one
-            # download for the final result.
+            # Anchored entry (v is None by contract): combine on device
+            # in f64 (x64 is on in anchor mode), one download for the
+            # final result.
             v_full = jax.jit(
                 lambda a, c: a.astype(jnp.float64)
                 + c.astype(jnp.float64))(v_pad_dev, dcorr)
-            base = np.asarray(v_full)[self.posmap]
-            v = base if v is None else v + base
+            v = np.asarray(v_full)[self.posmap]
         else:
             v = v + np.asarray(dcorr).astype(np.float64)[self.posmap]
         self._trace("download correction", t0)
@@ -1071,7 +1095,6 @@ class DiaBorderedSolver:
                     "f64 device anchor failed at runtime; host anchor "
                     "takes over", exc_info=True)
                 self._anchor = None
-                self._want_v_dev = False
             if self._anchor is None:
                 v = np.asarray(self._v1_pad).astype(
                     np.float64)[self.posmap]

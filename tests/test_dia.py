@@ -184,7 +184,8 @@ class TestRatio16:
     """int16 fixed-point ratio residue (a64 vs its f32 rounding)."""
 
     def _decode(self, a64, q):
-        a32 = np.asarray(a64, np.float64).astype(np.float32)
+        with np.errstate(over="ignore"):
+            a32 = np.asarray(a64, np.float64).astype(np.float32)
         return a32.astype(np.float64) * (
             1.0 + q.astype(np.float64) * dia.RATIO16_SCALE)
 
@@ -225,3 +226,50 @@ class TestRatio16:
         a32 = jnp.asarray(a.astype(np.float32))
         dev = np.asarray(dia.ratio16_widen(a32, jnp.asarray(q)))
         assert (dev == self._decode(a, q)).all()
+
+    def test_nonfinite_values_encode_safely(self):
+        a = np.array([1e39, -1e39, np.inf, 1.0], np.float64)
+        q = dia.ratio16_encode(a)
+        assert q.dtype == np.int16
+        assert q[3] == 0 and (q[:3] == 0).all()
+        rec = self._decode(a, q)
+        # Overflowed inputs stay visibly non-finite; finite ones exact.
+        assert np.isinf(rec[:3]).all()
+        assert rec[3] == 1.0
+
+
+class TestToDeviceGuards:
+    def test_keep_widx_with_reused_slab_raises(self):
+        rng = np.random.default_rng(0)
+        n = 512
+        rows = np.arange(n - 1)
+        cols = rows + 1
+        vals = rng.random(n - 1)
+        pk = dia.pack_dia(n, rows, cols, vals, diag=np.ones(n))
+        params = pk.to_device(keep_widx=True)
+        assert params["_hi"] is not None
+        pk2 = dia.pack_dia(n, rows, cols, vals, diag=np.ones(n))
+        with pytest.raises(ValueError, match="keep_widx"):
+            pk2.to_device(w=params["w"], keep_widx=True)
+
+    def test_rem_ell_memoized_and_replace_safe(self):
+        import dataclasses
+
+        rng = np.random.default_rng(1)
+        n = 2048
+        rows = rng.integers(0, n, 300)
+        cols = (rows + rng.integers(600, 1200, 300)) % n
+        keep = rows != cols
+        pk = dia.pack_dia(n, rows[keep], cols[keep],
+                          rng.random(keep.sum()), diag=np.ones(n))
+        r1 = pk.rem_ell()
+        assert pk.rem_ell() is r1          # cached
+        half = len(pk.rem_rows) // 2
+        pk2 = dataclasses.replace(pk, rem_rows=pk.rem_rows[:half],
+                                  rem_cols=pk.rem_cols[:half],
+                                  rem_vals=pk.rem_vals[:half])
+        r2 = pk2.rem_ell()                 # stale copy must NOT be hit
+        assert r2 is not r1
+        total2 = sum(len(r2[0][d][0]) * d for d in dia.DiaPack.REM_BUCKETS
+                     ) + len(r2[1])
+        assert total2 == half
