@@ -607,9 +607,11 @@ def build_hierarchy_dia(
         # level's remainder into the linear slab stream for a few extra
         # MXU dots; level 0's slab dominates HBM traffic, so its budget
         # stays separate.
-        mo_l = max_offsets if level_i == 0 else (deep_max_offsets
-                                                 or max_offsets)
-        cov_l = coverage if level_i == 0 else (deep_coverage or coverage)
+        mo_l = max_offsets if level_i == 0 else (
+            deep_max_offsets if deep_max_offsets is not None
+            else max_offsets)
+        cov_l = coverage if level_i == 0 else (
+            deep_coverage if deep_coverage is not None else coverage)
         pack = dia.pack_csr_pos_as_dia(
             A, pos, diag=diag_pad, coverage=cov_l,
             max_offsets=mo_l, np_override=np_l,
@@ -700,13 +702,26 @@ def build_hierarchy_dia(
     import threading
 
     _box: list = []
-    _th = threading.Thread(
-        target=lambda: _box.append(_compute_coarse_inv()), daemon=True)
+
+    def _coarse_worker():
+        # Capture failures for re-raise at join — a bare thread would
+        # swallow them and the consumer would die later with an opaque
+        # IndexError on the empty box.
+        try:
+            _box.append(("ok", _compute_coarse_inv()))
+        except BaseException as e:  # noqa: BLE001
+            _box.append(("err", e))
+
+    _th = threading.Thread(target=_coarse_worker, daemon=True)
     _th.start()
 
     def _join_coarse():
         _th.join()
-        return _box[0]
+        kind, payload = _box[0]
+        if kind == "err":
+            raise RuntimeError("coarse-inverse worker failed") \
+                from payload
+        return payload
 
     for i, lv in enumerate(levels):
         if i + 1 < len(levels):

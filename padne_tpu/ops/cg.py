@@ -344,6 +344,7 @@ def make_pcg_t(
     precond,
     comp_id: jnp.ndarray,
     num_components: int,
+    stall_window: int | None = 30,
 ):
     """Transposed-layout deflated PCG: state kept as (R, N) so every
     elementwise op runs at full lane utilization (in (N, R) layout an
@@ -409,8 +410,11 @@ def make_pcg_t(
         # target ~ eps*||A||*||x||) would otherwise spin to maxiter
         # without gaining a digit.  The outer f64 refinement multiplies
         # whatever was gained, so stop once no column has improved 3%
-        # in STALL_WINDOW iterations.
-        STALL_WINDOW = 30
+        # in STALL_WINDOW iterations.  ONLY safe under such an outer
+        # loop (see make_pcg's stall_window caveat) — pass
+        # stall_window=None for full-precision standalone solves.
+        STALL_WINDOW = (2**31 - 2 if stall_window is None
+                        else stall_window)
 
         def cond(s):
             _, r, _, _, k, _, _, stall = s
@@ -472,6 +476,7 @@ def make_pcg_t_sharded(
     op_specs,
     pp_specs,
     axis_name: str = "tp",
+    stall_window: int | None = 30,
 ):
     """Multi-chip transposed-layout deflated PCG (the sharded DIA path).
 
@@ -547,7 +552,9 @@ def make_pcg_t_sharded(
 
         # Stall exit (same rationale as make_pcg_t): columns floored by
         # f32 noise stop burning iterations; refinement picks up.
-        STALL_WINDOW = 30
+        # Same mixed-precision-only caveat as make_pcg_t.
+        STALL_WINDOW = (2**31 - 2 if stall_window is None
+                        else stall_window)
 
         def cond(s):
             _, r, _, _, k, _, _, stall = s

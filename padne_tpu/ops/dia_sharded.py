@@ -34,7 +34,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .dia import DiaPack, _dmax, _pallas_main, _xla_main
+from .dia import DiaPack, _dmax, _run_main
 
 
 @dataclass
@@ -55,7 +55,6 @@ class ShardPlan:
     far_pos: np.ndarray       # (tp, Mf) int32 index into gathered exchange
     far_val: np.ndarray       # (tp, Mf) float
     src_idx: np.ndarray       # (tp, Ms) int32 local col feeding the exchange
-    src_mask: np.ndarray      # (tp, Ms) float 1/0
 
     @property
     def meta_local(self):
@@ -110,7 +109,7 @@ def plan_shards(pack: DiaPack, tp: int) -> ShardPlan:
     src_shard = fc // np_local
     counts = np.bincount(src_shard, minlength=tp)
     ms = int(counts.max(initial=0))
-    src_idx_parts, src_mask_parts = [], []
+    src_idx_parts = []
     # Global gathered position of each fc entry: owner * Ms + rank.
     starts = np.concatenate([[0], np.cumsum(counts)])
     rank = np.arange(len(fc)) - starts[src_shard]
@@ -119,7 +118,6 @@ def plan_shards(pack: DiaPack, tp: int) -> ShardPlan:
     for s in range(tp):
         local_cols = fc[src_shard == s] - s * np_local
         src_idx_parts.append(local_cols.astype(np.int32))
-        src_mask_parts.append(np.ones(len(local_cols)))
 
     far_row, far_pos, far_val = [], [], []
     f_shard = f_rows // np_local
@@ -140,7 +138,6 @@ def plan_shards(pack: DiaPack, tp: int) -> ShardPlan:
         far_pos=_pad_rows_2d(far_pos, np.int32),
         far_val=_pad_rows_2d(far_val, np.float64),
         src_idx=_pad_rows_2d(src_idx_parts, np.int32),
-        src_mask=_pad_rows_2d(src_mask_parts, np.float64),
     )
 
 
@@ -178,18 +175,29 @@ def upload_sharded(pack: DiaPack, plan: ShardPlan, mesh, axis_name: str,
     gi = widx // (g * d * b * b)            # grid step of each entry
     shard_of = (gi // ng_l).astype(np.int64)
 
+    # Cast on host BEFORE the upload (same rule as DiaPack.to_device):
+    # f64 requests ship values as-is — an exact-f64 operator — while
+    # everything else rounds to f32 host-side so the slow tunnel never
+    # carries doubled bytes that a device cast would throw away.
+    f64 = dtype == jnp.float64
+    val_np = np.float64 if f64 else np.float32
+    slab_build_dtype = jnp.float64 if f64 else jnp.float32
+
     def build_local(idx, v):
-        w = jnp.zeros(chunk, jnp.float32)
+        w = jnp.zeros(chunk, slab_build_dtype)
         w = w.at[idx].set(v, mode="promise_in_bounds", unique_indices=True)
         return w.reshape(ng_l, g, d, b, b).astype(dtype)
 
     shards = []
     for s, dev in enumerate(devices):
         sel = shard_of == s
-        idx = jnp.asarray((widx[sel] - s * chunk).astype(
-            np.int32 if chunk < 2**31 else np.int64))
-        v = jnp.asarray(pack.wval[sel].astype(np.float32))
         with jax.default_device(dev):
+            # asarray INSIDE the context: a direct host->shard upload
+            # (staging through the default device would transit every
+            # byte twice and park transients on device 0's HBM).
+            idx = jnp.asarray((widx[sel] - s * chunk).astype(
+                np.int32 if chunk < 2**31 else np.int64))
+            v = jnp.asarray(pack.wval[sel].astype(val_np))
             shards.append(jax.jit(build_local)(idx, v))
     w = jax.make_array_from_single_device_arrays(
         (ng, g, d, b, b),
@@ -200,18 +208,20 @@ def upload_sharded(pack: DiaPack, plan: ShardPlan, mesh, axis_name: str,
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
 
+    def put_val(arr, spec):
+        return put(np.asarray(arr, val_np), spec).astype(dtype)
+
     row = P(axis_name, None)
     return {
         "w": w,
-        "diag": put(pack.diag.astype(np.float64), P(axis_name)).astype(dtype),
+        "diag": put_val(pack.diag, P(axis_name)),
         "near_row": put(plan.near_row, row),
         "near_win": put(plan.near_win, row),
-        "near_val": put(plan.near_val.astype(np.float32), row).astype(dtype),
+        "near_val": put_val(plan.near_val, row),
         "far_row": put(plan.far_row, row),
         "far_pos": put(plan.far_pos, row),
-        "far_val": put(plan.far_val.astype(np.float32), row).astype(dtype),
+        "far_val": put_val(plan.far_val, row),
         "src_idx": put(plan.src_idx, row),
-        "src_mask": put(plan.src_mask.astype(np.float32), row).astype(dtype),
     }
 
 
@@ -225,7 +235,7 @@ def param_specs(axis_name: str):
         "diag": P(axis_name),
         "near_row": row, "near_win": row, "near_val": row,
         "far_row": row, "far_pos": row, "far_val": row,
-        "src_idx": row, "src_mask": row,
+        "src_idx": row,
     }
 
 
@@ -245,7 +255,7 @@ def dia_matvec_t_local(meta, plan_meta, params, xt, axis_name: str,
     np_, b, g, ng, offs = meta
     tp, np_local, halo, mn, mf, ms = plan_meta
     meta_local = (np_local, b, g, ng // tp, offs)
-    compute_dtype = (jnp.float32 if backend == "pallas"
+    compute_dtype = (jnp.float32 if backend in ("pallas", "interpret")
                      else params["w"].dtype)
     xt32 = xt.astype(compute_dtype)
 
@@ -255,8 +265,10 @@ def dia_matvec_t_local(meta, plan_meta, params, xt, axis_name: str,
         xt32[:, :halo], axis_name, [(i, i - 1) for i in range(1, tp)])
     xt_pad = jnp.concatenate([lh, xt32, rh], axis=1)
 
-    yt = (_pallas_main if backend == "pallas" else _xla_main)(
-        meta_local, params["w"], xt_pad)
+    # dia._run_main honors "interpret" (pallas kernel under the
+    # interpreter — the CI parity gate covers the sharded kernel path
+    # too, not just the serial one).
+    yt = _run_main(backend, meta_local, params["w"], xt_pad)
     yt = yt + params["diag"][None, :] * xt32
 
     if mn or mf:
@@ -270,7 +282,10 @@ def dia_matvec_t_local(meta, plan_meta, params, xt, axis_name: str,
                 params["near_val"][0][:, None] * x_win[params["near_win"][0]]
             )
         if mf:
-            comp = xt32[:, params["src_idx"][0]] * params["src_mask"][0][None, :]
+            # Padded src_idx slots gather an arbitrary real value, but
+            # nothing reads them: far_pos only maps REAL columns and the
+            # padded far entries carry val=0 — no mask needed.
+            comp = xt32[:, params["src_idx"][0]]
             comp_full = jax.lax.all_gather(
                 comp, axis_name, axis=1, tiled=True)            # (R, tp*Ms)
             idx_parts.append(params["far_row"][0])

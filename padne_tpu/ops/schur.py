@@ -464,8 +464,20 @@ class DiaBorderedSolver:
             raise _NoDiaHierarchy()
         self.hierarchy = hierarchy
         backend = dia.default_backend()
-        sharded = tp > 1 and hierarchy.levels[0].shard
         use_t = system.num_components + 1 <= 64
+        # The sharded CG's deflation projector is the dense one-hot
+        # (n, p) form — the same >64-component hazard the use_t gate
+        # protects against (a fragmented board with thousands of
+        # islands would allocate an n*p array and pay an O(n*p) matmul
+        # per iteration).  Heavily fragmented multi-chip solves fall
+        # back to the single-device DIA path, whose make_pcg projector
+        # switches to segment_sum beyond 64 components.
+        sharded = tp > 1 and hierarchy.levels[0].shard and use_t
+        if tp > 1 and hierarchy.levels[0].shard and not use_t:
+            log.info(
+                "DIA sharding declined: %d deflation components exceed "
+                "the dense-projector budget (64); running single-device",
+                system.num_components)
         if sharded:
             from . import dia_sharded
 
