@@ -31,12 +31,16 @@ class MeshingException(RuntimeError):
     reference's MeshingException (mesh.py:646-659)."""
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class TriMesh:
     """An immutable triangle mesh in flat-array form.
 
     vertices: (V, 2) float64, mm.
     triangles: (F, 3) int32, CCW.
+
+    eq=False: identity semantics (the generated field-wise __eq__ would
+    raise on ndarray fields, and form cross-mesh checks already compare
+    by identity).
     """
 
     vertices: np.ndarray
@@ -168,17 +172,6 @@ class TriMesh:
             eid = inverse[((k + 1) % 3) * nf:((k + 1) % 3 + 1) * nf]
             w += np.bincount(eid, weights=cot / 2.0, minlength=len(edges))
         return w
-
-    def _edge_ids_for(self, va: np.ndarray, vb: np.ndarray) -> np.ndarray:
-        lo = np.minimum(va, vb).astype(np.int64)
-        hi = np.maximum(va, vb).astype(np.int64)
-        key = lo << 32 | hi
-        ekey = (self.edges[:, 0].astype(np.int64) << 32) | self.edges[:, 1].astype(
-            np.int64
-        )
-        order = np.argsort(ekey)
-        pos = np.searchsorted(ekey, key, sorter=order)
-        return order[pos]
 
     def laplacian_coo(self, scale: float = 1.0):
         """Reference-convention cotan Laplacian as scipy COO:

@@ -2,9 +2,12 @@
 
 Replaces the reference's per-vertex Python orbit loop + lil_matrix glue
 (solver.py:171-213, 563-575) with one vectorized cotangent computation
-over (F, 3, 2) coordinate batches (device, segment_sum) and a host-side
-structure pass that packs the resulting edge weights into a
-padded ELL layout (row-major (N, K) columns/values) for the SpMV kernel.
+over (F, 3, 2) coordinate batches (TriMesh.cotan_edge_weights — numpy
+or the native pg_* kernels) and a structure pass that packs the edge
+weights into a padded ELL layout (row-major (N, K) columns/values) for
+the device SpMV.  Assembly is DELIBERATELY host-side: the AMG hierarchy
+build consumes the assembled values on the host anyway, and the device
+receives packed operators, not raw triangles.
 
 Sign conventions follow the reference: the assembled operator here is
 A = -L_reference, i.e. symmetric POSITIVE semidefinite with
@@ -17,49 +20,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def tri_edge_corner_cotans(vertices: jnp.ndarray, triangles: jnp.ndarray) -> jnp.ndarray:
-    """Per-face, per-corner |cot| / 2 contributions.
-
-    vertices: (V, 2), triangles: (F, 3).  Returns (F, 3) where entry
-    [f, k] is the contribution of face f's corner k to the edge OPPOSITE
-    corner k (i.e. edge (k+1, k+2)).
-    """
-    p = vertices[triangles]  # (F, 3, 2)
-    out = []
-    for k in range(3):
-        a = p[:, k]
-        b = p[:, (k + 1) % 3]
-        c = p[:, (k + 2) % 3]
-        u = b - a
-        v = c - a
-        cross = u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
-        dot = (u * v).sum(axis=1)
-        # Signed cotangent (standard P1 stiffness); see
-        # TriMesh.cotan_edge_weights for why abs() is deliberately NOT
-        # applied despite the reference doing so.
-        cot = jnp.where(cross != 0.0, dot / jnp.where(cross != 0.0, cross, 1.0), 0.0)
-        out.append(cot / 2.0)
-    return jnp.stack(out, axis=1)
-
-
-def edge_weights_from_mesh(
-    vertices: jnp.ndarray, triangles: jnp.ndarray, tri_edge_ids: jnp.ndarray,
-    num_edges: int,
-) -> jnp.ndarray:
-    """Device assembly of per-unique-edge cotan weights.
-
-    tri_edge_ids: (F, 3) int — unique-edge index of the edge opposite
-    corner k (host-precomputed structure).  Returns (num_edges,) weights.
-    """
-    contrib = tri_edge_corner_cotans(vertices, triangles)  # (F, 3)
-    return jax.ops.segment_sum(
-        contrib.reshape(-1), tri_edge_ids.reshape(-1), num_segments=num_edges
-    )
 
 
 @dataclass

@@ -110,14 +110,22 @@ class ConnectivityGraph:
                 for net_i in nets[sel[cls_ >= 1]]:
                     nodes_by_network[int(net_i)].append(nid)
         for net_i, network in enumerate(prob.networks):
-            nodes_here = nodes_by_network[net_i]
+            # Dedup first: via-dense nets repeat the same few geoms
+            # thousands of times (one entry per connection), and the
+            # wiring below must stay O(unique geoms).  Element-less
+            # networks (PROBE seeds) wire geoms too — reference
+            # behavior (create_from_problem wires every network's
+            # connections, solver.py:108-129).
+            nodes_here = sorted(set(nodes_by_network[net_i]))
             if network.has_source:
                 for nid in nodes_here:
                     g.is_root[nid] = True
-            for a in nodes_here:
-                for b in nodes_here:
-                    if a != b:
-                        g.adj[a].add(b)
+            # A network makes its geoms one connected clique; a star to
+            # the first node yields the same connected components in
+            # O(k) instead of the clique's O(k^2) edges.
+            for b in nodes_here[1:]:
+                g.adj[nodes_here[0]].add(b)
+                g.adj[b].add(nodes_here[0])
         return g
 
     def compute_connected_nodes(self) -> set[int]:
@@ -334,6 +342,14 @@ class NodeIndexer:
             for conn in network.connections:
                 layer_i = layer_pos[id(conn.layer)]
                 if layer_i not in layer_globals:
+                    # No meshes on this layer: the connection node falls
+                    # through to the internal-variable pool below, i.e.
+                    # it floats.  Loud, because a source wired to it
+                    # will silently drive nothing.
+                    log.warning(
+                        "Connection at (%.3f, %.3f) on layer %r has no "
+                        "mesh to attach to; its node is left floating",
+                        conn.point.x, conn.point.y, conn.layer.name)
                     continue
                 pool = layer_points[layer_i]
                 if isinstance(pool, np.ndarray):
@@ -343,6 +359,23 @@ class NodeIndexer:
                 else:
                     _, k = pool.query([conn.point.x, conn.point.y])
                 gidx = int(layer_globals[layer_i][k])
+                # The mesher guarantees connection points become mesh
+                # vertices (interior-seed invariant), so the snap
+                # distance is float noise for well-formed problems.  A
+                # large snap means the point sits off its copper and
+                # just grabbed the closest vertex of SOME mesh on the
+                # layer — possibly electrically unrelated.
+                v = (pool[k] if isinstance(pool, np.ndarray)
+                     else pool.data[k])
+                snap2 = ((float(v[0]) - conn.point.x) ** 2
+                         + (float(v[1]) - conn.point.y) ** 2)
+                if snap2 > 1e-4:            # 10 um
+                    log.warning(
+                        "Connection at (%.3f, %.3f) on layer %r snapped "
+                        "%.3g mm to the nearest mesh vertex — check that "
+                        "the point lies on its copper",
+                        conn.point.x, conn.point.y, conn.layer.name,
+                        float(np.sqrt(snap2)))
                 prev = node_to_index.get(conn.node_id)
                 if prev is not None and prev != gidx:
                     raise ValueError(
@@ -352,13 +385,17 @@ class NodeIndexer:
                     )
                 node_to_index[conn.node_id] = gidx
 
-        # Internal nodes (terminals with no connection).
-        internal = [
-            node
-            for network in networks
-            for node in network.nodes
-            if node not in node_to_index
-        ]
+        # Internal nodes (terminals with no connection).  Deduplicate
+        # across networks: a NodeID shared by two networks' elements
+        # must map to ONE system index (a duplicate would become an
+        # orphaned zero row and a spurious floating component).
+        internal = []
+        seen = set(node_to_index)
+        for network in networks:
+            for node in network.nodes:
+                if node not in seen:
+                    seen.add(node)
+                    internal.append(node)
         at = vindex.total
         for node in internal:
             node_to_index[node] = at
@@ -447,7 +484,10 @@ def assemble_core_system(
                 r_core[node_indexer.node_to_index[element.t]] -= element.current
 
     # Ground pin: highest-voltage source's negative terminal (reference
-    # solver.py:544-560, 671-686), default node 0.
+    # solver.py:544-560, 671-686), default node 0.  VoltageSource ONLY,
+    # deliberately: the reference's find_best_ground_node_index skips
+    # regulators too (solver.py:677-678), and regulator networks carry
+    # a 0 V glue VoltageSource from the loader anyway.
     ground_node = 0
     best_v = -np.inf
     for network in networks:
