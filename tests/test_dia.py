@@ -252,6 +252,52 @@ class TestToDeviceGuards:
         with pytest.raises(ValueError, match="keep_widx"):
             pk2.to_device(w=params["w"], keep_widx=True)
 
+    def test_rem_gather_mode_matches_scatter(self, monkeypatch):
+        """PADNE_TPU_REM_GATHER merges bucket contributions through one
+        inverse-map gather; results must be bitwise identical to the
+        scatter path (each row lives in exactly one bucket)."""
+        # Skewed degrees: some rows get >3 remainder entries (spill).
+        rng = np.random.default_rng(7)
+        n = 3001
+        rows = np.concatenate([
+            rng.integers(0, n, 4000),
+            np.repeat(rng.integers(0, n, 40), 6),   # degree-6 spill rows
+        ])
+        cols = np.clip(rows + rng.integers(-900, 901, len(rows)), 0, n - 1)
+        keep = rows != cols
+        rows, cols = rows[keep], cols[keep]
+        key = rows * n + cols
+        _, ui = np.unique(key, return_index=True)
+        rows, cols = rows[ui], cols[ui]
+        vals = rng.standard_normal(len(rows))
+        diag = rng.random(n) + 1.0
+        pk = dia.pack_dia(n, rows, cols, vals, diag=diag,
+                          coverage=0.8, max_offsets=4)
+        assert len(pk.rem_rows) > 0
+        deg = np.unique(pk.rem_rows, return_counts=True)[1]
+        assert deg.max() > max(dia.DiaPack.REM_BUCKETS)  # spill present
+
+        monkeypatch.delenv("PADNE_TPU_REM_GATHER", raising=False)
+        p_scatter = pk.to_device()
+        assert "rg_map" not in p_scatter
+        monkeypatch.setenv("PADNE_TPU_REM_GATHER", "1")
+        p_gather = pk.to_device()
+        assert "rg_map" in p_gather
+
+        x = rng.standard_normal((pk.np_, 3)).astype(np.float32)
+        xj = jnp.asarray(x)
+        ys = np.asarray(dia.dia_matvec(pk.meta, p_scatter, xj,
+                                       backend="xla"))
+        yg = np.asarray(dia.dia_matvec(pk.meta, p_gather, xj,
+                                       backend="xla"))
+        np.testing.assert_array_equal(ys, yg)
+        xt = jnp.asarray(x.T)
+        yst = np.asarray(dia.dia_matvec_t(pk.meta, p_scatter, xt,
+                                          backend="xla"))
+        ygt = np.asarray(dia.dia_matvec_t(pk.meta, p_gather, xt,
+                                          backend="xla"))
+        np.testing.assert_array_equal(yst, ygt)
+
     def test_rem_ell_memoized_and_replace_safe(self):
         import dataclasses
 
