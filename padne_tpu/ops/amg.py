@@ -461,8 +461,8 @@ def build_hierarchy_dia(
     shard_min: int = 32768,
     group: "np.ndarray | None" = None,
     a_csr=None,
-    deep_max_offsets: "int | None" = None,
-    deep_coverage: "float | None" = None,
+    deep_max_offsets: "int | None" = 24,
+    deep_coverage: "float | None" = 0.995,
 ) -> AlignedHierarchy:
     """Gather-free AMG setup.
 

@@ -579,7 +579,20 @@ def _pallas_main(meta, w, xt_pad, interpret: bool = False):
     d = len(offs)
     dmax = _dmax(offs)
     win = (g + 2 * dmax) * b
-    r = xt_pad.shape[0]
+    # Mosaic memref slices along the sublane axis must match the tile
+    # (measured on v5e: R=4 tiles as (4,128), R=3 fails with "slice
+    # shape must be aligned to tiling (4)").  Pad the RHS-count axis to
+    # a tileable row count and slice the result back; R=1 lowers to a
+    # (1,128) layout and needs no padding.
+    r0 = xt_pad.shape[0]
+    if r0 == 1:
+        r = r0
+    elif r0 <= 8:
+        r = -(-r0 // 4) * 4
+    else:
+        r = -(-r0 // 8) * 8
+    if r != r0:
+        xt_pad = jnp.pad(xt_pad, ((0, r - r0), (0, 0)))
     # bf16 slabs (preconditioner-only precision) halve the dominant HBM
     # stream; the MXU takes bf16 natively, so a single DEFAULT-precision
     # pass replaces f32's bf16x3.
@@ -621,7 +634,8 @@ def _pallas_main(meta, w, xt_pad, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((r, np_), jnp.float32),
         interpret=interpret,
     )
-    return f(xt_pad, w)
+    out = f(xt_pad, w)
+    return out[:r0] if r != r0 else out
 
 
 def _xla_main(meta, w, xt_pad):

@@ -447,7 +447,12 @@ class DiaBorderedSolver:
         # One ELL->CSR conversion serves both the hierarchy build and
         # the f64 refinement residuals (A_host) — it costs seconds at
         # 1M rows.
+        import time as _time
+
+        _t0 = _time.time()
         self.A_host = system.ell.to_scipy()
+        self._trace("setup: ell->csr", _t0)
+        _t0 = _time.time()
         # A/B knobs for the deep-level offset budget (ROADMAP: widening
         # levels >= 1 absorbs 35-60% of their remainder; needs TPU
         # measurement to pick defaults).
@@ -462,6 +467,7 @@ class DiaBorderedSolver:
             **({"drop_tol": float(drop)} if drop else {}))
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
+        self._trace("setup: hierarchy build", _t0)
         self.hierarchy = hierarchy
         backend = dia.default_backend()
         use_t = system.num_components + 1 <= 64
@@ -494,17 +500,29 @@ class DiaBorderedSolver:
             # Retain the widx split only when the f64 anchor can use it
             # (x64 on, anchor knobs not disabled) — otherwise the
             # nnz-sized _hi/_lo arrays would sit in HBM unused.
+            # The f64 device anchor is OPT-IN: it only pays for itself
+            # on a severely bandwidth-limited host link (it replaces
+            # ~0.65 s of per-solve transfers with ~0.45 s of emulated
+            # f64 device work at 1M DoF, measured v5e through a
+            # ~30 MB/s tunnel), while costing tens of seconds of
+            # shape-dependent setup compiles.  On a PCIe-attached host
+            # the transfers it replaces cost single-digit ms.
             want_anchor = (
                 bool(jax.config.jax_enable_x64)
+                and os.environ.get("PADNE_TPU_DEVICE_ANCHOR") == "1"
                 and not os.environ.get("PADNE_TPU_HOST_ANCHOR")
                 and not os.environ.get("PADNE_TPU_HOST_REFINE"))
+            _t0 = _time.time()
             op_params = amg.make_dia_cg_operator(hierarchy,
                                                  keep_widx=want_anchor)
+            self._trace("setup: cg operator upload", _t0)
+            _t0 = _time.time()
             w0 = (op_params["w"].astype(jnp.bfloat16)
                   if cycle_bf16 else op_params["w"])
             vcycle_apply, vparams = amg.make_vcycle_dia_t(
                 hierarchy, backend=backend, lump_smoothing=True,
                 slab_dtype=jnp.bfloat16 if cycle_bf16 else None, w0=w0)
+            self._trace("setup: vcycle params upload", _t0)
         else:
             vcycle_apply, vparams = amg.make_vcycle_dia(hierarchy,
                                                         backend=backend)
@@ -730,9 +748,13 @@ class DiaBorderedSolver:
                 and not os.environ.get("PADNE_TPU_HOST_ANCHOR")
                 and not os.environ.get("PADNE_TPU_HOST_REFINE")):
             try:
+                import time as _time2
+
+                _ta = _time2.time()
                 self._setup_anchor(level0.pack, row_node_pos,
                                    row_idx_dev, col_node_pos,
                                    col_idx_dev)
+                self._trace("setup: anchor total", _ta)
             except Exception:
                 log.info("f64 device anchor setup failed; keeping the "
                          "host anchor", exc_info=True)
@@ -860,21 +882,24 @@ class DiaBorderedSolver:
                       col_node_pos, col_idx_dev):
         """Build the f64 device anchor jit.
 
-        rc = r_core + A v - C j evaluated entirely on device in float64:
-        the resident f32 slab is cast per offset inside the einsum, and
-        its f32→f64 value residue (A_lo = A - f32(A), |A_lo| <= 6e-8|A|)
-        is overlaid from a COO correction whose (row, col) pairs are
-        reconstructed from the already-resident widx split.  Every f64
-        residue stream (slab values, remainder values, diagonal,
-        r_core) uploads as an int16 fixed-point ratio against its
-        resident f32 mantissa (dia.ratio16_encode: 2 B/entry, ~2^-39
-        relative reconstruction error — two decades below the f64
-        refinement floor); the slab residue's f32 bases are gathered
-        back from the slab itself, so NOTHING nnz-sized re-uploads at
-        full width.  Also returns B v for the exact border residual and
-        the squared core norm.  Replaces the host anchor's v download +
-        f64 CSR SpMV + rc re-upload (the residual pair seeds the
-        device-resident refinement loop directly)."""
+        rc = r_core + A v - C j evaluated entirely on device in float64
+        through a COO view of the operator: (row, col) pairs are
+        reconstructed from the already-resident widx split, the f32
+        values are gathered back from the resident slab, and the
+        f32→f64 value residue (A_lo = A - f32(A), |A_lo| <= 6e-8|A|)
+        decodes from an int16 fixed-point ratio stream
+        (dia.ratio16_encode: 2 B/entry, ~2^-39 relative reconstruction
+        error — two decades below the f64 refinement floor).  The COO
+        triples are row-sorted once at setup so the runtime matvec is a
+        sorted f64 segment_sum — the slab itself is NEVER cast to f64
+        (per-offset f64 slab slices are ~625 MB each; XLA materializes
+        them and OOMs HBM at 1M DoF).  Remainder/diag/r_core widen the
+        same ratio16 way.  Also returns B v for the exact border
+        residual and the squared core norm.  Replaces the host anchor's
+        v download + f64 CSR SpMV + rc re-upload (the residual pair
+        seeds the device-resident refinement loop directly)."""
+        import time as _time
+
         from . import dia
 
         system = self.system
@@ -885,37 +910,49 @@ class DiaBorderedSolver:
         op = self._op_exact
         hi_dev, lo_dev = op["_hi"], op["_lo"]
 
-        # f64 view of the exact operator: resident f32 arrays widened
-        # in place by int16 ratio streams (rows/cols reused verbatim).
+        # f64 view of the small operator pieces: resident f32 arrays
+        # widened in place by int16 ratio streams (indices reused
+        # verbatim).  One jit per stream keeps these off the eager
+        # dispatch path.
+        t0 = _time.time()
         buckets, _sp_r, _sp_c, sp_v = pack.rem_ell()
+        widen = jax.jit(dia.ratio16_widen)
         op64 = {
-            "w": op["w"],   # f32 slab; cast per offset in the einsum
-            "diag": dia.ratio16_widen(
+            "diag": widen(
                 op["diag"], jnp.asarray(dia.ratio16_encode(pack.diag))),
             "sp_rows": op["sp_rows"],
             "sp_cols": op["sp_cols"],
-            "sp_vals": dia.ratio16_widen(
+            "sp_vals": widen(
                 op["sp_vals"], jnp.asarray(dia.ratio16_encode(sp_v))),
         }
         for d in dia.DiaPack.REM_BUCKETS:
             op64[f"r{d}_rows"] = op[f"r{d}_rows"]
             op64[f"r{d}_cols"] = op[f"r{d}_cols"]
-            op64[f"r{d}_vals"] = dia.ratio16_widen(
+            op64[f"r{d}_vals"] = widen(
                 op[f"r{d}_vals"],
                 jnp.asarray(dia.ratio16_encode(buckets[d][2])))
+        self._trace("anchor: widen streams", t0)
 
+        t0 = _time.time()
         q_slab = jnp.asarray(dia.ratio16_encode(pack.wval))
+        self._trace("anchor: encode+upload slab ratios", t0)
 
         @jax.jit
         def _coo(w, h, lo, q):
             rows, cols = dia.coo_from_widx(meta0, h, lo)
             idx = h.astype(jnp.int64) * blk + lo.astype(jnp.int64)
-            vlo = w.reshape(-1)[idx] * (
-                q.astype(jnp.float32)
-                * jnp.float32(dia.RATIO16_SCALE))
-            return rows, cols, vlo
+            vhi = w.reshape(-1)[idx]
+            vlo = vhi * (q.astype(jnp.float32)
+                         * jnp.float32(dia.RATIO16_SCALE))
+            order = jnp.argsort(rows)
+            return rows[order], cols[order], vhi[order], vlo[order]
 
-        rows, cols, vals_lo = _coo(op["w"], hi_dev, lo_dev, q_slab)
+        t0 = _time.time()
+        rows, cols, vals_hi, vals_lo = _coo(op["w"], hi_dev, lo_dev,
+                                            q_slab)
+        jax.block_until_ready(rows)
+        self._trace("anchor: sorted COO build", t0)
+        t0 = _time.time()
         rc32 = np.asarray(system.r_core, np.float64).astype(np.float32)
         b64 = jnp.zeros(np0, jnp.float64).at[self.posmap_dev].set(
             dia.ratio16_widen(
@@ -923,18 +960,26 @@ class DiaBorderedSolver:
                 jnp.asarray(dia.ratio16_encode(system.r_core))))
         cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
         rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
+        self._trace("anchor: rhs/border widen", t0)
 
         # All large device arrays travel as jit ARGUMENTS (closure-
         # captured arrays would be inlined into the HLO as constants —
-        # the multi-GB slab in particular; same rule as make_vcycle).
+        # the nnz streams in particular; same rule as make_vcycle).
         @jax.jit
-        def anchor(v_pad, j64, op64, rows, cols, vals_lo, b64, cv64,
-                   rv64, col_node_pos, col_idx_dev, row_node_pos,
+        def anchor(v_pad, j64, op64, rows, cols, vals_hi, vals_lo, b64,
+                   cv64, rv64, col_node_pos, col_idx_dev, row_node_pos,
                    row_idx_dev):
             v64 = v_pad.astype(jnp.float64)
-            av = dia.dia_matvec(meta0, op64, v64, backend="xla",
-                                compute_dtype=jnp.float64)
-            av = av.at[rows].add(vals_lo.astype(jnp.float64) * v64[cols])
+            vals64 = vals_hi.astype(jnp.float64) + vals_lo.astype(
+                jnp.float64)
+            av = jax.ops.segment_sum(
+                vals64 * v64[cols], rows, num_segments=np0,
+                indices_are_sorted=True)
+            av = av + op64["diag"] * v64
+            # Remainder + spill in f64 (awkward-degree rows outside the
+            # slab; the widx split does not cover them).
+            av = dia._apply_remainder(op64, v64[:, None],
+                                      av[:, None])[:, 0]
             cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
                 cv64 * j64[col_idx_dev])
             rc = b64 + av - cj
@@ -944,9 +989,10 @@ class DiaBorderedSolver:
                                      row_idx_dev, num_segments=m)
             return hi, lo, bv, jnp.sum(rc * rc)
 
-        anchor_args = (op64, rows, cols, vals_lo, b64, cv64, rv64,
-                       col_node_pos, col_idx_dev, row_node_pos,
+        anchor_args = (op64, rows, cols, vals_hi, vals_lo, b64, cv64,
+                       rv64, col_node_pos, col_idx_dev, row_node_pos,
                        row_idx_dev)
+        self._anchor_args = anchor_args  # exposed for micro-profiling
         self._anchor = lambda v_pad, j64: anchor(v_pad, j64,
                                                  *anchor_args)
         self._want_v_dev = True

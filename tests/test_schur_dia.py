@@ -125,7 +125,12 @@ class TestDeepOffsetWidening:
                 if i + 1 < g and j + 1 < g and rng.random() < 0.3:
                     edges.append((v, v + g + 1)); w.append(rng.random())
         ell = assembly.build_ell(n, np.array(edges), np.array(w))
-        base = amg.build_hierarchy_dia(ell, coords, coarse_size=64)
+        # deep_max_offsets=None inherits level 0's narrow budget; the
+        # DEFAULT is the widened one (24/0.995 — measured -0.4 s at the
+        # 1M bench), so the narrow base is requested explicitly.
+        base = amg.build_hierarchy_dia(ell, coords, coarse_size=64,
+                                       deep_max_offsets=None,
+                                       deep_coverage=None)
         wide = amg.build_hierarchy_dia(ell, coords, coarse_size=64,
                                        deep_max_offsets=24,
                                        deep_coverage=0.995)
@@ -179,8 +184,14 @@ class TestDeviceResidentRefinement:
 
 
 class TestF64DeviceAnchor:
-    """Pass 1's residual is computed on device in f64 (the anchor);
+    """Pass 1's residual is computed on device in f64 (the anchor).
+    The anchor is opt-in (PADNE_TPU_DEVICE_ANCHOR=1 — it only pays on
+    severely bandwidth-limited host links); these tests force it on.
     PADNE_TPU_HOST_ANCHOR=1 restores the host anchor."""
+
+    @pytest.fixture(autouse=True)
+    def _enable_anchor(self, monkeypatch):
+        monkeypatch.setenv("PADNE_TPU_DEVICE_ANCHOR", "1")
 
     def test_anchor_is_exact(self):
         import jax
