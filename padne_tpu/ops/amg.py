@@ -985,19 +985,20 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
     nc0, clen0 = len(lv0.child_perm), lv0.child_len
     np0 = lv0.pack.np_
 
-    # PADNE_TPU_CYCLE_LUMPED=1: use the strength-lumped operator for
-    # EVERY level-0 application in the cycle (pre/post smoothing and
-    # the coarse-grid residual, not just the transfer sandwich).  The
-    # cycle then is the exact AMG preconditioner of the lumped operator
-    # A~ — symmetric positive definite by construction (consistent
-    # smoother/operator pair, transpose transfers), just preconditioning
-    # A slightly less sharply.  Saves two full-remainder gather/scatter
-    # passes per V-cycle; CPU-measured iteration cost at 322k DoF: none
-    # (see benchmarks/tune_hierarchy.py).  Default off until TPU timing
-    # confirms the per-iteration win.
+    # Fully lumped V-cycle (default ON; PADNE_TPU_CYCLE_LUMPED=0
+    # restores the exact-operator cycle): use the strength-lumped
+    # operator for EVERY level-0 application in the cycle (pre/post
+    # smoothing and the coarse-grid residual, not just the transfer
+    # sandwich).  The cycle then is the exact AMG preconditioner of the
+    # lumped operator A~ — symmetric positive definite by construction
+    # (consistent smoother/operator pair, transpose transfers), just
+    # preconditioning A slightly less sharply.  Saves two
+    # full-remainder gather/scatter passes per V-cycle; measured at the
+    # 1M TPU bench: 3.74 s vs 4.15 s solve (+3 CG iterations, -2
+    # remainder passes x ~19 ms per iteration).
     import os
 
-    cycle_lumped = bool(os.environ.get("PADNE_TPU_CYCLE_LUMPED"))
+    cycle_lumped = os.environ.get("PADNE_TPU_CYCLE_LUMPED", "1") != "0"
 
     def apply_t(p, bt):
         e = p[0]
