@@ -607,10 +607,17 @@ def build_hierarchy_dia(
         # level's remainder into the linear slab stream for a few extra
         # MXU dots; level 0's slab dominates HBM traffic, so its budget
         # stays separate.
-        mo_l = max_offsets if level_i == 0 else (
+        # Sharded hierarchies keep the NARROW deep budget: widening
+        # grows dmax and the halo window past the one-neighbor bound
+        # that dia_sharded.shardable requires, silently demoting deep
+        # levels to replicated execution — worse than the remainder
+        # entries the widening would absorb.  (The wide default is a
+        # measured single-chip win: -0.4 s at the 1M bench.)
+        widen_deep = level_i > 0 and not shard_l
+        mo_l = max_offsets if not widen_deep else (
             deep_max_offsets if deep_max_offsets is not None
             else max_offsets)
-        cov_l = coverage if level_i == 0 else (
+        cov_l = coverage if not widen_deep else (
             deep_coverage if deep_coverage is not None else coverage)
         pack = dia.pack_csr_pos_as_dia(
             A, pos, diag=diag_pad, coverage=cov_l,
