@@ -664,10 +664,34 @@ def _xla_main(meta, w, xt_pad):
     return acc.transpose(1, 0, 2).reshape(r, np_)
 
 
+def _pallas_vmem_bytes(meta, w_itemsize: int, r: int) -> int:
+    """Estimated per-step VMEM footprint of _pallas_main: the x-window
+    scratch + one slab grid block + the output block."""
+    np_, b, g, ng, offs = meta
+    win = (g + 2 * _dmax(offs)) * b
+    r_pad = r if r == 1 else (-(-r // 4) * 4 if r <= 8 else -(-r // 8) * 8)
+    return (r_pad * win * 4          # xwin scratch (f32)
+            + g * len(offs) * b * b * w_itemsize   # w block
+            + r_pad * g * b * 4)     # out block
+
+
+# Conservative share of the ~16 MB v5e VMEM left to one kernel step
+# (Mosaic needs headroom for spills/double-buffering).
+_PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
+
+
 def _run_main(backend: str, meta, w, xt_pad):
     """Dispatch the slab contraction: "pallas" (TPU), "interpret"
-    (pallas kernel under the interpreter — CI parity), "xla"."""
+    (pallas kernel under the interpreter — CI parity), "xla".
+
+    Packs whose x-window or slab block exceed the VMEM budget (far
+    offsets after deep widening, or many RHS columns) fall back to the
+    XLA einsum — a data-dependent property, so it must be a runtime
+    guard, not a packing-time one."""
     if backend == "pallas":
+        if (_pallas_vmem_bytes(meta, w.dtype.itemsize, xt_pad.shape[0])
+                > _PALLAS_VMEM_BUDGET):
+            return _xla_main(meta, w, xt_pad)
         return _pallas_main(meta, w, xt_pad)
     if backend == "interpret":
         return _pallas_main(meta, w, xt_pad, interpret=True)

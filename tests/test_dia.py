@@ -319,3 +319,33 @@ class TestToDeviceGuards:
         total2 = sum(len(r2[0][d][0]) * d for d in dia.DiaPack.REM_BUCKETS
                      ) + len(r2[1])
         assert total2 == half
+
+
+class TestPallasVmemGuard:
+    """Packs whose x-window exceeds the per-step VMEM budget must route
+    to the XLA einsum instead of crashing Mosaic at runtime (observed:
+    a deep-widened level-1 pack with offsets reaching +-3068 blocks
+    OOMed scoped vmem at R=8 on v5e)."""
+
+    def test_budget_estimate_and_dispatch(self, monkeypatch):
+        import jax.numpy as jnp
+
+        # Far offsets -> huge window: (g + 2*dmax) * b
+        meta = (128 * 1024, 128, 8, 128, (-3000, -1, 0, 1, 3000))
+        assert dia._pallas_vmem_bytes(meta, 4, 8) > dia._PALLAS_VMEM_BUDGET
+        # Local offsets at modest R stay under budget.
+        meta_ok = (128 * 1024, 128, 8, 128, (-2, -1, 0, 1, 2))
+        assert (dia._pallas_vmem_bytes(meta_ok, 4, 8)
+                < dia._PALLAS_VMEM_BUDGET)
+
+        called = {}
+
+        def fake_xla(meta, w, xt_pad):
+            called["xla"] = True
+            return jnp.zeros((xt_pad.shape[0], meta[0]), jnp.float32)
+
+        monkeypatch.setattr(dia, "_xla_main", fake_xla)
+        w = jnp.zeros((128, 8, 5, 128, 128), jnp.float32)
+        xt_pad = jnp.zeros((8, meta[0] + 2 * 3000 * 128), jnp.float32)
+        dia._run_main("pallas", meta, w, xt_pad)
+        assert called.get("xla")
