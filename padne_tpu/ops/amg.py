@@ -15,6 +15,7 @@ iteration count down to a few dozen independent of mesh size.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -329,6 +330,12 @@ class AlignedHierarchy:
     # worker thread (LAPACK releases the GIL), joined on first access —
     # the ~seconds-scale bottom eigh then overlaps the level uploads.
     _coarse: object = None
+    # Raw bottom operator (scipy sparse) + sizes, for the on-device
+    # coarse-inverse build (_device_coarse_inv) — it uploads ~1 MB of
+    # COO instead of computing/serializing a dense inverse on the host.
+    coarse_sp: object = None
+    coarse_nL: int = 0
+    coarse_npL: int = 0
 
     @property
     def coarse_inv(self) -> np.ndarray:
@@ -476,6 +483,8 @@ def build_hierarchy_dia(
     matrix rows/columns and zero dinv, which keeps them exactly inert
     through the cycle (their residual is always zero).
     """
+    import os
+
     import scipy.sparse
 
     from . import bell, dia
@@ -706,29 +715,37 @@ def build_hierarchy_dia(
         ci[:nL, :nL] = inv_real
         return ci
 
-    import threading
+    # On TPU the coarse inverse is built ON DEVICE from coarse_sp
+    # (_device_coarse_inv) and this host path is only the validation
+    # fallback — skip the worker thread so it does not steal host
+    # cycles from the level uploads; compute synchronously on access.
+    if dia.default_backend() == "pallas" and not os.environ.get(
+            "PADNE_TPU_HOST_COARSE"):
+        _join_coarse = _compute_coarse_inv
+    else:
+        import threading
 
-    _box: list = []
+        _box: list = []
 
-    def _coarse_worker():
-        # Capture failures for re-raise at join — a bare thread would
-        # swallow them and the consumer would die later with an opaque
-        # IndexError on the empty box.
-        try:
-            _box.append(("ok", _compute_coarse_inv()))
-        except BaseException as e:  # noqa: BLE001
-            _box.append(("err", e))
+        def _coarse_worker():
+            # Capture failures for re-raise at join — a bare thread
+            # would swallow them and the consumer would die later with
+            # an opaque IndexError on the empty box.
+            try:
+                _box.append(("ok", _compute_coarse_inv()))
+            except BaseException as e:  # noqa: BLE001
+                _box.append(("err", e))
 
-    _th = threading.Thread(target=_coarse_worker, daemon=True)
-    _th.start()
+        _th = threading.Thread(target=_coarse_worker, daemon=True)
+        _th.start()
 
-    def _join_coarse():
-        _th.join()
-        kind, payload = _box[0]
-        if kind == "err":
-            raise RuntimeError("coarse-inverse worker failed") \
-                from payload
-        return payload
+        def _join_coarse():
+            _th.join()
+            kind, payload = _box[0]
+            if kind == "err":
+                raise RuntimeError("coarse-inverse worker failed") \
+                    from payload
+            return payload
 
     for i, lv in enumerate(levels):
         if i + 1 < len(levels):
@@ -747,6 +764,7 @@ def build_hierarchy_dia(
     return AlignedHierarchy(
         levels=levels, _coarse=_join_coarse,
         posmap0=posmap0, np0=np0,
+        coarse_sp=A_sp_bottom, coarse_nL=nL, coarse_npL=npL,
     )
 
 
@@ -793,10 +811,28 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     backend = backend or dia.default_backend()
     if params is not None:
         return _finish_vcycle_dia(h, params, backend), params
+    import os as _os
+    import time as _time
+
+    _trace_on = _os.environ.get("PADNE_TPU_SOLVE_TRACE")
+
+    def _tr(label, t0):
+        if _trace_on:
+            import sys as _sys
+
+            print(f"[solve-trace] {label}: {_time.time() - t0:.3f}s",
+                  file=_sys.stderr, flush=True)
+
     params = []
     for i, lv in enumerate(h.levels):
+        _t0 = _time.time()
+        # Deep levels ship their slab values in slab_dtype directly
+        # (bf16 wire = half the bytes); level 0 reuses/keeps the f32
+        # slab the exact CG operator shares.
         entry = lv.pack.to_device(dtype=dtype,
-                                  w=w0 if i == 0 else None)
+                                  w=w0 if i == 0 else None,
+                                  slab_dtype=(slab_dtype if i > 0
+                                              else None))
         if slab_dtype is not None and entry["w"].dtype != slab_dtype:
             entry["w"] = entry["w"].astype(slab_dtype)
         entry["child_perm"] = jnp.asarray(lv.child_perm)
@@ -839,25 +875,165 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
             entry["dinv"] = jnp.asarray(lv.dinv).astype(
                 dtype or jnp.float32)
         params.append(entry)
+        _tr(f"vcycle level {i} params (np={lv.pack.np_}, "
+            f"d={len(lv.pack.offs)})", _t0)
+    _t0 = _time.time()
     params.append({"coarse_inv": _upload_coarse_inv(h, dtype)})
+    _tr("vcycle coarse inverse", _t0)
     return _finish_vcycle_dia(h, params, backend), params
 
 
-def _upload_coarse_inv(h: AlignedHierarchy, dtype):
-    """Device copy of the dense coarse inverse, transfer-lean.
+def _device_coarse_inv(h: AlignedHierarchy):
+    """Coarse-bottom inverse built ON DEVICE (f32 Cholesky on the MXU).
 
-    Cast on host BEFORE upload (an f64 trip through a slow tunnel
-    followed by a device cast doubles the transferred bytes; with
-    coarse_size ~3000 the padded inverse is tens of MB).  For the
-    default f32 request the wire format is bf16 — preconditioner-grade
-    (the coarse correction is approximate by construction; ~0.4%
-    relative per entry) and half the bytes — expanded to f32 on device.
-    Exact-dtype requests (f64 reference runs) upload as-is."""
+    Same construction as _coarse_inv_dense — structural-nullspace shift
+    M = A/s + lam_g Z Z^T, Cholesky inverse, power-iteration junk
+    validation — but the host only ships the ~1 MB sparse COO (plus
+    component labels) instead of computing a multi-GFLOP dense inverse
+    single-threaded and uploading tens of MB.  Measured host cost of
+    the dense path: ~3 s joined inside the setup on a 1-core host.
+
+    Returns the (npL, npL) f32 device inverse, or None when the
+    validation demands the host syevd pseudo-inverse (non-structural
+    near-null junk, or a failed f32 factorization)."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse.csgraph as csgraph
+
+    log = logging.getLogger(__name__)
+    A_sp, nL, npL = h.coarse_sp, h.coarse_nL, h.coarse_npL
+    if A_sp is None or nL == 0:
+        return None
+    coo = A_sp.tocoo()
+    if coo.nnz == 0:
+        return None
+    d_scale = max(float(np.abs(coo.data).max()), 1e-300)
+    ncomp, labels = csgraph.connected_components(A_sp, directed=False)
+    rowsum = np.asarray(np.abs(A_sp).sum(axis=1)).ravel()
+    lam_g = max(float(rowsum.max()) / d_scale, 1e-300)
+    sizes = np.bincount(labels, minlength=ncomp).astype(np.float64)
+    zcol = np.sqrt(lam_g / sizes[labels]).astype(np.float32)
+
+    rows = jnp.asarray(coo.row.astype(np.int32))
+    cols = jnp.asarray(coo.col.astype(np.int32))
+    vals = jnp.asarray((coo.data / d_scale).astype(np.float32))
+    labels_d = jnp.asarray(labels.astype(np.int32))
+    zcol_d = jnp.asarray(zcol)
+
+    @partial(jax.jit, static_argnames=("npl", "nl", "nc"))
+    def _build(rows, cols, vals, labels_d, zcol_d, npl: int, nl: int,
+               nc: int):
+        A0 = jnp.zeros((npl, npl), jnp.float32).at[rows, cols].add(vals)
+        idx = jnp.arange(npl)
+        # Unit diagonal on padding rows keeps M PD; their inverse
+        # block (identity) is masked away below.
+        pad_diag = jnp.where(idx >= nl, 1.0, 0.0).astype(jnp.float32)
+        Z = jnp.zeros((npl, nc), jnp.float32).at[
+            jnp.arange(nl), labels_d].set(zcol_d)
+        M = A0 + Z @ Z.T
+        M = M.at[idx, idx].add(pad_diag)
+        # Newton-Schulz inverse: X <- X + X(I - M X), quadratic once
+        # ||I - X0 M|| < 1, which X0 = I/lam_row guarantees for SPD M
+        # (Gershgorin).  Pure MXU matmuls — XLA's TPU triangular_solve
+        # (the cho_solve route) is sequential and measured ~50 s at a
+        # 3k bottom, vs tens of ms for ~30 NS matmul pairs.  The
+        # smallest shifted eigenvalue sits at the 1e-6*lam junk cut, so
+        # ~30 doublings reach it: (1 - 1e-6)^(2^30) ~ 0.
+        lam_row = jnp.maximum(jnp.abs(M).sum(axis=1).max(), 1e-30)
+        eye = jnp.eye(npl, dtype=jnp.float32)
+        hi_p = jax.lax.Precision.HIGHEST
+
+        def ns_body(_, X):
+            # The stable X(2I - MX) form: the X - X^2 M variant is
+            # algebraically equal only while X and M commute exactly,
+            # and f32 roundoff breaks that — measured divergence by
+            # iteration ~9 at a kappa~500 bottom.
+            T = jnp.matmul(M, X, precision=hi_p)
+            return 2.0 * X - jnp.matmul(X, T, precision=hi_p)
+
+        X0 = eye * (1.0 / lam_row)
+        inv = jax.lax.fori_loop(0, 30, ns_body, X0)
+        # Convergence/PD check: a non-PD or junk-dominated M leaves a
+        # large ||I - X M|| (divergence shows up as inf/nan).
+        Efin = eye - jnp.matmul(inv, M, precision=hi_p)
+        res = jnp.abs(Efin).max()
+        ok = jnp.isfinite(res) & (res < 1e-2)
+        mask = (idx < nl).astype(jnp.float32)
+        inv = inv * mask[:, None] * mask[None, :]
+
+        # Junk validation (host semantics): dominant modes of M^-1 and
+        # of the scaled bottom operator by power iteration.
+        def pow_iter(mat, v, steps):
+            def body(_, v):
+                v = mat @ v
+                return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+            return jax.lax.fori_loop(0, steps, body, v)
+
+        key = jax.random.PRNGKey(7)
+        v = jax.random.normal(key, (npl,), jnp.float32) * mask
+        v = pow_iter(inv, v, 20)
+        mu_max = v @ (inv @ v)
+        w = jax.random.normal(jax.random.PRNGKey(8), (npl,),
+                              jnp.float32) * mask
+        w = pow_iter(A0, w, 10)
+        lam_max = jnp.maximum(w @ (A0 @ w), 1e-30)
+        return inv, ok, mu_max, lam_max
+
+    inv, ok, mu_max, lam_max = _build(rows, cols, vals, labels_d,
+                                      zcol_d, npl=npL, nl=nL,
+                                      nc=int(ncomp))
+    ok = bool(ok)
+    mu_max, lam_max = float(mu_max), float(lam_max)
+    if not ok:
+        log.info("device coarse inverse: f32 Cholesky failed; host "
+                 "pseudo-inverse fallback")
+        return None
+    if mu_max > 1.0 / (1e-6 * lam_max):
+        log.info("device coarse inverse: near-null junk beyond the "
+                 "structural nullspace (1/mu=%.2e < 1e-6*lam=%.2e); "
+                 "host pseudo-inverse fallback", 1.0 / mu_max,
+                 1e-6 * lam_max)
+        return None
+    return (inv * jnp.float32(1.0 / d_scale))
+
+
+def _upload_coarse_inv(h: AlignedHierarchy, dtype):
+    """Device coarse inverse, transfer-lean.
+
+    f32 requests build the inverse ON DEVICE when a TPU backend is up
+    (_device_coarse_inv: ~1 MB COO upload + an MXU Cholesky instead of
+    ~3 s of single-threaded host LAPACK + a 19 MB upload); the host
+    dense path is the validation fallback and the only path for exact
+    f64 reference runs.  Host results cast BEFORE upload (an f64 trip
+    through a slow tunnel followed by a device cast doubles the bytes);
+    for f32 the wire format is bf16 — preconditioner-grade (~0.4%
+    relative) and half the bytes — expanded to f32 on device."""
+    import logging
+    import os
+
     import jax.numpy as jnp
     import ml_dtypes
 
-    ci = h.coarse_inv
+    from . import dia
+
     target = dtype or jnp.float32
+    if (target == jnp.float32
+            and getattr(h, "coarse_sp", None) is not None
+            and not os.environ.get("PADNE_TPU_HOST_COARSE")
+            and (dia.default_backend() == "pallas"
+                 or os.environ.get("PADNE_TPU_DEVICE_COARSE"))):
+        try:
+            inv = _device_coarse_inv(h)
+        except Exception:
+            logging.getLogger(__name__).info(
+                "device coarse inverse failed; host fallback",
+                exc_info=True)
+            inv = None
+        if inv is not None:
+            return inv
+    ci = h.coarse_inv
     if target == jnp.float32:
         return jnp.asarray(ci.astype(ml_dtypes.bfloat16)).astype(target)
     return jnp.asarray(ci.astype(target))

@@ -228,7 +228,8 @@ class DiaPack:
         self._rem_cache = (self.rem_rows, result)
         return result
 
-    def to_device(self, dtype=None, w=None, keep_widx: bool = False) -> dict:
+    def to_device(self, dtype=None, w=None, keep_widx: bool = False,
+                  slab_dtype=None) -> dict:
         """Device parameter dict: W slab (one on-device scatter), the
         unique-row remainder, and the diagonal.
 
@@ -236,6 +237,11 @@ class DiaPack:
         scattering a fresh one — avoids re-uploading the nnz-sized
         index/value arrays when one pack feeds two operators (e.g. the
         exact f32 CG matvec and a bf16 V-cycle).
+
+        slab_dtype: store (and for bf16, UPLOAD) the weight slab in
+        this dtype while the remainder/diag streams keep `dtype` — the
+        deep V-cycle levels run bf16 slabs anyway, so shipping their
+        nnz values as 2 B/entry halves that wire traffic.
 
         keep_widx: additionally return the reconstructed device widx
         split as params["_hi"]/params["_lo"] (int32 / uint8) — consumed
@@ -245,6 +251,7 @@ class DiaPack:
         import jax.numpy as jnp
 
         dtype = dtype or jnp.float32
+        slab_target = slab_dtype or dtype
         d, b, g, ng = len(self.offs), self.b, self.g, self.ng
         size = ng * g * d * b * b
 
@@ -263,12 +270,16 @@ class DiaPack:
                     self._dev["exc_v"], self._dev["lo"],
                     self._dev["vals"])
             else:
+                import ml_dtypes
+
                 d16_h, exc_i_h, exc_v_h = self._hi_delta()
                 d16 = jnp.asarray(d16_h)
                 exc_i = jnp.asarray(exc_i_h)
                 exc_v = jnp.asarray(exc_v_h)
                 lo = jnp.asarray(self.widx_lo)
-                vals = jnp.asarray(self.wval.astype(np.float32))
+                wire = (ml_dtypes.bfloat16
+                        if slab_target == jnp.bfloat16 else np.float32)
+                vals = jnp.asarray(self.wval.astype(wire))
 
             @partial(jax.jit, static_argnames=("total",))
             def _build(d16, exc_i, exc_v, lo, v, total: int):
@@ -278,10 +289,11 @@ class DiaPack:
                 hi = jnp.cumsum(d32)
                 it = jnp.int64 if total >= 2**31 else jnp.int32
                 idx = hi.astype(it) * b + lo.astype(it)
-                w = jnp.zeros(total, jnp.float32)
+                w = jnp.zeros(total, v.dtype)
                 w = w.at[idx].set(v, mode="promise_in_bounds",
                                   unique_indices=True)
-                return w.reshape(ng, g, d, b, b).astype(dtype), hi
+                return (w.reshape(ng, g, d, b, b).astype(slab_target),
+                        hi)
 
             w, hi_dev = _build(d16, exc_i, exc_v, lo, vals, size)
             lo_dev = lo

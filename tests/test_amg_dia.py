@@ -264,3 +264,49 @@ class TestCoarseInvDense:
         assert any("falling back" in m for m in caplog.messages)
         pi = amg._eigh_pinv(Ad)
         assert np.allclose(ci, pi, atol=0)   # identical code path
+
+
+class TestDeviceCoarseInv:
+    """On-device coarse inverse (f32 Cholesky + structural shift) must
+    act like the host dense inverse — PADNE_TPU_DEVICE_COARSE=1 forces
+    the device path off-TPU for this parity gate."""
+
+    def test_matches_host_inverse(self, monkeypatch):
+        import jax.numpy as jnp
+
+        ell, coords = grid_laplacian(g=40, seed=3)
+        h = amg.build_hierarchy_dia(ell, coords, coarse_size=120)
+        assert h.coarse_sp is not None and h.coarse_nL > 0
+        inv_dev = amg._device_coarse_inv(h)
+        assert inv_dev is not None
+        host = h.coarse_inv  # (npL, npL) f32 pseudo-inverse
+        nL = h.coarse_nL
+        # Compare as operators on deflated residuals (the only inputs
+        # the V-cycle feeds the bottom): r with zero component means.
+        rng = np.random.default_rng(0)
+        r = np.zeros(h.coarse_npL, np.float32)
+        r[:nL] = rng.normal(size=nL).astype(np.float32)
+        import scipy.sparse.csgraph as csgraph
+
+        ncomp, labels = csgraph.connected_components(h.coarse_sp,
+                                                     directed=False)
+        for c in range(ncomp):
+            m = labels == c
+            r[:nL][m] -= r[:nL][m].mean()
+        y_dev = np.asarray(inv_dev @ jnp.asarray(r))
+        y_host = host @ r
+        scale = max(np.abs(y_host).max(), 1e-30)
+        assert np.abs(y_dev - y_host).max() < 5e-3 * scale
+        # Padding rows stay exactly inert.
+        assert np.abs(y_dev[nL:]).max() == 0.0
+
+    def test_upload_prefers_device_path(self, monkeypatch):
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("PADNE_TPU_DEVICE_COARSE", "1")
+        ell, coords = grid_laplacian(g=32, seed=1)
+        h = amg.build_hierarchy_dia(ell, coords, coarse_size=80)
+        ci = amg._upload_coarse_inv(h, None)
+        assert ci.dtype == jnp.float32
+        # The deferred host compute must NOT have been joined.
+        assert callable(h._coarse)
