@@ -346,12 +346,58 @@ def solve_bordered(
         res_border = r_border - B @ v
         return res_core, res_border
 
+    def escalate_inner_to_f64():
+        """Swap the inner solve to f64 after a mixed-precision stall.
+
+        Iterative refinement with an f32 inner operator contracts per
+        pass by ~kappa(A)*eps32; boards mixing milliohm lumped couplings
+        with thin-sliver cotan weights push kappa past 1e7, where the
+        f32 floor sits ABOVE the target and refinement flatlines around
+        1e-2 V (observed: gen_resistor_divider on TPU, max|dV| 0.02 V).
+        Emulated f64 on TPU is slow per iteration, but this path only
+        runs for the remaining passes of small/mid systems (the DIA
+        path owns large ones), so correctness wins."""
+        nonlocal cg_solver, inner_tol, inner_dtype, dispatch_cap
+        import logging
+
+        vc64 = None
+        if use_amg:
+            vc64 = amg.make_vcycle(
+                hierarchy, dtype=None,
+                tp=tp if mesh is not None else 1,
+                axis_name="tp" if mesh is not None else None,
+            )
+        cols64, vals64, diag64 = ell_inner.to_device()
+        cg_solver = cg.make_pcg(
+            cols64, vals64, diag64, comp_cg, p_cg, precond=vc64,
+            mesh=mesh, stall_window=None,
+        )
+        inner_dtype = jnp.float64
+        inner_tol = max(tol, 1e-9) if use_amg else max(tol, 1e-12)
+        if dispatch_cap is not None:
+            # Emulated f64 costs ~8x per iteration; keep dispatches
+            # under the tunnel watchdog's wall-time budget.
+            dispatch_cap = max(30, dispatch_cap // 8)
+        logging.getLogger(__name__).info(
+            "mixed-precision refinement stalled above target; "
+            "escalating inner solve to f64"
+        )
+
     refinements = 0
+    escalated = False
+    budget = max_refinements
     res_core, res_border = full_residual(v, j)
     res_norm = float(
         jnp.sqrt((res_core**2).sum() + (res_border**2).sum())
     )
-    while res_norm > target_residual and refinements < max_refinements:
+    while res_norm > target_residual:
+        if refinements >= budget:
+            if mixed and not escalated:
+                escalate_inner_to_f64()
+                escalated = True
+                budget = refinements + 4
+                continue
+            break
         # Pass-adaptive inner tolerance (see DiaBorderedSolver.solve):
         # request only the remaining contraction, with a 5x margin.
         tol_pass = min(0.05, max(inner_tol,
@@ -363,6 +409,12 @@ def solve_bordered(
         new_norm = float(jnp.sqrt((rc_new**2).sum() + (rb_new**2).sum()))
         refinements += 1
         if new_norm >= res_norm:
+            if mixed and not escalated:
+                # Discard the failed iterate; retry the pass in f64.
+                escalate_inner_to_f64()
+                escalated = True
+                budget = refinements + 4
+                continue
             break  # no progress; keep the better iterate
         v, j = v_new, j_new
         res_core, res_border = rc_new, rb_new
