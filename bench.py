@@ -87,6 +87,21 @@ def main():
     if os.environ.get("PADNE_TPU_X64", "1") != "0":
         jax.config.update("jax_enable_x64", True)
 
+    # Device wake-up, overlapped with the host pipeline below.  The
+    # first *blocking* device sync of a process through the axon tunnel
+    # intermittently costs 30-360 s (measured on a trivial
+    # jnp.ones(8).sum() pull: 196 s; same process, everything after:
+    # ms) — an environmental per-process tax, unrelated to program
+    # content.  Dispatch a throwaway op now (async, ms), pull it after
+    # the host meshing so the tax is paid early, on its own line item,
+    # and never inside the AMG-setup stage timing.  NOTE: must stay on
+    # the main thread — backend init from a background thread hangs
+    # indefinitely on this platform (measured).
+    import jax.numpy as _jnp_wake
+
+    wake_t0 = time.time()
+    wake_ref = _jnp_wake.ones((8,), _jnp_wake.float32).sum()
+
     from padne_tpu import kicad, mesh, solver
     from padne_tpu.ops import schur
 
@@ -114,6 +129,10 @@ def main():
                           + (system.border.rhs**2).sum()))
     tol_rel = 1e-8  # BASELINE.md row 1: 1e-8 relative residual
     target_abs = tol_rel * bnorm
+
+    float(wake_ref)  # blocking pull: pays the per-process first-sync tax
+    t_wake = time.time() - wake_t0
+    _progress(f"device wake sync: {t_wake:.1f}s after dispatch")
 
     t0 = time.time()
     import jax.numpy as jnp
@@ -178,6 +197,7 @@ def main():
             "load_seconds": round(t_load, 3),
             "mesh_seconds": round(t_mesh, 3),
             "amg_setup_seconds": round(t_setup, 3),
+            "device_wake_seconds": round(t_wake, 3),
             "end_to_end_seconds": round(
                 t_load + t_mesh + t_setup + t_solve, 3),
             "cg_iterations": result.cg_iterations,
@@ -195,15 +215,15 @@ def main():
         # real accelerator, so a tunnel outage at measurement time is
         # not mistaken for a solver regression.
         out["detail"]["last_tpu_measurement"] = {
-            "date": "2026-08-17",
+            "date": "2026-08-19",
             "device": "TPU v5 lite (1 chip via axon tunnel)",
             "dof": 1_087_535,
-            "solve_seconds": 3.94,
-            "dof_per_sec": 276_000,
-            "vs_baseline": 0.276,
-            "cg_iterations": 39,
+            "solve_seconds": 3.625,
+            "dof_per_sec": 300_024,
+            "vs_baseline": 0.3,
+            "cg_iterations": 32,
             "refinement_passes": 3,
-            "final_rel_residual": 2.7e-11,
+            "final_rel_residual": 8.9e-10,
         }
     print(json.dumps(out))
 
