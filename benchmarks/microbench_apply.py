@@ -17,6 +17,7 @@ Usage: python benchmarks/microbench_apply.py [target_dof]
 
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -97,11 +98,12 @@ def main():
     print(f"setup {time.time()-t0:.1f}s levels="
           f"{[lv.pack.np_ for lv in h.levels]}", flush=True)
     backend = dia.default_backend()
-    vcycle_apply, vparams = amg.make_vcycle_dia_t(h, backend=backend)
     lv0 = h.levels[0]
     meta0 = lv0.pack.meta
     np0 = lv0.pack.np_
-    op_params = amg.make_dia_cg_operator(h, vparams)
+    # Production order (ops.schur.DiaBorderedSolver): the exact f32
+    # CG operator slab first, the V-cycle's bf16 slab as a device cast.
+    op_params = amg.make_dia_cg_operator(h)
     print(f"offsets={lv0.pack.offs} rem={len(lv0.pack.rem_rows)} "
           f"nnz_main={len(lv0.pack.widx_hi)}", flush=True)
 
@@ -153,10 +155,10 @@ def main():
     def exact_mv(prm, xt):
         return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
 
-    vc = jax.jit(lambda p, rt: vcycle_apply(p, rt))
-
     # bf16 cycle (production configuration): exact f32 CG operator,
-    # bf16 slabs in the V-cycle.
+    # bf16 slabs in the V-cycle.  (A full-f32 second V-cycle slab OOMs
+    # 16 GB HBM at 1M DoF alongside the exact operator's slab — and
+    # production never builds one, so it isn't timed here either.)
     w0_bf16 = p0["w"].astype(jnp.bfloat16)
     vcycle_bf, vparams_bf = amg.make_vcycle_dia_t(
         h, backend=backend, slab_dtype=jnp.bfloat16, w0=w0_bf16)
@@ -181,11 +183,40 @@ def main():
         ("transpose", transpose_only, (xt,)),
         ("exact_mv", exact_mv, (p0, xt)),
         ("slab_bf16", slab_bf16, (vparams_bf[0]["w"], xt)),
-        ("vcycle", vc, (vparams, xt)),
         ("vcycle_bf16", vcb, (vparams_bf, xt)),
     ]:
         t = timeit(fn, *args)
         print(f"{name:12s} {t*1e3:8.2f} ms", flush=True)
+
+    # Per-level decomposition of the production V-cycle: one exact
+    # matvec of each level operator (4 run per level per cycle), plus
+    # the level-0 lumped smoothing operator when present.
+    if "sm" in vparams_bf[0]:
+        e_sm = vparams_bf[0]["sm"]
+        n_strong = int(sum(e_sm[f"r{dd}_rows"].shape[0]
+                           for dd in dia.DiaPack.REM_BUCKETS)
+                       + e_sm["sp_rows"].shape[0])
+
+        @jax.jit
+        def mv_sm0(prm, xt):
+            return dia.dia_matvec_t(meta0, prm, xt, backend=backend)
+
+        t = timeit(mv_sm0, e_sm, xt)
+        print(f"L0 mv lumped (strong rem {n_strong:7d}) {t*1e3:8.2f} ms",
+              flush=True)
+    for li in range(1, len(h.levels)):
+        lv = h.levels[li]
+        meta_l = lv.pack.meta
+        e_l = vparams_bf[li]
+        xt_l = jnp.asarray(rng.standard_normal(
+            (R, lv.pack.np_)).astype(np.float32))
+        mv_l = jax.jit(partial(
+            lambda meta, prm, xt: dia.dia_matvec_t(
+                meta, prm, xt, backend=backend), meta_l))
+        t = timeit(mv_l, e_l, xt_l)
+        print(f"L{li} mv (np={lv.pack.np_:8d} d={len(lv.pack.offs):2d} "
+              f"rem={len(lv.pack.rem_rows):7d}) {t*1e3:8.2f} ms",
+              flush=True)
 
     # one CG iteration cost: via solver with maxiter=1 vs maxiter=2 delta
     posmap = h.posmap0
