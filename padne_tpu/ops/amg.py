@@ -832,7 +832,8 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         entry = lv.pack.to_device(dtype=dtype,
                                   w=w0 if i == 0 else None,
                                   slab_dtype=(slab_dtype if i > 0
-                                              else None))
+                                              else None),
+                                  slots=dia.slots_env())
         if slab_dtype is not None and entry["w"].dtype != slab_dtype:
             entry["w"] = entry["w"].astype(slab_dtype)
         entry["child_perm"] = jnp.asarray(lv.child_perm)
@@ -860,7 +861,8 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
                     rem_vals=rv[~weak], diag=diag_l)
                 # Rebuild only the remainder buckets + diag; the weight
                 # slab is shared with the already-built entry.
-                entry_l = pack_l.to_device(dtype=dtype, w=entry["w"])
+                entry_l = pack_l.to_device(dtype=dtype, w=entry["w"],
+                                           slots=dia.slots_env())
                 entry_l["child_perm"] = entry["child_perm"]
                 entry = entry_l
                 dinv_l = np.where(
@@ -1155,7 +1157,8 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
                 rem_vals=rv[~weak], diag=diag_sm)
             # Strong-remainder smoothing params; the weight slab is the
             # SAME device buffer as the exact operator's.
-            e0["sm"] = pack_sm.to_device(dtype=dtype, w=e0["w"])
+            e0["sm"] = pack_sm.to_device(dtype=dtype, w=e0["w"],
+                                         slots=dia.slots_env())
             dinv_sm = np.where(
                 diag_sm > 0,
                 1.0 / np.where(diag_sm > 0, diag_sm, 1.0), 0.0)
@@ -1364,8 +1367,11 @@ def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None,
 
     keep_widx: retain the device widx split in the params (consumed by
     the f64 anchor residual; only possible when the slab is built here,
-    not reused)."""
+    not reused).  keep_widx disables slot packing (the anchor widens
+    the FULL remainder buckets)."""
     import jax.numpy as jnp
+
+    from . import dia
 
     lv = h.levels[0]
     dtype = dtype or jnp.float32
@@ -1374,8 +1380,9 @@ def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None,
         # The V-cycle may hold reduced-precision slabs; the CG matvec
         # must stay exact, so build a full-precision slab.
         w = None
-    return lv.pack.to_device(dtype=dtype, w=w,
-                             keep_widx=keep_widx and w is None)
+    keep = keep_widx and w is None
+    return lv.pack.to_device(dtype=dtype, w=w, keep_widx=keep,
+                             slots=0 if keep else dia.slots_env())
 
 
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:

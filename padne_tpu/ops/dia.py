@@ -197,39 +197,13 @@ class DiaPack:
         if (self._rem_cache is not None
                 and self._rem_cache[0] is self.rem_rows):
             return self._rem_cache[1]
-        rr = self.rem_rows
-        out = {}
-        if len(rr) == 0:
-            for d in self.REM_BUCKETS:
-                z = np.zeros(0, np.int32)
-                out[d] = (z, z.reshape(0, d), np.zeros((0, d)))
-            z = np.zeros(0, np.int32)
-            result = (out, z, z, np.zeros(0))
-            self._rem_cache = (self.rem_rows, result)
-            return result
-        u, start, counts = np.unique(rr, return_index=True,
-                                     return_counts=True)
-        seq = np.arange(len(rr))
-        which = np.searchsorted(u, rr)
-        slot = seq - start[which]
-        deg = counts[which]        # per-entry degree of its row
-        for d in self.REM_BUCKETS:
-            ud = u[counts == d]
-            sel = deg == d
-            cols_d = np.zeros((len(ud), d), np.int32)
-            vals_d = np.zeros((len(ud), d))
-            row_of = np.searchsorted(ud, rr[sel])
-            cols_d[row_of, slot[sel]] = self.rem_cols[sel]
-            vals_d[row_of, slot[sel]] = self.rem_vals[sel]
-            out[d] = (ud.astype(np.int32), cols_d, vals_d)
-        sp = deg > self.REM_BUCKETS[-1]
-        result = (out, rr[sp].astype(np.int32),
-                  self.rem_cols[sp].astype(np.int32), self.rem_vals[sp])
+        result = _bucket_rem(self.rem_rows, self.rem_cols, self.rem_vals,
+                             self.REM_BUCKETS)
         self._rem_cache = (self.rem_rows, result)
         return result
 
     def to_device(self, dtype=None, w=None, keep_widx: bool = False,
-                  slab_dtype=None) -> dict:
+                  slab_dtype=None, slots: int = 0) -> dict:
         """Device parameter dict: W slab (one on-device scatter), the
         unique-row remainder, and the diagonal.
 
@@ -246,10 +220,23 @@ class DiaPack:
         keep_widx: additionally return the reconstructed device widx
         split as params["_hi"]/params["_lo"] (int32 / uint8) — consumed
         by coo_from_widx for value-correction overlays (the f64 anchor
-        residual) without re-uploading nnz-sized index arrays."""
+        residual) without re-uploading nnz-sized index arrays.
+
+        slots: pack up to this many per-row-block extra offsets of the
+        remainder into dense slot tables (ExtraSlots) consumed inside
+        the matvec kernel; only the unplaced tail stays in the COO
+        remainder buckets.  Incompatible with keep_widx (the f64 anchor
+        widens the FULL remainder buckets — callers wanting the anchor
+        build the operator without slots)."""
         import jax
         import jax.numpy as jnp
 
+        if slots and keep_widx:
+            raise ValueError(
+                "slots and keep_widx are mutually exclusive: the f64 "
+                "anchor's remainder widening indexes the full remainder "
+                "buckets, which slot packing empties"
+            )
         dtype = dtype or jnp.float32
         slab_target = slab_dtype or dtype
         d, b, g, ng = len(self.offs), self.b, self.g, self.ng
@@ -301,7 +288,14 @@ class DiaPack:
         else:
             hi_dev = lo_dev = None
 
-        buckets, sp_r, sp_c, sp_v = self.rem_ell()
+        ex = None
+        if slots and len(self.rem_rows):
+            ex = pack_extra_slots(self, e_max=slots)
+            buckets, sp_r, sp_c, sp_v = _bucket_rem(
+                ex.tail_rows, ex.tail_cols, ex.tail_vals,
+                self.REM_BUCKETS)
+        else:
+            buckets, sp_r, sp_c, sp_v = self.rem_ell()
         # Cast on host BEFORE the upload: a f64 upload through the
         # ~13 MB/s tunnel followed by a device cast doubles the
         # transferred bytes.  f64 requests upload values as-is (no f32
@@ -320,6 +314,21 @@ class DiaPack:
             "sp_vals": _val(sp_v),
             "diag": _val(self.diag),
         }
+        if ex is not None:
+            # Slot tables are built ON DEVICE from the placed entries
+            # (9 B/entry on the wire vs 8 B/slot-cell dense); the tables
+            # themselves are (nb, E, b) — 20 MB-class at 1M rows.
+            st = (jnp.bfloat16 if slab_target == jnp.bfloat16
+                  else (jnp.float64 if f64 else jnp.float32))
+            wire = (np.float64 if f64 else
+                    (np.dtype(jnp.bfloat16).type
+                     if st == jnp.bfloat16 else np.float32))
+            wslot, cslot = _build_slot_tables(
+                jnp.asarray(ex.idx), jnp.asarray(ex.vals.astype(wire)),
+                jnp.asarray(ex.cls), nb=ex.nb, e=ex.e, b=ex.b)
+            params["xs_tgt"] = jnp.asarray(ex.tgt.reshape(-1))
+            params["xs_ci"] = cslot
+            params["xs_w"] = wslot.astype(st)
         for d, (rows_d, cols_d, vals_d) in buckets.items():
             params[f"r{d}_rows"] = jnp.asarray(rows_d)
             params[f"r{d}_cols"] = jnp.asarray(cols_d)
@@ -342,6 +351,164 @@ class DiaPack:
         if keep_widx:
             params["_hi"], params["_lo"] = hi_dev, lo_dev
         return params
+
+
+def _bucket_rem(rr, rc, rv, rem_buckets=DiaPack.REM_BUCKETS):
+    """Degree-bucketed unique-row layout of a row-sorted COO remainder
+    (see DiaPack.rem_ell for the format rationale)."""
+    out = {}
+    if len(rr) == 0:
+        for d in rem_buckets:
+            z = np.zeros(0, np.int32)
+            out[d] = (z, z.reshape(0, d), np.zeros((0, d)))
+        z = np.zeros(0, np.int32)
+        return (out, z, z, np.zeros(0))
+    u, start, counts = np.unique(rr, return_index=True,
+                                 return_counts=True)
+    seq = np.arange(len(rr))
+    which = np.searchsorted(u, rr)
+    slot = seq - start[which]
+    deg = counts[which]        # per-entry degree of its row
+    for d in rem_buckets:
+        ud = u[counts == d]
+        sel = deg == d
+        cols_d = np.zeros((len(ud), d), np.int32)
+        vals_d = np.zeros((len(ud), d))
+        row_of = np.searchsorted(ud, rr[sel])
+        cols_d[row_of, slot[sel]] = rc[sel]
+        vals_d[row_of, slot[sel]] = rv[sel]
+        out[d] = (ud.astype(np.int32), cols_d, vals_d)
+    sp = deg > rem_buckets[-1]
+    return (out, rr[sp].astype(np.int32), rc[sp].astype(np.int32),
+            rv[sp])
+
+
+@dataclass
+class ExtraSlots:
+    """Per-row-block extra-offset packing of a DiaPack remainder.
+
+    The remainder of a Hilbert-ordered FEM operator is long-tailed in
+    block offset (p99 reaches thousands of blocks — no fixed x-window
+    covers it) but extremely CONCENTRATED per row block: at 1M DoF the
+    top 4 distinct column blocks of each 128-row block hold 99% of the
+    322k remainder entries.  This packs those entries as E "slots" per
+    row block: slot e of block rb targets one column block tgt[rb, e]
+    and holds at most one entry per local row — a (b,) weight vector
+    plus a (b,) column-local index.  The matvec then needs ONE
+    block-row x gather (nb*E rows of b lanes — the fast gather shape)
+    and E tiny one-hot-masked (R,b)@(b,b) MXU dots per row block inside
+    the existing pallas slab kernel, replacing the per-entry
+    gather+scatter-add that costs ~19 ms of the 26 ms exact matvec at
+    1M rows.  Entries that don't fit (beyond the top-E blocks, or
+    duplicate rows within a slot) stay in the COO tail.
+    """
+
+    e: int                  # slots per row block
+    nb: int                 # row blocks
+    b: int
+    tgt: np.ndarray         # (nb, e) int32 absolute target block;
+    #                         unused slots self-target (weights are 0)
+    idx: np.ndarray         # (n_placed,) int32 flat (rb*e + slot)*b + rl
+    cls: np.ndarray         # (n_placed,) uint8/16 column-local index
+    vals: np.ndarray        # (n_placed,) float64 weights
+    tail_rows: np.ndarray   # row-sorted COO leftovers
+    tail_cols: np.ndarray
+    tail_vals: np.ndarray
+
+
+_BUILD_SLOT_JIT = None
+
+
+def _build_slot_tables(idx, vals, cls, nb: int, e: int, b: int):
+    """Scatter the placed slot entries into dense (nb, E, b) weight and
+    column-index tables on device (one cached jit shared across the
+    hierarchy's to_device calls — one compile per shape)."""
+    global _BUILD_SLOT_JIT
+    if _BUILD_SLOT_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("nb", "e", "b"))
+        def build(idx, vals, cls, nb: int, e: int, b: int):
+            flat = nb * e * b
+            wslot = jnp.zeros(flat, vals.dtype).at[idx].set(
+                vals, mode="promise_in_bounds", unique_indices=True)
+            cslot = jnp.zeros(flat, jnp.int32).at[idx].set(
+                cls.astype(jnp.int32), mode="promise_in_bounds",
+                unique_indices=True)
+            return wslot.reshape(nb, e, b), cslot.reshape(nb, e, b)
+
+        _BUILD_SLOT_JIT = build
+    return _BUILD_SLOT_JIT(idx, vals, cls, nb=nb, e=e, b=b)
+
+
+def pack_extra_slots(pack: DiaPack, e_max: int = 4) -> ExtraSlots:
+    """Assign remainder entries of `pack` to per-row-block extra slots.
+
+    Greedy by block popularity: each row block's candidate (column
+    block, duplicate-rank) groups are ranked by entry count and the top
+    e_max become slots.  The duplicate rank splits multiple entries of
+    the same (row, column block) — such a pair needs two slots with the
+    same target — and guarantees at most one entry per (slot, local
+    row), so the flat scatter indices are unique.
+    """
+    b = pack.b
+    nb = pack.np_ // b
+    rr = pack.rem_rows.astype(np.int64)
+    rc = pack.rem_cols.astype(np.int64)
+    rv = pack.rem_vals
+    lo_t = np.uint8 if b <= 256 else np.uint16
+    tgt = np.broadcast_to(
+        np.arange(nb, dtype=np.int32)[:, None], (nb, e_max)).copy()
+    if len(rr) == 0 or e_max == 0:
+        z = np.zeros(0, np.int32)
+        return ExtraSlots(
+            e=e_max, nb=nb, b=b, tgt=tgt, idx=z,
+            cls=np.zeros(0, lo_t), vals=np.zeros(0),
+            tail_rows=pack.rem_rows, tail_cols=pack.rem_cols,
+            tail_vals=pack.rem_vals)
+    rb, rl = rr // b, rr % b
+    cb, cl = rc // b, rc % b
+    # Duplicate rank within (rb, cb, rl): the k-th entry of a row into
+    # the same column block must go to a k-th slot with that target.
+    key = (rb * nb + cb) * b + rl
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    grp_start = np.r_[True, ks[1:] != ks[:-1]]
+    gid = np.cumsum(grp_start) - 1
+    pos = np.arange(len(ks))
+    rank = pos - pos[grp_start][gid]
+    rank = np.minimum(rank, 15)
+    # Candidate identity (rb, cb, rank) -> count; per-rb top-e_max win.
+    ckey = (rb[order] * nb + cb[order]) * 16 + rank
+    uc, inv_c, cnt = np.unique(ckey, return_inverse=True,
+                               return_counts=True)
+    crb = uc // (nb * 16)
+    co = np.lexsort((-cnt, crb))
+    crb_s = crb[co]
+    cstart = np.r_[True, crb_s[1:] != crb_s[:-1]]
+    cgid = np.cumsum(cstart) - 1
+    cpos = np.arange(len(co))
+    crank = cpos - cpos[cstart][cgid]
+    slot_of = np.full(len(uc), -1, np.int64)
+    slot_of[co] = np.where(crank < e_max, crank, -1)
+    entry_slot = slot_of[inv_c]          # in `order` space
+    placed = entry_slot >= 0
+
+    rb_o, rl_o = rb[order], rl[order]
+    cb_o, cl_o = cb[order], cl[order]
+    rv_o = rv[order]
+    tgt[rb_o[placed], entry_slot[placed]] = cb_o[placed]
+    idx = ((rb_o[placed] * e_max + entry_slot[placed]) * b
+           + rl_o[placed]).astype(np.int32)
+    t_r, t_c, t_v = rr[order][~placed], rc[order][~placed], rv_o[~placed]
+    t_order = np.argsort(t_r, kind="stable")
+    return ExtraSlots(
+        e=e_max, nb=nb, b=b, tgt=tgt, idx=idx,
+        cls=cl_o[placed].astype(lo_t), vals=rv_o[placed],
+        tail_rows=t_r[t_order].astype(np.int32),
+        tail_cols=t_c[t_order].astype(np.int32),
+        tail_vals=t_v[t_order])
 
 
 def pack_dia(
@@ -572,12 +739,18 @@ def _dmax(offs) -> int:
     return max(max(abs(o) for o in offs), 1)
 
 
-def _pallas_main(meta, w, xt_pad, interpret: bool = False):
+def _pallas_main(meta, w, xt_pad, extra=None, interpret: bool = False):
     """y^T (R, np_) = OffDiag @ x via the pallas kernel.
 
     xt_pad: (R, np_ + 2*dmax*B) — x transposed, zero halo of dmax blocks
     on each side.  Per grid step: one DMA of the (R, WIN) x window into
     VMEM, then G*D static-slice (R,B)@(B,B) MXU dots.
+
+    extra: optional (xs_tgt, xs_ci, xs_w) slot tables (ExtraSlots — the
+    per-row-block extra-offset remainder).  The far x blocks are
+    pre-gathered OUTSIDE the kernel with one block-row XLA gather
+    (nb*E rows of B lanes — the fast gather shape) and streamed in; the
+    kernel adds E one-hot-masked (R,B)@(B,B) MXU dots per row block.
 
     interpret=True runs the kernel in pallas interpret mode (any
     backend) — the CI parity gate for the TPU kernel.
@@ -610,12 +783,30 @@ def _pallas_main(meta, w, xt_pad, interpret: bool = False):
     # pass replaces f32's bf16x3.
     w_bf16 = w.dtype == jnp.bfloat16
 
-    def kernel(x_hbm, w_ref, o_ref, xwin, sem):
+    n_e = 0
+    if extra is not None:
+        tgt, ci, we = extra
+        nb = ng * g
+        n_e = we.shape[1]
+        # Block-row gather of the slot-target x blocks: (r, nb*E, b).
+        xb = jax.lax.dynamic_slice_in_dim(
+            xt_pad, dmax * b, np_, axis=1).reshape(r, nb, b)
+        xe = jnp.take(xb, tgt, axis=1)
+
+    def kernel(*refs):
+        if n_e:
+            x_hbm, w_ref, xe_ref, ci_ref, we_ref, o_ref, xwin, sem = refs
+        else:
+            x_hbm, w_ref, o_ref, xwin, sem = refs
         i = jnp.int32(pl.program_id(0))
         cp = pltpu.make_async_copy(
             x_hbm.at[:, pl.ds(i * jnp.int32(g * b), win)], xwin, sem)
         cp.start()
         cp.wait()
+        if n_e:
+            # iota[cl, rl] = cl: the one-hot mask selects, per local
+            # row rl, the column ci[rl] of the gathered target block.
+            iota = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
         for gg in range(g):
             acc = jnp.zeros((r, b), jnp.float32)
             for di, o in enumerate(offs):
@@ -627,16 +818,47 @@ def _pallas_main(meta, w, xt_pad, interpret: bool = False):
                     preferred_element_type=jnp.float32,
                     precision=(None if w_bf16
                                else jax.lax.Precision.HIGHEST))
+            for e in range(n_e):
+                wb = we_ref[gg, e]                      # (b,)
+                cib = ci_ref[gg, e]                     # (b,) int32
+                mask = jnp.where(iota == cib[None, :], wb[None, :],
+                                 jnp.zeros((), wb.dtype))
+                xeb = xe_ref[:, gg * n_e + e, :]        # (r, b)
+                if w_bf16:
+                    # Slot weights may be f32 even when the slab is
+                    # bf16 (a reused bf16 slab under an f32 request);
+                    # the dot operands must agree.
+                    xeb = xeb.astype(jnp.bfloat16)
+                    mask = mask.astype(jnp.bfloat16)
+                elif mask.dtype != jnp.float32:
+                    mask = mask.astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    xeb, mask, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=(None if w_bf16
+                               else jax.lax.Precision.HIGHEST))
             o_ref[:, gg * b:(gg + 1) * b] = acc
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, g, d, b, b),
+                     lambda i: (i,) + (jnp.int32(0),) * 4),
+    ]
+    args = [xt_pad, w]
+    if n_e:
+        in_specs += [
+            pl.BlockSpec((r, g * n_e, b), lambda i: (jnp.int32(0), i,
+                                                     jnp.int32(0))),
+            pl.BlockSpec((g, n_e, b), lambda i: (i, jnp.int32(0),
+                                                 jnp.int32(0))),
+            pl.BlockSpec((g, n_e, b), lambda i: (i, jnp.int32(0),
+                                                 jnp.int32(0))),
+        ]
+        args += [xe, ci, we]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(ng,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, g, d, b, b),
-                         lambda i: (i,) + (jnp.int32(0),) * 4),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((r, g * b), lambda i: (jnp.int32(0), i)),
         scratch_shapes=[pltpu.VMEM((r, win), jnp.float32),
                         pltpu.SemaphoreType.DMA],
@@ -646,11 +868,11 @@ def _pallas_main(meta, w, xt_pad, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((r, np_), jnp.float32),
         interpret=interpret,
     )
-    out = f(xt_pad, w)
+    out = f(*args)
     return out[:r0] if r != r0 else out
 
 
-def _xla_main(meta, w, xt_pad):
+def _xla_main(meta, w, xt_pad, extra=None):
     """Same contraction as einsums over shifted slices (any backend)."""
     import jax
     import jax.numpy as jnp
@@ -673,18 +895,31 @@ def _xla_main(meta, w, xt_pad):
             # accuracy); for f64 it has no benefit and can be slow.
             precision=(jax.lax.Precision.HIGHEST
                        if xt_pad.dtype == jnp.float32 else None))
-    return acc.transpose(1, 0, 2).reshape(r, np_)
+    yt = acc.transpose(1, 0, 2).reshape(r, np_)
+    if extra is not None:
+        tgt, ci, we = extra
+        n_e = we.shape[1]
+        xb = jax.lax.dynamic_slice_in_dim(
+            xt_pad, dmax * b, np_, axis=1).reshape(r, nb, b)
+        xe = jnp.take(xb, tgt, axis=1).reshape(r, nb, n_e, b)
+        sel = jnp.take_along_axis(xe, ci[None], axis=3)
+        contrib = (we[None].astype(xt_pad.dtype) * sel).sum(axis=2)
+        yt = yt + contrib.reshape(r, np_)
+    return yt
 
 
-def _pallas_vmem_bytes(meta, w_itemsize: int, r: int) -> int:
+def _pallas_vmem_bytes(meta, w_itemsize: int, r: int,
+                       n_e: int = 0) -> int:
     """Estimated per-step VMEM footprint of _pallas_main: the x-window
-    scratch + one slab grid block + the output block."""
+    scratch + one slab grid block + the output block (+ slot blocks)."""
     np_, b, g, ng, offs = meta
     win = (g + 2 * _dmax(offs)) * b
     r_pad = r if r == 1 else (-(-r // 4) * 4 if r <= 8 else -(-r // 8) * 8)
     return (r_pad * win * 4          # xwin scratch (f32)
             + g * len(offs) * b * b * w_itemsize   # w block
-            + r_pad * g * b * 4)     # out block
+            + r_pad * g * b * 4      # out block
+            + (n_e * g * b * (r_pad * 4 + 4 + w_itemsize)  # xe/ci/we
+               + b * b * 4 if n_e else 0))        # one-hot mask scratch
 
 
 # Conservative share of the ~16 MB v5e VMEM left to one kernel step
@@ -692,7 +927,7 @@ def _pallas_vmem_bytes(meta, w_itemsize: int, r: int) -> int:
 _PALLAS_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _run_main(backend: str, meta, w, xt_pad):
+def _run_main(backend: str, meta, w, xt_pad, extra=None):
     """Dispatch the slab contraction: "pallas" (TPU), "interpret"
     (pallas kernel under the interpreter — CI parity), "xla".
 
@@ -701,13 +936,14 @@ def _run_main(backend: str, meta, w, xt_pad):
     XLA einsum — a data-dependent property, so it must be a runtime
     guard, not a packing-time one."""
     if backend == "pallas":
-        if (_pallas_vmem_bytes(meta, w.dtype.itemsize, xt_pad.shape[0])
-                > _PALLAS_VMEM_BUDGET):
-            return _xla_main(meta, w, xt_pad)
-        return _pallas_main(meta, w, xt_pad)
+        n_e = extra[2].shape[1] if extra is not None else 0
+        if (_pallas_vmem_bytes(meta, w.dtype.itemsize, xt_pad.shape[0],
+                               n_e) > _PALLAS_VMEM_BUDGET):
+            return _xla_main(meta, w, xt_pad, extra)
+        return _pallas_main(meta, w, xt_pad, extra)
     if backend == "interpret":
-        return _pallas_main(meta, w, xt_pad, interpret=True)
-    return _xla_main(meta, w, xt_pad)
+        return _pallas_main(meta, w, xt_pad, extra, interpret=True)
+    return _xla_main(meta, w, xt_pad, extra)
 
 
 def dia_matvec(meta, params, x, backend: Optional[str] = None,
@@ -733,7 +969,8 @@ def dia_matvec(meta, params, x, backend: Optional[str] = None,
                          else params["w"].dtype)
     xt = x.astype(compute_dtype).T
     xt_pad = jnp.pad(xt, ((0, 0), (dmax * b, dmax * b)))
-    main = _run_main(backend, meta, params["w"], xt_pad).T
+    main = _run_main(backend, meta, params["w"], xt_pad,
+                     extra=_slot_extra(params)).T
     main = _apply_remainder(params, x, main)
     y = main + params["diag"][:, None] * x
     y = y.astype(x.dtype)
@@ -763,7 +1000,9 @@ def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
                      else params["w"].dtype)
     xt32 = xt.astype(compute_dtype)
     xt_pad = jnp.pad(xt32, ((0, 0), (dmax * b, dmax * b)))
-    yt = _run_main(backend, meta, params["w"], xt_pad)
+    yt = _run_main(backend, meta, params["w"], xt_pad,
+                   extra=None if skip_remainder
+                   else _slot_extra(params))
     yt = yt + params["diag"][None, :] * xt32
     has_rem = params["sp_rows"].shape[0] or any(
         params[f"r{d}_rows"].shape[0] for d in DiaPack.REM_BUCKETS)
@@ -772,6 +1011,25 @@ def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
         rem = _apply_remainder(params, x, jnp.zeros_like(x))
         yt = yt + rem.T
     return yt.astype(xt.dtype)
+
+
+def _slot_extra(params):
+    """The (tgt, ci, we) ExtraSlots triple from a to_device params dict
+    (None when the pack was built without slots)."""
+    if "xs_tgt" not in params:
+        return None
+    return (params["xs_tgt"], params["xs_ci"], params["xs_w"])
+
+
+def slots_env(default: int = 0) -> int:
+    """Per-row-block extra-slot count for production operators
+    (PADNE_TPU_SLOTS; 0 disables — pending TPU A/B timing)."""
+    import os
+
+    try:
+        return max(0, int(os.environ.get("PADNE_TPU_SLOTS", default)))
+    except ValueError:
+        return default
 
 
 def rem_gather_enabled() -> bool:

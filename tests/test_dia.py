@@ -340,7 +340,7 @@ class TestPallasVmemGuard:
 
         called = {}
 
-        def fake_xla(meta, w, xt_pad):
+        def fake_xla(meta, w, xt_pad, extra=None):
             called["xla"] = True
             return jnp.zeros((xt_pad.shape[0], meta[0]), jnp.float32)
 
@@ -349,3 +349,148 @@ class TestPallasVmemGuard:
         xt_pad = jnp.zeros((8, meta[0] + 2 * 3000 * 128), jnp.float32)
         dia._run_main("pallas", meta, w, xt_pad)
         assert called.get("xla")
+
+
+class TestExtraSlots:
+    """Per-row-block extra-offset slot packing of the remainder
+    (dia.pack_extra_slots / to_device(slots=E)): the top-E column
+    blocks of each row block become dense slot tables consumed inside
+    the slab kernel; only the unplaced tail keeps the COO scatter."""
+
+    def _pack(self, spread=600, **kw):
+        rows, cols, vals, diag, a = random_system(spread=spread)
+        pk = dia.pack_dia(a.shape[0], rows, cols, vals, diag=diag,
+                          coverage=0.8, max_offsets=4, **kw)
+        assert len(pk.rem_rows) > 100
+        return pk, a
+
+    def test_partition_is_exact(self):
+        # Placed + tail partition the remainder; reconstructing the
+        # placed entries from the slot coordinates reproduces exactly
+        # the remainder triplets that are not in the tail.
+        pk, a = self._pack()
+        ex = dia.pack_extra_slots(pk, 4)
+        assert len(ex.idx) + len(ex.tail_rows) == len(pk.rem_rows)
+        b, e = pk.b, ex.e
+        slot = (ex.idx // b) % e
+        rb = ex.idx // (b * e)
+        rl = ex.idx % b
+        rows_p = rb * b + rl
+        cols_p = ex.tgt.reshape(-1)[rb * e + slot] * b + ex.cls
+        def key(r, c):
+            return set(zip(map(int, r), map(int, c)))
+        placed = key(rows_p, cols_p)
+        tail = key(ex.tail_rows, ex.tail_cols)
+        full = key(pk.rem_rows, pk.rem_cols)
+        assert placed | tail == full and not placed & tail
+        # values match the original remainder entries
+        ref = {(int(r), int(c)): v for r, c, v in
+               zip(pk.rem_rows, pk.rem_cols, pk.rem_vals)}
+        for r, c, v in zip(rows_p, cols_p, ex.vals):
+            assert ref[(int(r), int(c))] == v
+
+    def test_unique_slot_cells(self):
+        pk, _ = self._pack()
+        ex = dia.pack_extra_slots(pk, 3)
+        assert len(np.unique(ex.idx)) == len(ex.idx)
+
+    def test_high_coverage(self):
+        # FEM-like locality: top-4 slots should absorb the bulk.
+        pk, _ = self._pack()
+        ex = dia.pack_extra_slots(pk, 4)
+        assert len(ex.idx) > 0.5 * len(pk.rem_rows)
+
+    @pytest.mark.parametrize("backend", ["xla", "interpret"])
+    @pytest.mark.parametrize("slots", [1, 4])
+    def test_matvec_parity(self, backend, slots):
+        pk, a = self._pack()
+        params = pk.to_device(slots=slots)
+        assert "xs_tgt" in params
+        n = a.shape[0]
+        x = np.random.default_rng(7).standard_normal((n, 3)).astype(
+            np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp,
+                                      backend=backend))
+        yref = a @ x
+        assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 1e-5
+        assert np.all(y[n:] == 0)
+        # transposed layout
+        yt = np.asarray(dia.dia_matvec_t(pk.meta, params,
+                                         jnp.asarray(xp.T),
+                                         backend=backend))
+        assert np.abs(yt.T[:n] - yref).max() / np.abs(yref).max() < 1e-5
+
+    def test_keep_widx_conflict(self):
+        pk, _ = self._pack()
+        with pytest.raises(ValueError):
+            pk.to_device(slots=2, keep_widx=True)
+
+    def test_empty_remainder_skips_slots(self):
+        rows, cols, vals, diag, a = random_system(spread=50)
+        pk = dia.pack_dia(a.shape[0], rows, cols, vals, diag=diag,
+                          coverage=1.0, max_offsets=64)
+        assert len(pk.rem_rows) == 0
+        params = pk.to_device(slots=4)
+        assert "xs_tgt" not in params
+
+    def test_env_knob(self, monkeypatch):
+        monkeypatch.setenv("PADNE_TPU_SLOTS", "4")
+        assert dia.slots_env() == 4
+        monkeypatch.setenv("PADNE_TPU_SLOTS", "junk")
+        assert dia.slots_env(2) == 2
+        monkeypatch.delenv("PADNE_TPU_SLOTS")
+        assert dia.slots_env() == 0
+
+    def test_bordered_solve_with_slots(self, monkeypatch):
+        # The production DIA solver path end-to-end under
+        # PADNE_TPU_SLOTS: same solution as the slot-free solve.
+        import jax.numpy as jnp
+
+        from padne_tpu.ops import schur
+        from test_schur_dia import make_system
+
+        system = make_system(with_regulator=True)
+        base = schur.solve_bordered(system, operator="dia",
+                                    device_dtype=jnp.float32)
+        monkeypatch.setenv("PADNE_TPU_SLOTS", "4")
+        got = schur.solve_bordered(system, operator="dia",
+                                   device_dtype=jnp.float32)
+        assert got.residual_norm < 1e-9
+        scale = max(np.abs(base.v).max(), 1e-12)
+        assert np.abs(got.v - base.v).max() < 1e-6 * scale
+
+    @pytest.mark.parametrize("backend", ["xla", "interpret"])
+    def test_bf16_slab_parity(self, backend):
+        # V-cycle configuration: bf16 slab + slot tables (loose gate —
+        # preconditioner-only precision).
+        pk, a = self._pack()
+        params = pk.to_device(slab_dtype=jnp.bfloat16, slots=4)
+        assert params["w"].dtype == jnp.bfloat16
+        n = a.shape[0]
+        x = np.random.default_rng(9).standard_normal((n, 2)).astype(
+            np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp,
+                                      backend=backend))
+        yref = a @ x
+        assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 2e-2
+
+    @pytest.mark.parametrize("backend", ["xla", "interpret"])
+    def test_mixed_bf16_slab_f32_slots(self, backend):
+        # A bf16 slab REUSED under an f32 request leaves the slot
+        # weights f32 while the slab is bf16 (the lumped-smoothing
+        # construction); operand dtypes must still agree in-kernel.
+        pk, a = self._pack()
+        p_bf = pk.to_device(slab_dtype=jnp.bfloat16)
+        params = pk.to_device(w=p_bf["w"], slots=4)
+        assert params["w"].dtype == jnp.bfloat16
+        assert params["xs_w"].dtype == jnp.float32
+        n = a.shape[0]
+        x = np.random.default_rng(11).standard_normal((n, 2)).astype(
+            np.float32)
+        xp = dia.pad_to(jnp.asarray(x), pk.np_)
+        y = np.asarray(dia.dia_matvec(pk.meta, params, xp,
+                                      backend=backend))
+        yref = a @ x
+        assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 2e-2
