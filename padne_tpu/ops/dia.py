@@ -819,19 +819,19 @@ def _pallas_main(meta, w, xt_pad, extra=None, interpret: bool = False):
                     precision=(None if w_bf16
                                else jax.lax.Precision.HIGHEST))
             for e in range(n_e):
-                wb = we_ref[gg, e]                      # (b,)
+                # The whole one-hot selection stays in f32/(8,128)
+                # tiling: building the mask in bf16 makes the compare
+                # emit an i1 vector in the i32 (8,128) tile that the
+                # bf16 (16,128)-tiled where cannot consume — Mosaic has
+                # no i1 cross-tile relayout (measured crash on v5e).
+                # Widening bf16 slot weights here is free: the E slot
+                # dots are a sliver of the MXU work and the kernel is
+                # HBM-bound on the main slab stream.
+                wb = we_ref[gg, e].astype(jnp.float32)  # (b,)
                 cib = ci_ref[gg, e]                     # (b,) int32
                 mask = jnp.where(iota == cib[None, :], wb[None, :],
-                                 jnp.zeros((), wb.dtype))
-                xeb = xe_ref[:, gg * n_e + e, :]        # (r, b)
-                if w_bf16:
-                    # Slot weights may be f32 even when the slab is
-                    # bf16 (a reused bf16 slab under an f32 request);
-                    # the dot operands must agree.
-                    xeb = xeb.astype(jnp.bfloat16)
-                    mask = mask.astype(jnp.bfloat16)
-                elif mask.dtype != jnp.float32:
-                    mask = mask.astype(jnp.float32)
+                                 jnp.zeros((), jnp.float32))
+                xeb = xe_ref[:, gg * n_e + e, :]        # (r, b) f32
                 acc = acc + jax.lax.dot_general(
                     xeb, mask, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
