@@ -828,12 +828,16 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         _t0 = _time.time()
         # Deep levels ship their slab values in slab_dtype directly
         # (bf16 wire = half the bytes); level 0 reuses/keeps the f32
-        # slab the exact CG operator shares.
+        # slab the exact CG operator shares.  Slot packing is LEVEL 0
+        # ONLY: deep-level slot kernels composed inside the recursive
+        # cycle program crash the TPU worker (Mosaic fault, v5e jax
+        # 0.9 — each kernel passes in isolation, the composition does
+        # not), and deep remainders are a few ms total anyway.
         entry = lv.pack.to_device(dtype=dtype,
                                   w=w0 if i == 0 else None,
                                   slab_dtype=(slab_dtype if i > 0
                                               else None),
-                                  slots=dia.slots_env())
+                                  slots=dia.slots_env() if i == 0 else 0)
         if slab_dtype is not None and entry["w"].dtype != slab_dtype:
             entry["w"] = entry["w"].astype(slab_dtype)
         entry["child_perm"] = jnp.asarray(lv.child_perm)
@@ -861,8 +865,9 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
                     rem_vals=rv[~weak], diag=diag_l)
                 # Rebuild only the remainder buckets + diag; the weight
                 # slab is shared with the already-built entry.
-                entry_l = pack_l.to_device(dtype=dtype, w=entry["w"],
-                                           slots=dia.slots_env())
+                entry_l = pack_l.to_device(
+                    dtype=dtype, w=entry["w"],
+                    slots=dia.slots_env() if i == 0 else 0)
                 entry_l["child_perm"] = entry["child_perm"]
                 entry = entry_l
                 dinv_l = np.where(

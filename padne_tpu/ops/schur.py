@@ -511,12 +511,20 @@ class DiaBorderedSolver:
         deep_mo = os.environ.get("PADNE_TPU_DEEP_OFFSETS")
         deep_cov = os.environ.get("PADNE_TPU_DEEP_COVERAGE")
         drop = os.environ.get("PADNE_TPU_DROP_TOL")
+        # Env knobs OVERRIDE the deep-widening defaults; when unset the
+        # kwargs must be omitted — passing None here would fall back to
+        # the narrow budget inside build_hierarchy_dia, silently
+        # disabling the measured wide-deep default (-0.4 s at 1M).
+        knobs = {}
+        if deep_mo:
+            knobs["deep_max_offsets"] = int(deep_mo)
+        if deep_cov:
+            knobs["deep_coverage"] = float(deep_cov)
+        if drop:
+            knobs["drop_tol"] = float(drop)
         hierarchy = amg.build_hierarchy_dia(
             system.ell, system.coords, coarse_size=3000, tp=tp,
-            shard_min=shard_min, group=grp, a_csr=self.A_host,
-            deep_max_offsets=int(deep_mo) if deep_mo else None,
-            deep_coverage=float(deep_cov) if deep_cov else None,
-            **({"drop_tol": float(drop)} if drop else {}))
+            shard_min=shard_min, group=grp, a_csr=self.A_host, **knobs)
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
         self._trace("setup: hierarchy build", _t0)

@@ -440,7 +440,9 @@ class TestExtraSlots:
         monkeypatch.setenv("PADNE_TPU_SLOTS", "junk")
         assert dia.slots_env(2) == 2
         monkeypatch.delenv("PADNE_TPU_SLOTS")
-        assert dia.slots_env() == 0
+        assert dia.slots_env() == 4     # measured-on default (level 0)
+        monkeypatch.setenv("PADNE_TPU_SLOTS", "0")
+        assert dia.slots_env() == 0     # explicit opt-out
 
     def test_bordered_solve_with_slots(self, monkeypatch):
         # The production DIA solver path end-to-end under
@@ -451,6 +453,7 @@ class TestExtraSlots:
         from test_schur_dia import make_system
 
         system = make_system(with_regulator=True)
+        monkeypatch.setenv("PADNE_TPU_SLOTS", "0")
         base = schur.solve_bordered(system, operator="dia",
                                     device_dtype=jnp.float32)
         monkeypatch.setenv("PADNE_TPU_SLOTS", "4")
