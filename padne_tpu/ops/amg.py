@@ -1046,6 +1046,9 @@ def _upload_coarse_inv(h: AlignedHierarchy, dtype):
     return jnp.asarray(ci.astype(target))
 
 
+_XLA_LEVEL_MAX_NP = 16384
+
+
 def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
     """The jittable V-cycle over a prebuilt parameter list."""
     import jax.numpy as jnp
@@ -1058,6 +1061,13 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
     child_lens = [lv.child_len for lv in h.levels]
     ncs = [len(lv.child_perm) for lv in h.levels]
     nlev = len(h.levels)
+    # Tiny bottom levels run the XLA einsum instead of the pallas
+    # kernel: the grid-step DMA overhead dominates there (measured v5e,
+    # np=11264: 2.14 ms XLA vs 2.77 ms pallas) and it keeps one more
+    # Mosaic kernel out of the composed cycle program.
+    backends = [("xla" if backend == "pallas"
+                 and lv.pack.np_ <= _XLA_LEVEL_MAX_NP else backend)
+                for lv in h.levels]
 
     def cycle(level: int, p, b):
         if level == nlev:
@@ -1068,9 +1078,10 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
         cap = caps[level]
         nc, clen = ncs[level], child_lens[level]
         r_cols = b.shape[1]
+        be = backends[level]
 
         def mv(x):
-            return dia.dia_matvec(meta, e, x, backend=backend)
+            return dia.dia_matvec(meta, e, x, backend=be)
 
         dinv = e["dinv"][:, None]
         x = om_s * dinv * b

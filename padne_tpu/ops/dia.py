@@ -1021,14 +1021,15 @@ def _slot_extra(params):
     return (params["xs_tgt"], params["xs_ci"], params["xs_w"])
 
 
-def slots_env(default: int = 4) -> int:
+def slots_env(default: int = 8) -> int:
     """Per-row-block extra-slot count for production LEVEL-0 operators
-    (PADNE_TPU_SLOTS; 0 disables).  Default 4, measured on v5e at the
+    (PADNE_TPU_SLOTS; 0 disables).  Default 8, measured on v5e at the
     1M bench: the slot dots absorb ~99% of the remainder into the slab
-    kernel — exact matvec 25.8 -> 19.1 ms, lumped V-cycle 95.7 ->
-    71.5 ms (R=8).  Deep V-cycle levels never pack slots regardless of
-    this value (see make_vcycle_dia: the composed deep-level slot
-    kernels fault on v5e)."""
+    kernel — CG iteration 121.9 -> 80.7 ms, lumped V-cycle 95.7 ->
+    63.7 ms (R=8; E=4 vs E=8: the lumped smoother's tail drops 38k ->
+    8k entries and the V-cycle another 6 ms).  Deep V-cycle levels
+    never pack slots regardless of this value (see make_vcycle_dia:
+    the composed deep-level slot kernels fault on v5e)."""
     import os
 
     try:

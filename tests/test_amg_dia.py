@@ -310,3 +310,22 @@ class TestDeviceCoarseInv:
         assert ci.dtype == jnp.float32
         # The deferred host compute must NOT have been joined.
         assert callable(h._coarse)
+
+
+class TestSlotsLevelPolicy:
+    def test_slots_level0_only(self, monkeypatch):
+        """Slot packing (PADNE_TPU_SLOTS) must apply to level 0 only:
+        deep-level slot kernels composed inside the recursive cycle
+        program fault the TPU worker (Mosaic composition bug, v5e),
+        so make_vcycle_dia never requests them below level 0."""
+        monkeypatch.setenv("PADNE_TPU_SLOTS", "4")
+        ell, coords = grid_laplacian(64)
+        h = amg.build_hierarchy_dia(ell, coords, coarse_size=100)
+        assert len(h.levels) >= 2
+        _, params = amg.make_vcycle_dia(h, backend="xla")
+        lv0 = params[0]
+        deep = params[1:-1]   # last entry is the coarse inverse
+        if len(h.levels[0].pack.rem_rows):
+            assert "xs_tgt" in lv0
+        for e in deep:
+            assert "xs_tgt" not in e

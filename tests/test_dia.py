@@ -401,7 +401,7 @@ class TestExtraSlots:
         assert len(ex.idx) > 0.5 * len(pk.rem_rows)
 
     @pytest.mark.parametrize("backend", ["xla", "interpret"])
-    @pytest.mark.parametrize("slots", [1, 4])
+    @pytest.mark.parametrize("slots", [1, 4, 8])
     def test_matvec_parity(self, backend, slots):
         pk, a = self._pack()
         params = pk.to_device(slots=slots)
@@ -440,7 +440,7 @@ class TestExtraSlots:
         monkeypatch.setenv("PADNE_TPU_SLOTS", "junk")
         assert dia.slots_env(2) == 2
         monkeypatch.delenv("PADNE_TPU_SLOTS")
-        assert dia.slots_env() == 4     # measured-on default (level 0)
+        assert dia.slots_env() == 8     # measured-on default (level 0)
         monkeypatch.setenv("PADNE_TPU_SLOTS", "0")
         assert dia.slots_env() == 0     # explicit opt-out
 
