@@ -1106,11 +1106,61 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
         x = x + om_s * dinv * (b - mv(x))
         return x
 
+    def cycle_t(level: int, p, bt):
+        """Transposed-layout recursion: bt, return of shape (R, np_l).
+
+        Same math as `cycle` (float reassociation aside), but every
+        level-sized array stays in the packed (R, n) layout — in the
+        (n, R) layout each elementwise op and transpose pays a 16x
+        lane-padding tax (R=8 of 128 lanes), which made the deep-level
+        stack the largest device slice of the production V-cycle.  Only
+        aggregate-sized arrays (n_l / cap rows) cross layouts at the
+        level boundary, for the child-permutation scatter/gather that
+        needs axis-0 addressing."""
+        if level == nlev:
+            ci = p[-1]["coarse_inv"]
+            # ci is symmetric by construction, but use ci.T so the
+            # result matches `ci @ b` bit-for-bit even if a future
+            # coarse builder breaks symmetry.
+            return bt @ ci.T
+        e = p[level]
+        meta = metas[level]
+        om_p, om_s = omegas[level]
+        cap = caps[level]
+        nc, clen = ncs[level], child_lens[level]
+        r_cols = bt.shape[0]
+        be = backends[level]
+        np_l = meta[0]
+        naggs = np_l // cap
+
+        def mv(xt):
+            return dia.dia_matvec_t(meta, e, xt, backend=be)
+
+        dinv = e["dinv"][None, :]
+        x = om_s * dinv * bt
+        r1 = bt - mv(x)
+        t = r1 - om_p * mv(dinv * r1) if om_p else r1
+        rc_t = t.reshape(r_cols, naggs, cap).sum(axis=2)   # (R, naggs)
+        rc = rc_t.T[:nc]                                   # (nc, R)
+        bc = jnp.zeros((clen, r_cols), rc.dtype).at[
+            e["child_perm"]].set(rc, mode="drop", unique_indices=True)
+        xc = cycle_t(level + 1, p, bc.T)                   # (R, clen)
+        xct = xc.T[e["child_perm"]].T                      # (R, nc)
+        pad = naggs - nc
+        if pad:
+            xct = jnp.pad(xct, ((0, 0), (0, pad)))
+        px = jnp.broadcast_to(
+            xct[:, :, None], (r_cols, naggs, cap)).reshape(r_cols, np_l)
+        x = x + (px - om_p * dinv * mv(px) if om_p else px)
+        x = x + om_s * dinv * (bt - mv(x))
+        return x
+
     def apply(p, r):
         return cycle(0, p, r)
 
     apply.cycle = cycle   # entry point at any level (used by the
     # transposed wrapper, which handles level 0 itself)
+    apply.cycle_t = cycle_t
     return apply
 
 
@@ -1201,6 +1251,11 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
     import os
 
     cycle_lumped = os.environ.get("PADNE_TPU_CYCLE_LUMPED", "1") != "0"
+    # Deep levels in transposed layout (default ON): the (n_l, R)
+    # normal-layout deep stack pays 16x lane padding on every
+    # elementwise op plus two full-size relayout transposes per matvec;
+    # PADNE_TPU_DEEP_T=0 restores the normal-layout tail for A/B.
+    deep_t = os.environ.get("PADNE_TPU_DEEP_T", "1") != "0"
 
     def apply_t(p, bt):
         e = p[0]
@@ -1227,7 +1282,10 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
         rc = rc_t.T[:nc0]                                # (nc, R)
         bc = jnp.zeros((clen0, r_cols), rc.dtype).at[
             p[0]["child_perm"]].set(rc, mode="drop", unique_indices=True)
-        xc = apply_n.cycle(1, p, bc)
+        if deep_t:
+            xc = apply_n.cycle_t(1, p, bc.T).T
+        else:
+            xc = apply_n.cycle(1, p, bc)
         xcb = xc[p[0]["child_perm"]]                     # (nc, R)
         pad = np0 // cap0 - nc0
         xct = xcb.T

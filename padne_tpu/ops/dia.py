@@ -1007,9 +1007,12 @@ def dia_matvec_t(meta, params, xt, backend: Optional[str] = None,
     has_rem = params["sp_rows"].shape[0] or any(
         params[f"r{d}_rows"].shape[0] for d in DiaPack.REM_BUCKETS)
     if not skip_remainder and has_rem:
-        x = xt32.T
-        rem = _apply_remainder(params, x, jnp.zeros_like(x))
-        yt = yt + rem.T
+        if _rem_count(params) <= _rem_t_max():
+            yt = _apply_remainder_t(params, np_, b, xt32, yt)
+        else:
+            x = xt32.T
+            rem = _apply_remainder(params, x, jnp.zeros_like(x))
+            yt = yt + rem.T
     return yt.astype(xt.dtype)
 
 
@@ -1091,6 +1094,76 @@ def _apply_remainder(params, x, y):
         sp = params["sp_vals"][:, None] * x[params["sp_cols"]]
         y = y.at[params["sp_rows"]].add(sp.astype(y.dtype), mode="drop")
     return y
+
+
+def _rem_count(params) -> int:
+    """Total remainder entries in a to_device params dict (tail after
+    slot packing).  Static under jit — derived from array shapes."""
+    n = int(params["sp_rows"].shape[0])
+    for d in DiaPack.REM_BUCKETS:
+        n += int(params[f"r{d}_rows"].shape[0]) * d
+    return n
+
+
+def _rem_t_max(default: int = 32768) -> int:
+    """Entry-count ceiling for the transposed remainder path
+    (PADNE_TPU_REM_T). Above it, the (R, n) block-gather materializes
+    too much intermediate and the transpose sandwich wins."""
+    import os
+
+    return int(os.environ.get("PADNE_TPU_REM_T", default))
+
+
+def _apply_remainder_t(params, np_: int, b: int, xt, yt):
+    """yt += Remainder @ x computed ENTIRELY in the (R, np_) layout.
+
+    The normal remainder path transposes the full (R, n) operand to
+    (n, R) and back around the gather/scatter — two full-array
+    relayouts that cost ~2 ms EACH at 1M rows on v5e, regardless of how
+    few remainder entries there are.  For small tails (the lumped
+    smoothing operator after slot packing keeps only a few thousand
+    strong entries) this path stays transposed:
+
+    * gather: whole 128-lane column BLOCKS via jnp.take on the block
+      axis (the fast TPU gather shape, same as the slot xe stream),
+      then a one-hot multiply-sum selects the lane — no per-element
+      random access;
+    * scatter: one sorted-unique axis-1 scatter-add per degree bucket.
+      Minor-axis scatters are slower per entry than axis-0 ones, but on
+      a few-thousand-entry tail that is microseconds against the
+      milliseconds the relayouts cost.
+    """
+    import jax.numpy as jnp
+
+    r = xt.shape[0]
+    nb = np_ // b
+    xb = xt.reshape(r, nb, b)
+    lane = jnp.arange(b, dtype=jnp.int32)
+
+    def select(cols_flat):
+        xg = jnp.take(xb, cols_flat // b, axis=1)        # (r, m, b)
+        oh = (cols_flat % b)[:, None] == lane[None, :]   # (m, b)
+        return (xg * oh[None].astype(xt.dtype)).sum(-1)  # (r, m)
+
+    for d in DiaPack.REM_BUCKETS:
+        rows_d = params[f"r{d}_rows"]
+        if not rows_d.shape[0]:
+            continue
+        vals_d = params[f"r{d}_vals"]
+        cols_d = params[f"r{d}_cols"]
+        sel = select(cols_d.reshape(-1))
+        contrib = (vals_d.reshape(-1)[None] * sel).reshape(
+            r, -1, d).sum(-1)
+        yt = yt.at[:, rows_d].add(contrib.astype(yt.dtype), mode="drop",
+                                  unique_indices=True,
+                                  indices_are_sorted=True)
+    if params["sp_rows"].shape[0]:
+        sel = select(params["sp_cols"])
+        sp = params["sp_vals"][None] * sel
+        # Spill rows may repeat (duplicate-handling scatter).
+        yt = yt.at[:, params["sp_rows"]].add(sp.astype(yt.dtype),
+                                             mode="drop")
+    return yt
 
 
 def coo_from_widx(meta, hi, lo):

@@ -329,3 +329,24 @@ class TestSlotsLevelPolicy:
             assert "xs_tgt" in lv0
         for e in deep:
             assert "xs_tgt" not in e
+
+
+class TestTransposedDeepCycle:
+    """PADNE_TPU_DEEP_T: the deep levels of the transposed V-cycle run
+    in the packed (R, n) layout (amg._finish_vcycle_dia.cycle_t); the
+    normal-layout tail is the reference."""
+
+    def test_matches_normal_layout_tail(self, monkeypatch):
+        ell, coords = grid_laplacian(g=100, seed=1)
+        h = amg.build_hierarchy_dia(ell, coords, coarse_size=100)
+        assert len(h.levels) >= 2   # a real deep stack
+        rng = np.random.default_rng(0)
+        bt = jnp.asarray(rng.standard_normal(
+            (4, h.levels[0].pack.np_)).astype(np.float32))
+        monkeypatch.setenv("PADNE_TPU_DEEP_T", "0")
+        a0, p0 = amg.make_vcycle_dia_t(h, backend="xla")
+        z0 = np.asarray(a0(p0, bt))
+        monkeypatch.setenv("PADNE_TPU_DEEP_T", "1")
+        a1, p1 = amg.make_vcycle_dia_t(h, backend="xla")
+        z1 = np.asarray(a1(p1, bt))
+        assert np.abs(z0 - z1).max() / np.abs(z0).max() < 1e-5

@@ -497,3 +497,53 @@ class TestExtraSlots:
                                       backend=backend))
         yref = a @ x
         assert np.abs(y[:n] - yref).max() / np.abs(yref).max() < 2e-2
+
+
+class TestTransposedRemainder:
+    """The transposed-layout remainder path (dia._apply_remainder_t):
+    small tails skip the (R, n) <-> (n, R) transpose sandwich around
+    the gather/scatter — two full-array relayouts that cost ~2 ms each
+    at 1M rows on TPU regardless of tail size."""
+
+    def _params(self, slots=0):
+        rows, cols, vals, diag, a = random_system(spread=600)
+        pk = dia.pack_dia(a.shape[0], rows, cols, vals, diag=diag,
+                          coverage=0.8, max_offsets=4)
+        assert len(pk.rem_rows) > 100
+        return pk, pk.to_device(slots=slots), a
+
+    @pytest.mark.parametrize("slots", [0, 4])
+    def test_matches_sandwich_path(self, monkeypatch, slots):
+        pk, params, a = self._params(slots)
+        rng = np.random.default_rng(3)
+        xt = jnp.asarray(rng.standard_normal(
+            (5, pk.np_)).astype(np.float32))
+        monkeypatch.setenv("PADNE_TPU_REM_T", "0")
+        y_sand = np.asarray(dia.dia_matvec_t(pk.meta, params, xt,
+                                             backend="xla"))
+        monkeypatch.setenv("PADNE_TPU_REM_T", str(10**9))
+        y_t = np.asarray(dia.dia_matvec_t(pk.meta, params, xt,
+                                          backend="xla"))
+        scale = np.abs(y_sand).max()
+        assert np.abs(y_sand - y_t).max() / scale < 1e-6
+
+    def test_matches_scipy(self, monkeypatch):
+        pk, params, a = self._params(slots=4)
+        n = a.shape[0]
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((n, 3)).astype(np.float32)
+        monkeypatch.setenv("PADNE_TPU_REM_T", str(10**9))
+        xp = np.zeros((pk.np_, 3), np.float32)
+        xp[:n] = x
+        yt = np.asarray(dia.dia_matvec_t(pk.meta, params,
+                                         jnp.asarray(xp.T),
+                                         backend="xla"))
+        yref = a @ x
+        assert (np.abs(yt.T[:n] - yref).max()
+                / np.abs(yref).max()) < 1e-5
+
+    def test_threshold_selects_path(self):
+        # _rem_count counts every entry (bucket degree-weighted + spill)
+        pk, params, _ = self._params(slots=0)
+        total = int(len(pk.rem_rows))
+        assert dia._rem_count(params) == total
