@@ -1405,8 +1405,9 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
             xc = jax.lax.all_gather(
                 xc_l, axis_name, axis=1, tiled=True).T     # (clen, R)
         else:
-            # Replicated tail: every shard runs the identical sub-cycle.
-            xc = apply_n.cycle(level + 1, p, bc)
+            # Replicated tail: every shard runs the identical sub-cycle
+            # (transposed deep layout, same as the single-chip cycle).
+            xc = apply_n.cycle_t(level + 1, p, bc.T).T
         xcb = xc[e["child_perm"]]                          # (nc, R)
         pad = np_l // cap - nc
         if pad:
