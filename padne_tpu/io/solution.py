@@ -15,10 +15,12 @@ import numpy as np
 
 from .. import mesh as mesh_mod
 from .. import solver as solver_mod
+from ..utils.validation import checked
 
 FORMAT_VERSION = 1
 
 
+@checked
 def save_solution(sol: solver_mod.Solution, path) -> None:
     arrays: dict[str, np.ndarray] = {}
     manifest = {
@@ -61,6 +63,7 @@ def save_solution(sol: solver_mod.Solution, path) -> None:
     np.savez_compressed(path, **arrays)
 
 
+@checked
 def load_solution(path) -> solver_mod.Solution:
     from .. import geom, problem
 

@@ -31,6 +31,7 @@ from typing import Any, Optional
 import numpy as np
 
 from . import geom, problem, sexp, units
+from .utils.validation import checked
 
 log = logging.getLogger(__name__)
 
@@ -1374,6 +1375,7 @@ def extract_directives_from_hierarchy(root: SchemaInstance) -> list[Directive]:
 # ---------------------------------------------------------------------------
 # Top-level loader
 # ---------------------------------------------------------------------------
+@checked
 def load_kicad_project(pro_file_path) -> problem.Problem:
     project = KiCadProject.from_pro_file(Path(pro_file_path))
     log.info("Parsing PCB file")

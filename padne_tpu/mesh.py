@@ -23,6 +23,7 @@ from typing import Optional
 import numpy as np
 
 from . import geom, native
+from .utils.validation import checked
 
 
 class MeshingException(RuntimeError):
@@ -444,6 +445,7 @@ class Mesher:
     def __init__(self, config: Optional["Mesher.Config"] = None):
         self.config = config if config is not None else Mesher.Config()
 
+    @checked
     def poly_to_mesh(
         self,
         poly: geom.Polygon,

@@ -21,6 +21,7 @@ from typing import Optional
 import numpy as np
 
 from . import assembly
+from ..utils.validation import checked
 
 
 @dataclass
@@ -157,6 +158,7 @@ def _lambda_max_dinv_a(A, iters: int = 12, seed: int = 3) -> float:
     return lam
 
 
+@checked
 def build_hierarchy(
     ell: assembly.EllMatrix,
     theta: float = 0.08,
@@ -452,6 +454,7 @@ def _coarse_inv_dense(A_sp, Ad: np.ndarray) -> np.ndarray:
     return (inv / d_scale).astype(np.float32)
 
 
+@checked
 def build_hierarchy_dia(
     ell: assembly.EllMatrix,
     coords: np.ndarray,
@@ -1405,9 +1408,16 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
             xc = jax.lax.all_gather(
                 xc_l, axis_name, axis=1, tiled=True).T     # (clen, R)
         else:
-            # Replicated tail: every shard runs the identical sub-cycle
-            # (transposed deep layout, same as the single-chip cycle).
-            xc = apply_n.cycle_t(level + 1, p, bc.T).T
+            # Replicated tail: every shard runs the identical sub-cycle,
+            # honouring the same PADNE_TPU_DEEP_T A/B gate as the
+            # single-chip cycle so layout comparisons stay apples-to-
+            # apples across 1-chip and sharded runs.
+            import os
+
+            if os.environ.get("PADNE_TPU_DEEP_T", "1") != "0":
+                xc = apply_n.cycle_t(level + 1, p, bc.T).T
+            else:
+                xc = apply_n.cycle(level + 1, p, bc)
         xcb = xc[e["child_perm"]]                          # (nc, R)
         pad = np_l // cap - nc
         if pad:

@@ -21,6 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+
+from ..utils.validation import checked
 import numpy as np
 
 
@@ -91,6 +93,7 @@ class EllMatrix:
         return A
 
 
+@checked
 def build_ell(
     n: int,
     edges: np.ndarray,     # (E, 2) int — undirected, no self loops

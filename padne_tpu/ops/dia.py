@@ -1108,7 +1108,11 @@ def _rem_count(params) -> int:
 def _rem_t_max(default: int = 32768) -> int:
     """Entry-count ceiling for the transposed remainder path
     (PADNE_TPU_REM_T). Above it, the (R, n) block-gather materializes
-    too much intermediate and the transpose sandwich wins."""
+    too much intermediate and the transpose sandwich wins.
+
+    Captured at TRACE time (like the build-time knobs, e.g.
+    PADNE_TPU_DEEP_T): changing the env var after a jitted caller has
+    compiled has no effect until that caller is re-traced."""
     import os
 
     return int(os.environ.get("PADNE_TPU_REM_T", default))
@@ -1140,10 +1144,23 @@ def _apply_remainder_t(params, np_: int, b: int, xt, yt):
     xb = xt.reshape(r, nb, b)
     lane = jnp.arange(b, dtype=jnp.int32)
 
-    def select(cols_flat):
+    # Entries per gather chunk: bounds the (r, chunk, b) block-gather
+    # transient to ~33 MB at R=8/f32 instead of growing with the whole
+    # tail (134 MB at the 32768-entry ceiling).
+    sel_chunk = 8192
+
+    def select_chunk(cols_flat):
         xg = jnp.take(xb, cols_flat // b, axis=1)        # (r, m, b)
         oh = (cols_flat % b)[:, None] == lane[None, :]   # (m, b)
         return (xg * oh[None].astype(xt.dtype)).sum(-1)  # (r, m)
+
+    def select(cols_flat):
+        m = cols_flat.shape[0]
+        if m <= sel_chunk:
+            return select_chunk(cols_flat)
+        return jnp.concatenate(
+            [select_chunk(cols_flat[s:s + sel_chunk])
+             for s in range(0, m, sel_chunk)], axis=1)
 
     for d in DiaPack.REM_BUCKETS:
         rows_d = params[f"r{d}_rows"]

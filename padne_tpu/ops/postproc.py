@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.validation import checked
+
 
 @jax.jit
 def face_gradients(vertices: jnp.ndarray, triangles: jnp.ndarray,
@@ -54,6 +56,7 @@ def _power_density_flat(vertices, triangles, values, conductance):
     return conductance * (g * g).sum(axis=1)
 
 
+@checked
 def power_density_batch(meshes, values_list, conductances):
     """Power density for MANY meshes in ONE padded jit call.
 

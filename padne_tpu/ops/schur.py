@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import assembly, cg
+from ..utils.validation import checked
 from .spmv import ell_matvec
 
 
@@ -102,6 +103,7 @@ def _dense_border(system: CoreSystem):
     return B, C
 
 
+@checked
 def solve_bordered(
     system: CoreSystem,
     tol: float = 1e-14,

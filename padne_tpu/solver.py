@@ -24,6 +24,7 @@ from typing import Optional
 import numpy as np
 
 from . import geom, mesh, problem
+from .utils.validation import checked
 
 log = logging.getLogger(__name__)
 
@@ -147,6 +148,7 @@ class ConnectivityGraph:
         return pairs
 
 
+@checked
 def compute_connectivity(prob: problem.Problem):
     """Returns (bbox_indices, graph, connected_layer_geom_pairs)."""
     indices = construct_indices_from_layers(prob.layers)
@@ -410,6 +412,7 @@ class NodeIndexer:
 # ---------------------------------------------------------------------------
 # System assembly (host structure + device values; reference 469-560)
 # ---------------------------------------------------------------------------
+@checked
 def assemble_core_system(
     prob: problem.Problem,
     meshes: list[mesh.TriMesh],
@@ -558,6 +561,7 @@ def assemble_core_system(
     return system, extra_var_elements
 
 
+@checked
 def system_to_scipy(system) -> tuple:
     """Full sparse system in reference layout [core | border] for
     cross-checking against a scipy direct solve: L z = r with
@@ -622,6 +626,7 @@ def produce_layer_solutions(
 # ---------------------------------------------------------------------------
 # Top-level solve (reference solver.py:815-902)
 # ---------------------------------------------------------------------------
+@checked
 def build_system(
     prob: problem.Problem,
     mesher_config: Optional[mesh.Mesher.Config] = None,
@@ -666,6 +671,7 @@ def build_system(
     return system, meshes, mesh_to_layer, vindex, disconnected
 
 
+@checked
 def solve(
     prob: problem.Problem,
     mesher_config: Optional[mesh.Mesher.Config] = None,

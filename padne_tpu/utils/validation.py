@@ -72,10 +72,11 @@ def checked(fn):
     """Validate annotated arguments and return value at call time when
     PADNE_TPU_CHECKS=1; zero overhead otherwise."""
     hints = None
+    sig = None
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        nonlocal hints
+        nonlocal hints, sig
         if not checks_enabled():
             return fn(*args, **kwargs)
         if hints is None:
@@ -83,9 +84,12 @@ def checked(fn):
                 hints = typing.get_type_hints(fn)
             except Exception:
                 hints = {}
-        import inspect
+        if sig is None:
+            import inspect
 
-        bound = inspect.signature(fn).bind(*args, **kwargs)
+            sig = inspect.signature(fn)
+
+        bound = sig.bind(*args, **kwargs)
         for pname, pvalue in bound.arguments.items():
             if pname in hints:
                 _check_value(pname, pvalue, hints[pname])

@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+# Arm the runtime contract checker for the WHOLE suite (the reference
+# arms typeguard over the package for every test, pyproject.toml:78-79).
+os.environ["PADNE_TPU_CHECKS"] = "1"
 
 import jax  # noqa: E402
 

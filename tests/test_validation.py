@@ -7,15 +7,30 @@ import pytest
 from padne_tpu.utils import validation
 
 
-@pytest.fixture(autouse=True)
-def armed(monkeypatch):
-    monkeypatch.setenv("PADNE_TPU_CHECKS", "1")
+def test_checker_is_armed_suite_wide():
+    """conftest.py arms PADNE_TPU_CHECKS=1 for the whole suite; this
+    test deliberately does NOT set the env itself."""
+    import os
 
-
-def test_checker_is_armed():
+    assert os.environ.get("PADNE_TPU_CHECKS") == "1"
     assert validation.checks_enabled()
     with pytest.raises(TypeError, match="return"):
         validation.add_numbers(1, 2)
+
+
+def test_pipeline_surface_is_decorated():
+    """The public pipeline entry points actually carry @checked (the
+    contracts are wired, not just available)."""
+    import padne_tpu.solver as solver
+    import padne_tpu.mesh as mesh
+    from padne_tpu.io import solution
+    from padne_tpu.ops import amg, assembly, schur
+
+    for fn in (solver.solve, solver.build_system, solver.compute_connectivity,
+               mesh.Mesher.poly_to_mesh, solution.save_solution,
+               solution.load_solution, schur.solve_bordered,
+               amg.build_hierarchy_dia, assembly.build_ell):
+        assert fn.__wrapped__ is not None, fn.__qualname__
 
 
 def test_wrong_argument_type():
