@@ -1441,7 +1441,8 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
 
 
 def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None,
-                         keep_widx: bool = False):
+                         keep_widx: bool = False,
+                         slots: Optional[int] = None):
     """Exact level-0 operator params for the CG matvec, sharing the
     (multi-GB) weight slab with the V-cycle params — only the exact
     diagonal and the remainder arrays are fresh device arrays.
@@ -1451,9 +1452,14 @@ def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None,
     make_vcycle_dia* via w0= to avoid a second nnz upload.
 
     keep_widx: retain the device widx split in the params (consumed by
-    the f64 anchor residual; only possible when the slab is built here,
-    not reused).  keep_widx disables slot packing (the anchor widens
-    the FULL remainder buckets)."""
+    the f64 anchor and the compensated operator, ops.comp; only
+    possible when the slab is built here, not reused).
+
+    slots: per-row-block extra-slot count; None picks the default
+    policy — slots OFF when keep_widx (the f64 anchor widens the FULL
+    remainder buckets).  The compensated operator takes the raw
+    remainder from the host pack, so comp callers pass
+    slots=dia.slots_env() explicitly to keep the fast CG matvec."""
     import jax.numpy as jnp
 
     from . import dia
@@ -1466,8 +1472,10 @@ def make_dia_cg_operator(h: AlignedHierarchy, vparams=None, dtype=None,
         # must stay exact, so build a full-precision slab.
         w = None
     keep = keep_widx and w is None
+    if slots is None:
+        slots = 0 if keep else dia.slots_env()
     return lv.pack.to_device(dtype=dtype, w=w, keep_widx=keep,
-                             slots=0 if keep else dia.slots_env())
+                             slots=slots)
 
 
 def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:

@@ -225,18 +225,14 @@ class DiaPack:
         slots: pack up to this many per-row-block extra offsets of the
         remainder into dense slot tables (ExtraSlots) consumed inside
         the matvec kernel; only the unplaced tail stays in the COO
-        remainder buckets.  Incompatible with keep_widx (the f64 anchor
-        widens the FULL remainder buckets — callers wanting the anchor
-        build the operator without slots)."""
+        remainder buckets.  NOTE: with slots the r{d}_ bucket params
+        hold only the post-slot tail — consumers that widen the FULL
+        remainder (the f64 anchor, _setup_anchor) must build with
+        slots=0; the compensated operator (ops.comp) instead takes the
+        raw remainder from the host pack and composes fine with
+        slots + keep_widx."""
         import jax
         import jax.numpy as jnp
-
-        if slots and keep_widx:
-            raise ValueError(
-                "slots and keep_widx are mutually exclusive: the f64 "
-                "anchor's remainder widening indexes the full remainder "
-                "buckets, which slot packing empties"
-            )
         dtype = dtype or jnp.float32
         slab_target = slab_dtype or dtype
         d, b, g, ng = len(self.offs), self.b, self.g, self.ng

@@ -541,6 +541,7 @@ class DiaBorderedSolver:
         # back to the single-device DIA path, whose make_pcg projector
         # switches to segment_sum beyond 64 components.
         sharded = tp > 1 and hierarchy.levels[0].shard and use_t
+        want_comp = False   # set in the single-device branch below
         if tp > 1 and hierarchy.levels[0].shard and not use_t:
             log.info(
                 "DIA sharding declined: %d deflation components exceed "
@@ -574,9 +575,21 @@ class DiaBorderedSolver:
                 and os.environ.get("PADNE_TPU_DEVICE_ANCHOR") == "1"
                 and not os.environ.get("PADNE_TPU_HOST_ANCHOR")
                 and not os.environ.get("PADNE_TPU_HOST_REFINE"))
+            # Compensated device-resident ladder (ops.comp): the
+            # default high-accuracy residual path — exact f64-class
+            # residuals evaluated ON DEVICE, so no per-pass v
+            # downloads / host SpMVs / rc re-uploads and no host
+            # mop-up pass.  Needs x64 and the widx split; composes
+            # with slot packing (unlike the f64 anchor).
+            want_comp = (
+                bool(jax.config.jax_enable_x64)
+                and os.environ.get("PADNE_TPU_COMP", "1") != "0"
+                and not os.environ.get("PADNE_TPU_HOST_REFINE"))
             _t0 = _time.time()
-            op_params = amg.make_dia_cg_operator(hierarchy,
-                                                 keep_widx=want_anchor)
+            op_params = amg.make_dia_cg_operator(
+                hierarchy, keep_widx=want_anchor or want_comp,
+                slots=(None if want_anchor
+                       else dia.slots_env() if want_comp else None))
             self._trace("setup: cg operator upload", _t0)
             _t0 = _time.time()
             w0 = (op_params["w"].astype(jnp.bfloat16)
@@ -807,6 +820,7 @@ class DiaBorderedSolver:
         if (self._refine_step is not None
                 and jax.config.jax_enable_x64
                 and "_hi" in (self._op_exact or {})
+                and os.environ.get("PADNE_TPU_DEVICE_ANCHOR") == "1"
                 and not os.environ.get("PADNE_TPU_HOST_ANCHOR")
                 and not os.environ.get("PADNE_TPU_HOST_REFINE")):
             try:
@@ -821,6 +835,26 @@ class DiaBorderedSolver:
                 log.info("f64 device anchor setup failed; keeping the "
                          "host anchor", exc_info=True)
                 self._anchor = None
+        # Compensated device-resident ladder setup (ops.comp) —
+        # consumes the widx split like the anchor, then it is released.
+        self._comp = None
+        self._comp_verified = False
+        self._b64_cache = None
+        self._rc0_pad = None
+        if (want_comp and self._op_exact is not None
+                and "_hi" in self._op_exact
+                and self._refine_step is not None):
+            try:
+                import time as _time3
+
+                _tc = _time3.time()
+                self._setup_comp(level0.pack, row_node_pos, row_idx_dev,
+                                 col_node_pos, col_idx_dev)
+                self._trace("setup: comp operator total", _tc)
+            except Exception:
+                log.info("compensated operator setup failed; keeping "
+                         "the host-anchored ladder", exc_info=True)
+                self._comp = None
         if self._op_exact is not None:
             # The widx split is consumed at anchor setup (the COO pairs
             # and value residues are materialized); release the ~5 B/nnz
@@ -883,7 +917,11 @@ class DiaBorderedSolver:
         m, p = self.m, self.p
         system = self.system
         t0 = time.time()
-        if self._Xc is None:
+        if self._Xc is None or self._comp is not None:
+            # Comp ladder: the pass-0 rc must stay exact f32 — it is
+            # the hi half of the device-resident exact b64 (see
+            # _comp_b64), so the f16 wire trick below would poison the
+            # exact residual, not just the correction RHS.
             rc_dev = jnp.asarray(rc.astype(np.float32))
         else:
             # Refinement-pass RHS rides the (slow) tunnel as scaled f16
@@ -900,6 +938,8 @@ class DiaBorderedSolver:
         rc_pad = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
             rc_dev)
         rc_pad.block_until_ready()
+        if self._comp is not None:
+            self._rc0_pad = rc_pad
         self._trace("upload rc", t0)
         t0 = time.time()
         if self._Xc is None:
@@ -1058,6 +1098,183 @@ class DiaBorderedSolver:
         self._anchor = lambda v_pad, j64: anchor(v_pad, j64,
                                                  *anchor_args)
         self._want_v_dev = True
+
+    def _setup_comp(self, pack, row_node_pos, row_idx_dev,
+                    col_node_pos, col_idx_dev):
+        """Build the compensated exact operator (ops.comp) and the
+        device-resident refinement jits around it.
+
+        The ladder this enables (see _comp_refine): one rc upload and
+        one final v download per solve; every residual in between is
+        evaluated ON DEVICE to ~1e-13 relative, so there is no device
+        noise floor to hand over to a host mop-up pass.  Replaces the
+        round-3 per-pass host f64 residual (v download + CSR SpMV + rc
+        re-upload, ~0.5 s/pass at 1M DoF through the axon tunnel)."""
+        import os
+        import time as _time
+
+        from . import comp as comp_mod
+        from . import dia
+
+        b = self.system.border
+        np0, m, p = self.np0, self.m, self.p
+        _t0 = _time.time()
+        mode = os.environ.get("PADNE_TPU_COMP_MODE", "f64")
+        cop = comp_mod.build(self._meta0, self._op_exact, pack,
+                             mode=mode)
+        jax.block_until_ready(cop.params["ell_vals"])
+        self._trace("setup: comp ELL build", _t0)
+        cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
+        rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
+        comp_pad_dev = self.comp_pad_dev
+
+        @jax.jit
+        def residual0(cp, v_pad, j64, b64):
+            """r64 = b64 + A64 v - C64 j, its squared norm, and B64 v."""
+            av = comp_mod.matvec(cop, cp, v_pad)
+            cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
+                cv64 * j64[col_idx_dev])
+            r = b64 + av - cj
+            v64 = v_pad.astype(jnp.float64)
+            bv = jax.ops.segment_sum(v64[row_node_pos] * rv64,
+                                     row_idx_dev, num_segments=m)
+            return r, jnp.sum(r * r), bv
+
+        @jax.jit
+        def update(cp, xc, r64, dcorr64, xr, dj32, c_full):
+            """One pass: dv = Xc dj - xr + Z c;  r64 += A64 dv - C64 dj;
+            dcorr64 += dv.  Returns (r64, dcorr64, ||r||^2)."""
+            dv = xc @ dj32 - xr + c_full[comp_pad_dev]
+            av = comp_mod.matvec(cop, cp, dv)
+            cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
+                cv64 * dj32.astype(jnp.float64)[col_idx_dev])
+            r = r64 + av - cj
+            return r, dcorr64 + dv.astype(jnp.float64), jnp.sum(r * r)
+
+        @jax.jit
+        def rhs32(r64):
+            return r64.astype(jnp.float32)
+
+        @jax.jit
+        def ztr64(r64):
+            return jax.ops.segment_sum(r64, comp_pad_dev,
+                                       num_segments=p + 1)
+
+        @jax.jit
+        def final_v(v_pad, dcorr64):
+            return v_pad.astype(jnp.float64) + dcorr64
+
+        @jax.jit
+        def widen_rc(rc32_pad, q_pad):
+            return rc32_pad.astype(jnp.float64) * (
+                1.0 + q_pad.astype(jnp.float64) * dia.RATIO16_SCALE)
+
+        self._comp = {
+            "op": cop, "residual0": residual0, "update": update,
+            "rhs32": rhs32, "ztr64": ztr64, "final_v": final_v,
+            "widen_rc": widen_rc,
+        }
+
+    def _comp_b64(self, rc, rc_pad):
+        """Exact f64 r_core on device: the resident f32 pad widened by
+        an int16 ratio-residue upload (2 B/row).  Cached per r_core
+        array (repeat solves of one system upload nothing)."""
+        from . import dia
+
+        if self._b64_cache is not None and self._b64_cache[0] is rc:
+            return self._b64_cache[1]
+        q = dia.ratio16_encode(rc)
+        q_pad = jnp.zeros(self.np0, jnp.int16).at[self.posmap_dev].set(
+            jnp.asarray(q))
+        b64 = self._comp["widen_rc"](rc_pad, q_pad)
+        self._b64_cache = (rc, b64)
+        return b64
+
+    def _comp_refine(self, j, target_residual, max_refinements):
+        """Fully device-resident refinement ladder on the compensated
+        operator: CG pass -> tiny (m,) border downloads -> host lstsq
+        -> device update with an exact residual.  Nothing n-sized
+        crosses the tunnel between the pass-0 rc upload and the single
+        final v download.
+
+        Returns (v, j, res_core, res_border, res_norm, refinements);
+        res_core/res_border are None when the device residual was
+        host-verified earlier and the target was met (the caller's
+        mop-up loop is not entered)."""
+        import os
+        import time
+
+        c = self._comp
+        b = self.system.border
+        p = self.p
+        system = self.system
+        t0 = time.time()
+        b64 = self._comp_b64(system.r_core, self._rc0_pad)
+        j64 = jnp.asarray(j.astype(np.float64))
+        r64, n2, bv = c["residual0"](c["op"].params, self._v1_pad,
+                                     j64, b64)
+        rb = b.rhs - np.asarray(bv, np.float64)
+        res_norm = float(np.sqrt(float(n2) + (rb ** 2).sum()))
+        self._trace("comp residual (device)", t0)
+        dcorr64 = jnp.zeros(self.np0, jnp.float64)
+        refinements = 0
+        while (res_norm > target_residual
+               and refinements < max_refinements):
+            tol_pass = min(0.05, max(self.inner_tol,
+                                     0.2 * target_residual / res_norm))
+            t0 = time.time()
+            x = self._run_cg(c["rhs32"](r64)[:, None], tol=tol_pass)
+            x.block_until_ready()
+            self._trace("inner cg (comp pass)", t0)
+            t0 = time.time()
+            xr = x[:, 0]
+            Bxr = np.asarray(self._border_single(xr), dtype=np.float64)
+            Ztr = np.asarray(c["ztr64"](r64), dtype=np.float64)[:p]
+            dj, cc = self._small_correction(self._BXc_host, Bxr, rb,
+                                            Ztr)
+            c_full = jnp.asarray(
+                np.concatenate([cc, [0.0]]).astype(np.float32))
+            prev = (r64, dcorr64, rb, j, res_norm)
+            r64, dcorr64, n2 = c["update"](
+                c["op"].params, self._Xc, r64, dcorr64, xr,
+                jnp.asarray(dj.astype(np.float32)), c_full)
+            rb = rb - (self._BXc_host @ dj - Bxr + self.BZ @ cc)
+            j = j + dj
+            refinements += 1
+            new_norm = float(np.sqrt(float(n2) + (rb ** 2).sum()))
+            self._trace("comp update", t0)
+            if new_norm >= res_norm:
+                # CG stall (not a precision floor — the compensated
+                # residual sits at ~1e-13 relative): revert, hand back.
+                r64, dcorr64, rb, j, res_norm = prev
+                break
+            res_norm = new_norm
+        t0 = time.time()
+        v = np.asarray(c["final_v"](self._v1_pad, dcorr64))[self.posmap]
+        self._trace("download v (f64)", t0)
+        # Honesty: verify the device residual against the host f64
+        # residual on the first solve of this instance (and whenever
+        # the ladder failed to reach the target, so the caller's mop-up
+        # loop starts from true host state).  Once verified, repeat
+        # solves trust the device number; PADNE_TPU_HOST_CHECK=1 forces
+        # the check every solve.
+        res_core = res_border = None
+        if (not self._comp_verified or res_norm > target_residual
+                or os.environ.get("PADNE_TPU_HOST_CHECK")):
+            res_core, res_border = self._full_residual(v, j)
+            host_norm = float(np.sqrt((res_core ** 2).sum()
+                                      + (res_border ** 2).sum()))
+            self._comp_verified = (
+                abs(host_norm - res_norm)
+                <= 0.25 * max(host_norm, res_norm))
+            if not self._comp_verified:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "comp residual disagrees with host (%.3e vs %.3e);"
+                    " host value kept", res_norm, host_norm)
+            res_norm = host_norm
+        return v, j, res_core, res_border, res_norm, refinements
 
     def _small_correction(self, BXc, Bxr, rb, Ztr):
         """Solve the small dense (m+p) Schur block with lstsq (graceful
@@ -1219,12 +1436,20 @@ class DiaBorderedSolver:
         self._cg_iters = 0
         # Keep-v-on-device applies to THIS pass only: later host-
         # fallback passes through _solve_once must return host arrays.
-        self._want_v_dev = self._anchor is not None
+        self._want_v_dev = (self._anchor is not None
+                            or self._comp is not None)
         v, j = self._solve_once(system.r_core, b.rhs)
         self._want_v_dev = False
         refinements = 0
         anchored = False
-        if v is None:
+        if v is None and self._comp is not None:
+            # Compensated device-resident ladder (the default when x64
+            # is on): exact residuals on device, no host anchor pass.
+            (v, j, res_core, res_border, res_norm,
+             refinements) = self._comp_refine(
+                j, target_residual, max_refinements)
+            anchored = True
+        elif v is None:
             # Anchor mode: v stayed on device; evaluate the exact pass-1
             # residual there.  A runtime failure (platform without f64
             # einsum) permanently falls back to the host anchor.

@@ -127,35 +127,54 @@ class SolutionViewer:
         return (lo, hi if hi > lo else lo + 1e-12)
 
     # -- drawing ------------------------------------------------------------
+    # Display-side face budget: beyond it, triangles are strided for
+    # DRAWING only (probing/scaling always use the full data).  The
+    # reference keeps its GUI responsive on big solutions with VBOs +
+    # a 2-worker prep pool (ui.py:649-1142); matplotlib has no such
+    # path, so a 1M-triangle tripcolor would hang the figure for
+    # minutes — decimation is the equivalent interactivity guarantee.
+    DECIMATE_FACES = 200_000
+
+    def _display_stride(self) -> int:
+        ls = self.layer_solution
+        total = sum(m.num_faces for m in ls.meshes) + sum(
+            m.num_faces for m in ls.disconnected_meshes)
+        return max(1, -(-total // self.DECIMATE_FACES))
+
     def redraw(self):
         self.ax.clear()
         ls = self.layer_solution
         vmin, vmax = self.value_range()
+        stride = self._display_stride()
         tp = None
         for m in ls.disconnected_meshes:
+            tris = m.triangles[::stride]
             self.ax.tripcolor(
-                m.vertices[:, 0], -m.vertices[:, 1], m.triangles,
-                facecolors=np.zeros(m.num_faces),
+                m.vertices[:, 0], -m.vertices[:, 1], tris,
+                facecolors=np.zeros(len(tris)),
                 cmap="gray", vmin=-1, vmax=1, alpha=0.6,
             )
         for mi, m in enumerate(ls.meshes):
             vals, kind = self.mode.values_for(ls, mi)
             if kind == "vertex":
                 tp = self.ax.tripcolor(
-                    m.vertices[:, 0], -m.vertices[:, 1], m.triangles, vals,
+                    m.vertices[:, 0], -m.vertices[:, 1],
+                    m.triangles[::stride], vals,
                     shading="gouraud", cmap=self.mode.cmap_name,
                     vmin=vmin, vmax=vmax,
                 )
             else:
                 tp = self.ax.tripcolor(
-                    m.vertices[:, 0], -m.vertices[:, 1], m.triangles,
-                    facecolors=vals, cmap=self.mode.cmap_name,
+                    m.vertices[:, 0], -m.vertices[:, 1],
+                    m.triangles[::stride], facecolors=vals[::stride],
+                    cmap=self.mode.cmap_name,
                     vmin=vmin, vmax=vmax,
                 )
         if self.show_edges:
             for m in ls.meshes:
                 self.ax.triplot(
-                    m.vertices[:, 0], -m.vertices[:, 1], m.triangles,
+                    m.vertices[:, 0], -m.vertices[:, 1],
+                    m.triangles[::stride],
                     color="black", linewidth=0.15, alpha=0.5,
                 )
         if self.show_connections:
@@ -170,6 +189,8 @@ class SolutionViewer:
                         markeredgewidth=0.3, zorder=5,
                     )
         layer_name = self.solution.problem.layers[self.layer_idx].name
+        if stride > 1:
+            layer_name += f" (display decimated 1/{stride})"
         lo = units.Value(vmin, self.mode.unit).pretty_format()
         hi = units.Value(vmax, self.mode.unit).pretty_format()
         if getattr(self, "_box_lo", None) is not None:

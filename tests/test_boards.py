@@ -45,6 +45,9 @@ QUICK_BOARDS = [
 # also skips its scale fixtures many_meshes / many_meshes_many_vias;
 # here they solve in the sweep (cached point classification + batched
 # post-processing brought them from 60 s / 205 s to ~6 s / ~30 s).
+# tht_component gets its own tier (TestThtComponent below): it loads,
+# meshes, and — unlike in the reference — actually solves (env-gated,
+# its 64-variable border is a minutes-long CPU solve).
 EXCLUDE = {
     "tht_component",
     "unterminated_current_loop",
@@ -210,3 +213,40 @@ class TestBoardPhysics:
         if not np.isfinite(z).all():
             pytest.skip("scipy direct solve is singular for this board")
         assert np.abs(z[: system.n] - result.v).max() < 1e-6
+
+
+class TestThtComponent:
+    """tht_component: the reference EXCLUDES this board from every
+    solve sweep without a documented reason (reference
+    test_solver.py:1117-1121).  Here the whole host pipeline handles
+    it, and the solve actually CONVERGES — it is excluded from the
+    default sweep only because its 64-variable MNA border (every THT
+    pad couples two layers through the pad stack) makes the multi-RHS
+    Schur pass a minutes-long CPU solve.  PADNE_TPU_SLOW=1 runs it."""
+
+    def test_loads_meshes_and_assembles(self):
+        prob = kicad.load_kicad_project(
+            REF_BOARDS / "tht_component" / "tht_component.kicad_pro"
+        )
+        system, meshes, m2l, vindex, disc = solver.build_system(prob)
+        assert system.n > 1000
+        assert system.border.m >= 32  # the big THT border is the point
+        for m in meshes:
+            m.validate()
+
+    @pytest.mark.skipif(
+        not os.environ.get("PADNE_TPU_SLOW"),
+        reason="m=64 border: minutes-long multi-RHS CPU solve",
+    )
+    def test_solves_unlike_the_reference(self):
+        prob = kicad.load_kicad_project(
+            REF_BOARDS / "tht_component" / "tht_component.kicad_pro"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sol = solver.solve(prob)
+        assert all(
+            np.isfinite(p.values).all()
+            for ls in sol.layer_solutions for p in ls.potentials
+        )
+        assert sol.solver_info.residual_norm < 1e-8

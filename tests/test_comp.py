@@ -73,6 +73,31 @@ class TestCompMatvec:
         rel = np.abs(y[:n] - ref).max() / np.abs(ref).max()
         assert rel < 1e-10, rel
 
+    def test_cancellation_floor_below_refinement_target(self):
+        """Laplacian-scale operator (|a| ~ 2e3 S, the production
+        conductance scale) applied to a smooth volt-scale field: the
+        row sums cancel, so the result is dominated by the OPERATOR
+        representation error.  The f32 lo-half residue must hold the
+        error near 2^-48 relative to the row magnitude — the int16
+        ratio residue (2^-39) fails this gate by ~2 orders, which is
+        exactly how it floored the 1M-DoF residual at 1.2e-7 relative
+        on TPU (above the 1e-8 refinement target)."""
+        from tests.test_dia_sharded import grid_system
+
+        ell, coords = grid_system(64, 64)
+        a = ell.to_scipy() * (2081.0 * np.pi / 3.0)
+        pk = dia.pack_csr_as_dia(a)
+        params = pk.to_device(keep_widx=True)
+        op = comp.build(pk.meta, params, pk, mode="dekker")
+        n = a.shape[0]
+        x32 = np.linspace(0.0, 3.3, n).astype(np.float32)
+        x_pad = np.zeros(pk.np_, np.float32)
+        x_pad[:n] = x32
+        y = np.asarray(comp.matvec(op, op.params, jnp.asarray(x_pad)))
+        ref = a @ x32.astype(np.float64)
+        scale = (abs(a) @ np.abs(x32.astype(np.float64))).max()
+        assert np.abs(y[:n] - ref).max() < 2e-13 * scale
+
     def test_choose_k_budget(self):
         pk, _, _ = _build(seed=7)
         k, tail = comp.choose_k(pk, k_cap=10)

@@ -268,3 +268,85 @@ class TestShardingDeclinesLargeDeflation:
         assert sol.residual_norm < 1e-8
         span = sol.v[:n1].max() - sol.v[:n1].min()
         assert span > 0.5
+
+
+def _volt_border(n):
+    return schur.BorderSpec(
+        m=1,
+        row_idx=np.array([0, 0]), row_node=np.array([0, n - 1]),
+        row_val=np.array([1.0, -1.0]),
+        col_idx=np.array([0, 0]), col_node=np.array([0, n - 1]),
+        col_val=np.array([1.0, -1.0]),
+        rhs=np.array([1.0]),
+    )
+
+
+class TestShardedDeepHierarchy:
+    def test_production_solve_300k_two_sharded_levels(self):
+        """Round-4 gate (VERDICT r3 #5): >= 300k DoF with >= 2 SHARDED
+        AMG levels on 8 devices — the sharded->sharded restriction/
+        prolongation boundary runs inside the production bordered
+        solve, not just the isolated V-cycle test above."""
+        ell, coords = grid_system(560, 560)      # 313,600 DoF
+        n = len(ell.diag)
+        system = schur.CoreSystem(
+            n=n, ell=ell, comp_id=np.zeros(n, dtype=np.int32),
+            num_components=1, border=_volt_border(n),
+            r_core=np.zeros(n), ground_var=0, coords=coords,
+        )
+        from padne_tpu.parallel import sharding
+
+        mesh = sharding.make_mesh(8, dp=1)
+        solver = schur.DiaBorderedSolver(system, mesh=mesh,
+                                         shard_min=8192)
+        n_sh = sum(1 for lv in solver.hierarchy.levels if lv.shard)
+        assert n_sh >= 2, (
+            f"expected >= 2 sharded levels, got {n_sh} "
+            f"(levels {[lv.pack.np_ for lv in solver.hierarchy.levels]})"
+        )
+        sol = solver.solve(target_residual=1e-8)
+        assert sol.residual_norm < 1e-8
+        span = float(sol.v.max() - sol.v.min())
+        assert abs(span - 1.0) < 1e-6, span  # the forced volt appears
+        # Serial reference on the cheap gather path (same system).
+        serial = schur.solve_bordered(
+            system, device_dtype=jnp.float32, operator="ell",
+            target_residual=1e-8)
+        np.testing.assert_allclose(sol.v, serial.v,
+                                   atol=1e-6 * max(span, 1.0), rtol=0)
+
+    def test_dp_x_tp_production_replicas(self):
+        """dp x tp (2x4) of the DIA production path: the device grid
+        splits into two independent replicas, each solving a scaled
+        copy of the system TP-sharded over its own 4-device row (the
+        v5e-8 design-sweep layout)."""
+        ell, coords = grid_system(192, 192)      # 36,864 DoF
+        n = len(ell.diag)
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        results = []
+        for d in range(2):
+            scale = 1.0 + d
+            ell_d = assembly.EllMatrix(
+                cols=ell.cols, vals=ell.vals * scale,
+                diag=ell.diag * scale)
+            system_d = schur.CoreSystem(
+                n=n, ell=ell_d, comp_id=np.zeros(n, dtype=np.int32),
+                num_components=1, border=_volt_border(n),
+                r_core=np.zeros(n), ground_var=0, coords=coords,
+            )
+            sub = Mesh(devs[d], axis_names=("tp",))
+            solver = schur.DiaBorderedSolver(system_d, mesh=sub,
+                                             shard_min=4096)
+            assert solver._sharded, "replica must run the sharded path"
+            sol = solver.solve(target_residual=1e-9)
+            assert sol.residual_norm < 1e-9
+            results.append(sol)
+        # The forced volt is conductance-scale invariant; the border
+        # current scales with conductance.
+        for sol in results:
+            span = float(sol.v.max() - sol.v.min())
+            assert abs(span - 1.0) < 1e-6, span
+        np.testing.assert_allclose(results[1].v, results[0].v,
+                                   atol=1e-6, rtol=0)
+        np.testing.assert_allclose(results[1].j, 2.0 * results[0].j,
+                                   rtol=1e-6)
