@@ -92,7 +92,8 @@ def main():
 
     from padne_tpu.ops import amg, cg, dia
 
-    R = 8
+    import os as _os
+    R = int(_os.environ.get("PADNE_TPU_MB_R", "8"))
     t0 = time.time()
     h = amg.build_hierarchy_dia(ell, verts, coarse_size=3000, group=group)
     print(f"setup {time.time()-t0:.1f}s levels="

@@ -524,6 +524,19 @@ class DiaBorderedSolver:
             knobs["deep_coverage"] = float(deep_cov)
         if drop:
             knobs["drop_tol"] = float(drop)
+        # Level-0 slab budget: fewer offsets shrink the dominant HBM
+        # stream of the V-cycle while the slot tables absorb the grown
+        # remainder.  Default 4 from the v5e sweep at the 1M bench
+        # (2026-08-20, warm solve / 30 iters in every case):
+        # mo=8: 3.25 s, 6: 2.78, 5: 2.71, 4: 2.46, 3: 2.66, 2: 2.41 —
+        # 4 is the consistent knee (2 wins within noise but leaves an
+        # asymmetric band and a 2.7x remainder).  Host hierarchy build
+        # shrinks too (14.4 -> 8.5 s: fewer slab entries to pack).
+        l0_mo = os.environ.get("PADNE_TPU_L0_OFFSETS")
+        l0_cov = os.environ.get("PADNE_TPU_L0_COVERAGE")
+        knobs["max_offsets"] = int(l0_mo) if l0_mo else 4
+        if l0_cov:
+            knobs["coverage"] = float(l0_cov)
         hierarchy = amg.build_hierarchy_dia(
             system.ell, system.coords, coarse_size=3000, tp=tp,
             shard_min=shard_min, group=grp, a_csr=self.A_host, **knobs)
@@ -666,7 +679,16 @@ class DiaBorderedSolver:
         self._meta0 = meta0
         self._backend = backend
         self._BXc_host = None
-        self.inner_tol = max(tol, 1e-5)
+        # Per-pass inner CG tolerance floor.  The refinement ladder
+        # multiplies per-pass contractions, so chasing 1e-5 in EVERY
+        # pass buys accuracy the outer target does not need.  Default
+        # from the v5e A/B at the 1M bench (2026-08-20): 3e-4 solves in
+        # 2.89 s / 30 iters / 2 passes vs 3.26 s / 32 / 2 at 1e-5 and
+        # 3.77 s / 32 / 3 at 1e-3 (the knee: contraction per pass
+        # drops below the pass overhead).  PADNE_TPU_INNER_TOL
+        # overrides (trace-time capture, like the other solver knobs).
+        self.inner_tol = max(tol, float(
+            os.environ.get("PADNE_TPU_INNER_TOL", "3e-4")))
         # f32 CG gains stall after a few dozen V-cycles (noise floor);
         # the outer refinement multiplies per-pass gains, so cap the
         # inner solve instead of letting a floor-limited CG spin to
@@ -1122,7 +1144,11 @@ class DiaBorderedSolver:
         mode = os.environ.get("PADNE_TPU_COMP_MODE", "f64")
         cop = comp_mod.build(self._meta0, self._op_exact, pack,
                              mode=mode)
-        jax.block_until_ready(cop.params["ell_vals"])
+        if os.environ.get("PADNE_TPU_SOLVE_TRACE"):
+            # Only block for honest per-phase attribution under the
+            # trace; otherwise the ELL build + lo-stream transfers stay
+            # in flight and finish under the first solve's compile.
+            jax.block_until_ready(cop.params["ell_vals"])
         self._trace("setup: comp ELL build", _t0)
         cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
         rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
@@ -1161,8 +1187,32 @@ class DiaBorderedSolver:
                                        num_segments=p + 1)
 
         @jax.jit
+        def pass_products(xr, r64):
+            """(B xr, Z^T r) fused — one dispatch + one pull per pass
+            instead of two round trips through the (slow) tunnel."""
+            bx = jax.ops.segment_sum(
+                xr.astype(jnp.float64)[row_node_pos] * rv64,
+                row_idx_dev, num_segments=m)
+            zt = jax.ops.segment_sum(r64, comp_pad_dev,
+                                     num_segments=p + 1)
+            return bx, zt
+
+        @jax.jit
         def final_v(v_pad, dcorr64):
             return v_pad.astype(jnp.float64) + dcorr64
+
+        @jax.jit
+        def final_v_split(v_pad, dcorr64):
+            """v as (f32 hi, scaled-f16 lo, scale): 6 B/row on the wire
+            instead of 8, reconstructing to ~1e-10-relative — used once
+            the device residual is host-verified (the verification
+            solve itself downloads exact f64)."""
+            v = v_pad.astype(jnp.float64) + dcorr64
+            hi = v.astype(jnp.float32)
+            lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(lo)), jnp.float32(1e-30))
+            lo16 = (lo / s).astype(jnp.float16)
+            return hi, lo16, s
 
         @jax.jit
         def widen_rc(rc32_pad, q_pad):
@@ -1172,7 +1222,8 @@ class DiaBorderedSolver:
         self._comp = {
             "op": cop, "residual0": residual0, "update": update,
             "rhs32": rhs32, "ztr64": ztr64, "final_v": final_v,
-            "widen_rc": widen_rc,
+            "widen_rc": widen_rc, "pass_products": pass_products,
+            "final_v_split": final_v_split,
         }
 
     def _comp_b64(self, rc, rc_pad):
@@ -1228,8 +1279,9 @@ class DiaBorderedSolver:
             self._trace("inner cg (comp pass)", t0)
             t0 = time.time()
             xr = x[:, 0]
-            Bxr = np.asarray(self._border_single(xr), dtype=np.float64)
-            Ztr = np.asarray(c["ztr64"](r64), dtype=np.float64)[:p]
+            bx_d, zt_d = c["pass_products"](xr, r64)
+            Bxr = np.asarray(bx_d, dtype=np.float64)
+            Ztr = np.asarray(zt_d, dtype=np.float64)[:p]
             dj, cc = self._small_correction(self._BXc_host, Bxr, rb,
                                             Ztr)
             c_full = jnp.asarray(
@@ -1250,8 +1302,17 @@ class DiaBorderedSolver:
                 break
             res_norm = new_norm
         t0 = time.time()
-        v = np.asarray(c["final_v"](self._v1_pad, dcorr64))[self.posmap]
-        self._trace("download v (f64)", t0)
+        if self._comp_verified and not os.environ.get(
+                "PADNE_TPU_HOST_CHECK"):
+            hi, lo16, sc = c["final_v_split"](self._v1_pad, dcorr64)
+            v = (np.asarray(hi).astype(np.float64)
+                 + np.asarray(lo16).astype(np.float64)
+                 * float(sc))[self.posmap]
+            self._trace("download v (f32+f16)", t0)
+        else:
+            v = np.asarray(c["final_v"](self._v1_pad,
+                                        dcorr64))[self.posmap]
+            self._trace("download v (f64)", t0)
         # Honesty: verify the device residual against the host f64
         # residual on the first solve of this instance (and whenever
         # the ladder failed to reach the target, so the caller's mop-up

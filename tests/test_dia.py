@@ -421,10 +421,19 @@ class TestExtraSlots:
                                          backend=backend))
         assert np.abs(yt.T[:n] - yref).max() / np.abs(yref).max() < 1e-5
 
-    def test_keep_widx_conflict(self):
+    def test_keep_widx_composes_with_slots(self):
+        """slots + keep_widx is a supported combination since the
+        compensated operator landed (ops.comp takes the raw remainder
+        from the host pack); the r{d}_ buckets then hold only the
+        post-slot tail, and the widx split is still returned."""
         pk, _ = self._pack()
-        with pytest.raises(ValueError):
-            pk.to_device(slots=2, keep_widx=True)
+        params = pk.to_device(slots=2, keep_widx=True)
+        assert "_hi" in params and "_lo" in params
+        assert "xs_tgt" in params
+        tail = sum(params[f"r{d}_rows"].shape[0] * d
+                   for d in dia.DiaPack.REM_BUCKETS)
+        tail += params["sp_rows"].shape[0]
+        assert tail < len(pk.rem_rows)
 
     def test_empty_remainder_skips_slots(self):
         rows, cols, vals, diag, a = random_system(spread=50)
