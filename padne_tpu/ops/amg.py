@@ -523,6 +523,19 @@ def build_hierarchy_dia(
     # Np_l / cap with the child's own padded length, so padding does NOT
     # compound up the chain.
     lvl_coords = coords[perm0]
+
+    import time as _time
+
+    _trace_on = os.environ.get("PADNE_TPU_SOLVE_TRACE")
+
+    def _htr(label, t0):
+        if _trace_on:
+            import sys as _sys
+
+            print(f"[solve-trace] hier: {label}: "
+                  f"{_time.time() - t0:.3f}s", file=_sys.stderr,
+                  flush=True)
+
     levels = []
     all_pos = []        # per level: row index -> padded position
     for level_i in range(max_levels):
@@ -536,7 +549,10 @@ def build_hierarchy_dia(
         # stalls coarsening into crude pairwise fallbacks (weak coarse
         # solves cost 2-3x in CG iterations).
         theta_l = theta if level_i < 3 else theta / 4.0
+        _t0 = _time.time()
         strength = _strength_pattern(A, theta_l)
+        _htr(f"L{level_i} strength (nnz={A.nnz})", _t0)
+        _t0 = _time.time()
         agg, nc = _aggregate_capped(A, cap_l, theta_l, strength=strength)
         while cap_l > 2 and nl / nc < 0.7 * cap_l:
             cap_l //= 2
@@ -582,7 +598,11 @@ def build_hierarchy_dia(
         # underestimated lambda_max would push omega_s past the 2/lambda
         # Jacobi stability bound and turn the V-cycle into an AMPLIFIER
         # (observed as CG divergence on small coarse levels).
+        _htr(f"L{level_i} aggregate+reorder", _t0)
+        _t0 = _time.time()
         lam = 1.1 * _lambda_max_dinv_a(A, iters=16)
+        _htr(f"L{level_i} lambda_max", _t0)
+        _t0 = _time.time()
         omega_s = min(alpha, 1.6) / lam
         # Smoothed prolongation densifies the Galerkin operators (each
         # level's stencil grows), which destroys the block-offset
@@ -631,10 +651,14 @@ def build_hierarchy_dia(
             else max_offsets)
         cov_l = coverage if not widen_deep else (
             deep_coverage if deep_coverage is not None else coverage)
+        _htr(f"L{level_i} layout", _t0)
+        _t0 = _time.time()
         pack = dia.pack_csr_pos_as_dia(
             A, pos, diag=diag_pad, coverage=cov_l,
             max_offsets=mo_l, np_override=np_l,
         )
+        _htr(f"L{level_i} pack (nnz={A.nnz})", _t0)
+        _t0 = _time.time()
         if shard_l:
             from . import dia_sharded
 
@@ -688,6 +712,7 @@ def build_hierarchy_dia(
                     shape=Ac.shape,
                 )
                 Ac = (Ac + scipy.sparse.diags(lump)).tocsr()
+        _htr(f"L{level_i} galerkin", _t0)
         levels.append(AlignedLevel(
             pack=pack, dinv=dinv_pad, omega_p=omega_p, omega_s=omega_s,
             cap=cap_l, child_len=0, child_perm=None,   # patched below
@@ -826,6 +851,30 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
             print(f"[solve-trace] {label}: {_time.time() - t0:.3f}s",
                   file=_sys.stderr, flush=True)
 
+    # All deep-level slabs in ONE jitted program: each per-shape jit
+    # pays ~1 s of blocking executable load through the axon cache
+    # path, which the separate per-level builds serialized.
+    deep_ws = None
+    if len(h.levels) > 2 and (dtype is None or dtype == jnp.float32):
+        _t0 = _time.time()
+        deep_ws = dia.build_slabs(
+            [(lv.pack, slab_dtype or dtype or None)
+             for lv in h.levels[1:]])
+        _tr(f"vcycle deep slabs (batched x{len(deep_ws)})", _t0)
+
+    # Batched upload of the per-level aux vectors (child_perm + dinv):
+    # 2 transfers x levels of ~40 ms fixed tunnel round-trip each.
+    import jax
+
+    aux = None
+    if dtype is None or dtype == jnp.float32:
+        aux_host = {}
+        for i, lv in enumerate(h.levels):
+            aux_host[f"cp{i}"] = np.asarray(lv.child_perm)
+            aux_host[f"dinv{i}"] = np.asarray(lv.dinv).astype(
+                np.float32)
+        aux = jax.device_put(aux_host)
+
     params = []
     for i, lv in enumerate(h.levels):
         _t0 = _time.time()
@@ -836,14 +885,17 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         # cycle program crash the TPU worker (Mosaic fault, v5e jax
         # 0.9 — each kernel passes in isolation, the composition does
         # not), and deep remainders are a few ms total anyway.
+        w_pre = (w0 if i == 0
+                 else deep_ws[i - 1] if deep_ws is not None else None)
         entry = lv.pack.to_device(dtype=dtype,
-                                  w=w0 if i == 0 else None,
+                                  w=w_pre,
                                   slab_dtype=(slab_dtype if i > 0
                                               else None),
                                   slots=dia.slots_env() if i == 0 else 0)
         if slab_dtype is not None and entry["w"].dtype != slab_dtype:
             entry["w"] = entry["w"].astype(slab_dtype)
-        entry["child_perm"] = jnp.asarray(lv.child_perm)
+        entry["child_perm"] = (aux[f"cp{i}"] if aux is not None
+                               else jnp.asarray(lv.child_perm))
         if lump_remainder and len(lv.pack.rem_rows):
             # Strength-SELECTIVE lumping.  A remainder entry may be a
             # weak long-range coupling (drop into the diagonal, row sums
@@ -882,8 +934,9 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
                 entry["dinv"] = jnp.asarray(lv.dinv).astype(
                     dtype or jnp.float32)
         else:
-            entry["dinv"] = jnp.asarray(lv.dinv).astype(
-                dtype or jnp.float32)
+            entry["dinv"] = (aux[f"dinv{i}"] if aux is not None
+                             else jnp.asarray(lv.dinv).astype(
+                                 dtype or jnp.float32))
         params.append(entry)
         _tr(f"vcycle level {i} params (np={lv.pack.np_}, "
             f"d={len(lv.pack.offs)})", _t0)
@@ -1259,6 +1312,11 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
     # elementwise op plus two full-size relayout transposes per matvec;
     # PADNE_TPU_DEEP_T=0 restores the normal-layout tail for A/B.
     deep_t = os.environ.get("PADNE_TPU_DEEP_T", "1") != "0"
+    # V(s,s) level-0 smoothing count (PADNE_TPU_SMOOTH_STEPS, default
+    # 1): extra damped-Jacobi steps on BOTH sides keep the cycle
+    # symmetric; each costs one lumped L0 matvec per side.
+    smooth_steps = max(
+        1, int(os.environ.get("PADNE_TPU_SMOOTH_STEPS", "1")))
 
     def apply_t(p, bt):
         e = p[0]
@@ -1279,6 +1337,8 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
         dinv_sm = e["sm"]["dinv"][None, :] if lump else dinv_ex
         dinv = dinv_sm if (cycle_lumped and lump) else dinv_ex
         x = om_s * dinv * bt
+        for _ in range(smooth_steps - 1):
+            x = x + om_s * dinv * (bt - mv(x))
         r1 = bt - mv(x)
         t = r1 - om_p * mv_sm(dinv_sm * r1) if om_p else r1
         rc_t = t.reshape(r_cols, np0 // cap0, cap0).sum(axis=2)
@@ -1299,6 +1359,8 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
         ).reshape(r_cols, np0)
         x = x + (px - om_p * dinv_sm * mv_sm(px) if om_p else px)
         x = x + om_s * dinv * (bt - mv(x))
+        for _ in range(smooth_steps - 1):
+            x = x + om_s * dinv * (bt - mv(x))
         return x
 
     return apply_t, params

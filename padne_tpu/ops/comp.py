@@ -132,12 +132,19 @@ def build(meta, op_params, pack, mode: str = "dekker",
 
     # Uploads: f32 lo-half value streams + the raw remainder (the
     # nnz-sized hi values and all indices stay resident/derived).
-    lo_slab = jnp.asarray(_f32_lo(pack.wval))
-    lo_diag = jnp.asarray(_f32_lo(pack.diag))
-    rem_r = jnp.asarray(pack.rem_rows.astype(np.int32))
-    rem_c = jnp.asarray(pack.rem_cols.astype(np.int32))
-    rem_v32 = jnp.asarray(pack.rem_vals.astype(np.float32))
-    rem_lo = jnp.asarray(_f32_lo(pack.rem_vals))
+    # One batched device_put: separate transfers cost ~40 ms of fixed
+    # tunnel round-trip EACH regardless of size.
+    up = jax.device_put({
+        "lo_slab": _f32_lo(pack.wval),
+        "lo_diag": _f32_lo(pack.diag),
+        "rem_r": pack.rem_rows.astype(np.int32),
+        "rem_c": pack.rem_cols.astype(np.int32),
+        "rem_v32": pack.rem_vals.astype(np.float32),
+        "rem_lo": _f32_lo(pack.rem_vals),
+    })
+    lo_slab, lo_diag = up["lo_slab"], up["lo_diag"]
+    rem_r, rem_c = up["rem_r"], up["rem_c"]
+    rem_v32, rem_lo = up["rem_v32"], up["rem_lo"]
 
     @partial(jax.jit, static_argnames=("k", "tail_n"))
     def _build(hi, lo, w, lo_slab, lo_diag, diag32, rem_r, rem_c,

@@ -299,36 +299,53 @@ class DiaPack:
         # residual).
         f64 = dtype == jnp.float64
 
-        def _val(a):
-            return jnp.asarray(a if f64 else a.astype(np.float32)
-                               ).astype(dtype)
+        # Host-side value cast mirroring the old per-array device cast
+        # chain (f64 -> f32 -> target), so a bf16 target double-rounds
+        # identically to the previous implementation.
+        def _val_np(a):
+            a = np.asarray(a)
+            if f64:
+                return a.astype(np.float64)
+            a32 = a.astype(np.float32)
+            tgt = np.dtype(dtype) if dtype is not None else np.float32
+            return a32 if tgt == np.float32 else a32.astype(
+                np.dtype(jnp.bfloat16).type
+                if dtype == jnp.bfloat16 else tgt)
 
-        params = {
-            "w": w,
-            "sp_rows": jnp.asarray(sp_r),
-            "sp_cols": jnp.asarray(sp_c),
-            "sp_vals": _val(sp_v),
-            "diag": _val(self.diag),
+        # ONE batched device_put for all the small arrays: each
+        # separate host->device transfer through the axon tunnel costs
+        # ~40 ms of fixed round-trip regardless of size (measured), and
+        # this dict has ~13 of them per level.
+        host = {
+            "sp_rows": np.asarray(sp_r),
+            "sp_cols": np.asarray(sp_c),
+            "sp_vals": _val_np(sp_v),
+            "diag": _val_np(self.diag),
         }
+        for d, (rows_d, cols_d, vals_d) in buckets.items():
+            host[f"r{d}_rows"] = np.asarray(rows_d)
+            host[f"r{d}_cols"] = np.asarray(cols_d)
+            host[f"r{d}_vals"] = _val_np(vals_d)
         if ex is not None:
-            # Slot tables are built ON DEVICE from the placed entries
-            # (9 B/entry on the wire vs 8 B/slot-cell dense); the tables
-            # themselves are (nb, E, b) — 20 MB-class at 1M rows.
             st = (jnp.bfloat16 if slab_target == jnp.bfloat16
                   else (jnp.float64 if f64 else jnp.float32))
             wire = (np.float64 if f64 else
                     (np.dtype(jnp.bfloat16).type
                      if st == jnp.bfloat16 else np.float32))
+            host["_xs_idx"] = np.asarray(ex.idx)
+            host["_xs_vals"] = ex.vals.astype(wire)
+            host["_xs_cls"] = np.asarray(ex.cls)
+            host["xs_tgt"] = np.asarray(ex.tgt.reshape(-1))
+        params = {"w": w, **jax.device_put(host)}
+        if ex is not None:
+            # Slot tables are built ON DEVICE from the placed entries
+            # (9 B/entry on the wire vs 8 B/slot-cell dense); the tables
+            # themselves are (nb, E, b) — 20 MB-class at 1M rows.
             wslot, cslot = _build_slot_tables(
-                jnp.asarray(ex.idx), jnp.asarray(ex.vals.astype(wire)),
-                jnp.asarray(ex.cls), nb=ex.nb, e=ex.e, b=ex.b)
-            params["xs_tgt"] = jnp.asarray(ex.tgt.reshape(-1))
+                params.pop("_xs_idx"), params.pop("_xs_vals"),
+                params.pop("_xs_cls"), nb=ex.nb, e=ex.e, b=ex.b)
             params["xs_ci"] = cslot
             params["xs_w"] = wslot.astype(st)
-        for d, (rows_d, cols_d, vals_d) in buckets.items():
-            params[f"r{d}_rows"] = jnp.asarray(rows_d)
-            params[f"r{d}_cols"] = jnp.asarray(cols_d)
-            params[f"r{d}_vals"] = _val(vals_d)
         bucket_rows = [buckets[d][0] for d in self.REM_BUCKETS
                        if len(buckets[d][0])]
         if rem_gather_enabled() and bucket_rows:
@@ -1018,6 +1035,55 @@ def _slot_extra(params):
     if "xs_tgt" not in params:
         return None
     return (params["xs_tgt"], params["xs_ci"], params["xs_w"])
+
+
+def build_slabs(packs_and_dtypes) -> list:
+    """Build several packs' weight slabs in ONE jitted program.
+
+    [(pack, slab_dtype), ...] -> [w, ...].  Functionally identical to
+    each pack's to_device slab scatter, but a single XLA executable:
+    through the axon compile-cache path every DISTINCT jitted program
+    costs ~1 s of blocking executable load per process, so the three
+    deep V-cycle levels built separately serialize ~3 s of setup that
+    this batches into one.  Pass the returned slabs back into
+    to_device(w=...)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    args = []
+    meta = []
+    for pack, st in packs_and_dtypes:
+        d16, exc_i, exc_v = pack._hi_delta()
+        wire = (ml_dtypes.bfloat16 if st == jnp.bfloat16
+                else np.float32)
+        args += [jnp.asarray(d16), jnp.asarray(exc_i),
+                 jnp.asarray(exc_v), jnp.asarray(pack.widx_lo),
+                 jnp.asarray(pack.wval.astype(wire))]
+        meta.append((pack.ng, pack.g, len(pack.offs), pack.b,
+                     "bf16" if st == jnp.bfloat16 else "f32"))
+    meta = tuple(meta)
+
+    @partial(jax.jit, static_argnames=("meta",))
+    def _many(meta, *flat):
+        out = []
+        for i, (ng, g, d, b, stname) in enumerate(meta):
+            d16, exc_i, exc_v, lo, v = flat[5 * i:5 * i + 5]
+            d32 = d16.astype(jnp.int32)
+            if exc_i.shape[0]:
+                d32 = d32.at[exc_i].set(exc_v)
+            hi = jnp.cumsum(d32)
+            total = ng * g * d * b * b
+            it = jnp.int64 if total >= 2**31 else jnp.int32
+            idx = hi.astype(it) * b + lo.astype(it)
+            w = jnp.zeros(total, v.dtype)
+            w = w.at[idx].set(v, mode="promise_in_bounds",
+                              unique_indices=True)
+            st = jnp.bfloat16 if stname == "bf16" else jnp.float32
+            out.append(w.reshape(ng, g, d, b, b).astype(st))
+        return tuple(out)
+
+    return list(_many(meta, *args))
 
 
 def slots_env(default: int = 8) -> int:

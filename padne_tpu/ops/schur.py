@@ -708,13 +708,25 @@ class DiaBorderedSolver:
         self.posmap = posmap
         self.np0 = np0
         self.m, self.p = m, p
-        self.posmap_dev = jnp.asarray(posmap.astype(np.int32))
-        row_node_pos = jnp.asarray(posmap[b.row_node].astype(np.int32))
-        row_idx_dev = jnp.asarray(b.row_idx.astype(np.int32))
-        row_val_dev = jnp.asarray(b.row_val.astype(np.float32))
-        col_node_pos = jnp.asarray(posmap[b.col_node].astype(np.int32))
-        col_idx_dev = jnp.asarray(b.col_idx.astype(np.int32))
-        col_val_dev = jnp.asarray(b.col_val.astype(np.float32))
+        # One batched device_put (separate transfers pay ~40 ms of
+        # fixed tunnel round-trip each).
+        _up = jax.device_put({
+            "posmap": posmap.astype(np.int32),
+            "rnp": posmap[b.row_node].astype(np.int32),
+            "ri": b.row_idx.astype(np.int32),
+            "rv": b.row_val.astype(np.float32),
+            "cnp": posmap[b.col_node].astype(np.int32),
+            "ci": b.col_idx.astype(np.int32),
+            "cv": b.col_val.astype(np.float32),
+            "comp_pad": comp_pad,
+        })
+        self.posmap_dev = _up["posmap"]
+        row_node_pos = _up["rnp"]
+        row_idx_dev = _up["ri"]
+        row_val_dev = _up["rv"]
+        col_node_pos = _up["cnp"]
+        col_idx_dev = _up["ci"]
+        col_val_dev = _up["cv"]
 
         @jax.jit
         def build_rhs(rc_pad):
@@ -738,7 +750,7 @@ class DiaBorderedSolver:
         self._build_rhs = build_rhs
         self._border_products = border_products
         self._combine = combine
-        self.comp_pad_dev = jnp.asarray(comp_pad)
+        self.comp_pad_dev = _up["comp_pad"]
 
         @jax.jit
         def border_single(xr):
