@@ -232,3 +232,239 @@ def matvec(op: CompOperator, params: dict, x32):
                 jnp.float64),
             mode="drop")
     return y
+
+
+# ---------------------------------------------------------------------------
+# Slab-mode compensated operator: the gather-free fast path.
+#
+# The ELL-mode matvec above is gather-bound (~81 ms at 1M rows on v5e:
+# XLA's dynamic gather runs at ~8 ns/element regardless of width).
+# Slab mode instead re-reads the MAIN entries in their dense DIA slab
+# layout — the same ~HBM-speed stream the ordinary SpMV kernel rides —
+# with a VPU Dekker product + two-sum tree per (row-block, offset)
+# tile, plus a dense f32 residue slab so A64 = w + w_lo entrywise.
+# The remainder runs as a COMPACT (rows-with-remainder, k) ELL with an
+# exact indexed two-sum merge into the slab result (gather-set/add
+# with unique rows is exact; only the tiny lo streams take plain adds).
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    """s + err == a + b exactly (Knuth)."""
+    s = a + b
+    t = s - a
+    err = (a - (s - t)) + (b - t)
+    return s, err
+
+
+def _pallas_comp_slab(meta, w, w_lo, xt_pad, interpret: bool = False):
+    """(hi8, lo8) each (8, np_): the main-slab contribution of
+    A64 @ x, compensated, partially reduced to 8 sublane partials
+    (the final 8->1 two-sum chain runs outside the kernel — Mosaic
+    sublane slices below 8 rows are not tileable)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import dia
+
+    np_, b, g, ng, offs = meta
+    d = len(offs)
+    dmax = dia._dmax(offs)
+    win = (g + 2 * dmax) * b
+
+    def kernel(x_hbm, w_ref, wlo_ref, hi_ref, lo_ref, xwin, sem):
+        i = jnp.int32(pl.program_id(0))
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(i * jnp.int32(g * b), win)], xwin, sem)
+        cp.start()
+        cp.wait()
+        # jnp.eye's Mosaic lowering trips a layout bitwidth check on
+        # v5e (measured crash); build the identity from 32-bit iotas.
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+        eye = jnp.where(r_io == c_io, jnp.float32(1.0),
+                        jnp.float32(0.0))
+        ones = jnp.ones((b, b), jnp.float32)
+        for gg in range(g):
+            acc_hi = jnp.zeros((8, b), jnp.float32)
+            acc_lo = jnp.zeros((8, b), jnp.float32)
+            for di, o in enumerate(offs):
+                xs = xwin[:, (gg + dmax + o) * b:(gg + dmax + o + 1) * b]
+                # Sublane-transposed broadcast xt[l, i] = x[l], built
+                # from (b, b) tiles only (a direct (b, 1) MXU transpose
+                # trips a Mosaic layout check on v5e): diag(x) @ ones.
+                diag_x = eye * jnp.broadcast_to(xs, (b, b))
+                # HIGHEST (bf16x3) is EXACT here: each output sums one
+                # nonzero (exactly bf16x3-decomposed) times 1.0 plus
+                # zeros, all in the f32 accumulator.
+                xt = jax.lax.dot_general(
+                    diag_x, ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                wt = w_ref[0, gg, di]
+                p, e = _two_prod(wt, xt)
+                e = e + wlo_ref[0, gg, di] * xt
+                # Two-sum tree over the sublane (l) axis down to 8 rows.
+                hi_t, lo_t = p, e
+                for half in (64, 32, 16, 8):
+                    a = hi_t[:half]
+                    c = hi_t[half:2 * half]
+                    s, err = _two_sum(a, c)
+                    hi_t = s
+                    lo_t = lo_t[:half] + lo_t[half:2 * half] + err
+                s, err = _two_sum(acc_hi, hi_t)
+                acc_hi = s
+                acc_lo = acc_lo + lo_t + err
+            hi_ref[:, gg * b:(gg + 1) * b] = acc_hi
+            lo_ref[:, gg * b:(gg + 1) * b] = acc_lo
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, g, d, b, b),
+                         lambda i: (i,) + (jnp.int32(0),) * 4),
+            pl.BlockSpec((1, g, d, b, b),
+                         lambda i: (i,) + (jnp.int32(0),) * 4),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, g * b), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec((8, g * b), lambda i: (jnp.int32(0), i)),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, win), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    f = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, np_), jnp.float32),
+                   jax.ShapeDtypeStruct((8, np_), jnp.float32)],
+        interpret=interpret,
+    )
+    return f(xt_pad, w, w_lo)
+
+
+def build_slab_mode(meta, op_params, pack, k_cap: int = 6,
+                    interpret: bool = False) -> CompOperator:
+    """Slab-mode compensated operator (see section comment).  Shares
+    the resident f32 hi slab with the CG operator; builds the residue
+    slab on device from the widx split (dia.build_slabs program) and
+    ships the remainder as compact host arrays in one device_put."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import dia
+
+    np_, b, g, ng, offs = meta
+    w_dev = op_params["w"]
+    if w_dev.dtype != jnp.float32:
+        raise ValueError("slab comp needs the f32 exact slab")
+
+    def _f32_lo(a64):
+        a64 = np.asarray(a64, np.float64)
+        return (a64 - a64.astype(np.float32).astype(np.float64)
+                ).astype(np.float32)
+
+    # Residue slab: same scatter program as the weight slabs, with the
+    # f32 lo-half values.
+    pack_lo = dataclasses.replace(pack, wval=_f32_lo(pack.wval))
+    (w_lo,) = dia.build_slabs([(pack_lo, jnp.float32)])
+
+    # Compact remainder ELL (rows-with-remainder only; the ELL-mode
+    # build above pads to np_ rows, whose (np_, k) gather is exactly
+    # the 8 ns/element cost this mode removes).
+    rr = pack.rem_rows
+    u_rows, starts, counts = np.unique(rr, return_index=True,
+                                       return_counts=True)
+    kmax = int(counts.max()) if len(counts) else 0
+    k = min(k_cap, max(kmax, 1))
+    u = len(u_rows)
+    rem_cols = np.zeros((u, k), np.int32)
+    rem_vals = np.zeros((u, k), np.float32)
+    rem_vlo = np.zeros((u, k), np.float32)
+    tail_rows, tail_cols, tail_vals = [], [], []
+    which = np.searchsorted(u_rows, rr)
+    slot = np.arange(len(rr)) - starts[which]
+    in_ell = slot < k
+    rem_cols[which[in_ell], slot[in_ell]] = pack.rem_cols[in_ell]
+    rem_vals[which[in_ell], slot[in_ell]] = pack.rem_vals[
+        in_ell].astype(np.float32)
+    rem_vlo[which[in_ell], slot[in_ell]] = _f32_lo(
+        pack.rem_vals)[in_ell]
+    spill = ~in_ell
+    tail_rows = rr[spill].astype(np.int32)
+    tail_cols = pack.rem_cols[spill].astype(np.int32)
+    tail_vals = pack.rem_vals[spill].astype(np.float64)
+
+    up = jax.device_put({
+        "rem_rows": u_rows.astype(np.int32),
+        "rem_cols": rem_cols, "rem_vals": rem_vals,
+        "rem_vlo": rem_vlo,
+        "tail_rows": tail_rows, "tail_cols": tail_cols,
+        "tail_vals": tail_vals,
+        "lo_diag": _f32_lo(pack.diag),
+    })
+    params = {
+        "w": w_dev, "w_lo": w_lo,
+        "diag64": None,  # set below from resident diag + lo_diag
+        **{kk: vv for kk, vv in up.items() if kk != "lo_diag"},
+    }
+    params["diag64"] = (op_params["diag"].astype(jnp.float64)
+                        + up["lo_diag"].astype(jnp.float64))
+    return CompOperator(np0=np_, k=k, tail_n=int(spill.sum()),
+                        mode="slab-interpret" if interpret else "slab",
+                        params=params)
+
+
+def matvec_slab(op: CompOperator, params: dict, x32, meta):
+    """Slab-mode y = A64 @ x (float64), ~1e-13 relative — no np-sized
+    gathers; see section comment."""
+    import jax.numpy as jnp
+
+    from . import dia
+
+    np_, b, g, ng, offs = meta
+    dmax = dia._dmax(offs)
+    xt_pad = jnp.pad(x32[None, :], ((0, 0), (dmax * b, dmax * b)))
+    hi8, lo8 = _pallas_comp_slab(
+        meta, params["w"], params["w_lo"], xt_pad,
+        interpret=op.mode == "slab-interpret")
+    hi = hi8[0]
+    lo = lo8.sum(axis=0)
+    for i in range(1, 8):
+        hi, err = _two_sum(hi, hi8[i])
+        lo = lo + err
+    # Compact remainder with an exact indexed two-sum merge.
+    if params["rem_rows"].shape[0]:
+        xg = x32[params["rem_cols"]]                 # (u, k)
+        p, e = _two_prod(params["rem_vals"], xg)
+        hr = p[:, 0]
+        lr = e.sum(axis=1) + (params["rem_vlo"] * xg).sum(axis=1)
+        for i in range(1, op.k):
+            hr, err = _two_sum(hr, p[:, i])
+            lr = lr + err
+        rows = params["rem_rows"]
+        a = hi[rows]
+        s, err = _two_sum(a, hr)
+        hi = hi.at[rows].set(s, mode="drop", unique_indices=True)
+        lo = lo.at[rows].add(err + lr, mode="drop",
+                             unique_indices=True)
+    y = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    y = y + params["diag64"] * x32.astype(jnp.float64)
+    if op.tail_n:
+        y = y.at[params["tail_rows"]].add(
+            params["tail_vals"] * x32[params["tail_cols"]].astype(
+                jnp.float64),
+            mode="drop")
+    return y
+
+
+def apply(op: CompOperator, params: dict, x32, meta=None):
+    """Mode dispatch: slab (pallas fast path) or ELL (portable)."""
+    if op.mode.startswith("slab"):
+        return matvec_slab(op, params, x32, meta)
+    return matvec(op, params, x32)

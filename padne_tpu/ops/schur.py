@@ -1153,15 +1153,30 @@ class DiaBorderedSolver:
         b = self.system.border
         np0, m, p = self.np0, self.m, self.p
         _t0 = _time.time()
-        mode = os.environ.get("PADNE_TPU_COMP_MODE", "f64")
-        cop = comp_mod.build(self._meta0, self._op_exact, pack,
-                             mode=mode)
+        # Mode: the slab kernel (gather-free VPU Dekker pass, 27 ms vs
+        # 81 ms for the ELL gather at 1M on v5e) on the pallas backend;
+        # the portable ELL path elsewhere.  PADNE_TPU_COMP_MODE
+        # overrides ("slab" | "f64" | "dekker").
+        from . import dia as _dia_mode
+
+        mode = os.environ.get("PADNE_TPU_COMP_MODE", "")
+        if not mode:
+            mode = ("slab" if _dia_mode.default_backend() == "pallas"
+                    else "f64")
+        if mode == "slab":
+            cop = comp_mod.build_slab_mode(self._meta0, self._op_exact,
+                                           pack)
+        else:
+            cop = comp_mod.build(self._meta0, self._op_exact, pack,
+                                 mode=mode)
+        meta0 = self._meta0
         if os.environ.get("PADNE_TPU_SOLVE_TRACE"):
             # Only block for honest per-phase attribution under the
-            # trace; otherwise the ELL build + lo-stream transfers stay
+            # trace; otherwise the build + lo-stream transfers stay
             # in flight and finish under the first solve's compile.
-            jax.block_until_ready(cop.params["ell_vals"])
-        self._trace("setup: comp ELL build", _t0)
+            jax.block_until_ready(
+                cop.params["w_lo" if mode == "slab" else "ell_vals"])
+        self._trace(f"setup: comp build ({mode})", _t0)
         cv64 = jnp.asarray(np.asarray(b.col_val, np.float64))
         rv64 = jnp.asarray(np.asarray(b.row_val, np.float64))
         comp_pad_dev = self.comp_pad_dev
@@ -1169,7 +1184,7 @@ class DiaBorderedSolver:
         @jax.jit
         def residual0(cp, v_pad, j64, b64):
             """r64 = b64 + A64 v - C64 j, its squared norm, and B64 v."""
-            av = comp_mod.matvec(cop, cp, v_pad)
+            av = comp_mod.apply(cop, cp, v_pad, meta0)
             cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
                 cv64 * j64[col_idx_dev])
             r = b64 + av - cj
@@ -1183,7 +1198,7 @@ class DiaBorderedSolver:
             """One pass: dv = Xc dj - xr + Z c;  r64 += A64 dv - C64 dj;
             dcorr64 += dv.  Returns (r64, dcorr64, ||r||^2)."""
             dv = xc @ dj32 - xr + c_full[comp_pad_dev]
-            av = comp_mod.matvec(cop, cp, dv)
+            av = comp_mod.apply(cop, cp, dv, meta0)
             cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
                 cv64 * dj32.astype(jnp.float64)[col_idx_dev])
             r = r64 + av - cj
@@ -1518,10 +1533,21 @@ class DiaBorderedSolver:
         if v is None and self._comp is not None:
             # Compensated device-resident ladder (the default when x64
             # is on): exact residuals on device, no host anchor pass.
-            (v, j, res_core, res_border, res_norm,
-             refinements) = self._comp_refine(
-                j, target_residual, max_refinements)
-            anchored = True
+            try:
+                (v, j, res_core, res_border, res_norm,
+                 refinements) = self._comp_refine(
+                    j, target_residual, max_refinements)
+                anchored = True
+            except Exception:
+                # e.g. a Mosaic lowering fault in the slab kernel on
+                # an unusual shape: permanently fall back to the
+                # host-anchored ladder for this instance.
+                logging.getLogger(__name__).info(
+                    "compensated ladder failed at runtime; "
+                    "host-anchored ladder takes over", exc_info=True)
+                self._comp = None
+                v = np.asarray(self._v1_pad).astype(
+                    np.float64)[self.posmap]
         elif v is None:
             # Anchor mode: v stayed on device; evaluate the exact pass-1
             # residual there.  A runtime failure (platform without f64

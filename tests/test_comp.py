@@ -104,3 +104,52 @@ class TestCompMatvec:
         deg = comp._host_degrees(pk)
         assert tail == int(np.maximum(deg - k, 0).sum())
         assert 4 <= k <= 10
+
+
+class TestSlabMode:
+    @pytest.mark.parametrize("scale", [1.0, 2081.0 * np.pi / 3.0])
+    def test_matches_f64_reference(self, scale):
+        """Slab-mode compensated matvec (pallas interpret on CPU) ==
+        f64 reference, including at cancellation-prone conductance
+        scales."""
+        from tests.test_dia_sharded import grid_system
+
+        ell, coords = grid_system(64, 64, n_far=30)
+        a = ell.to_scipy() * scale
+        pk = dia.pack_csr_as_dia(a, coverage=0.9, max_offsets=4)
+        assert len(pk.rem_rows) > 0
+        params = pk.to_device(keep_widx=True)
+        op = comp.build_slab_mode(pk.meta, params, pk, interpret=True)
+        n = a.shape[0]
+        rng = np.random.default_rng(2)
+        x32 = (rng.standard_normal(n).astype(np.float32)
+               + np.linspace(0, 3.3, n).astype(np.float32))
+        x_pad = np.zeros(pk.np_, np.float32)
+        x_pad[:n] = x32
+        y = np.asarray(comp.matvec_slab(op, op.params,
+                                        jnp.asarray(x_pad), pk.meta))
+        ref = a @ x32.astype(np.float64)
+        scale_row = (abs(a) @ np.abs(x32.astype(np.float64))).max()
+        assert np.abs(y[:n] - ref).max() < 2e-13 * scale_row
+
+    def test_spill_tail_covered(self):
+        from tests.test_dia_sharded import grid_system
+
+        ell, coords = grid_system(48, 48, n_far=200, seed=9)
+        a = ell.to_scipy()
+        pk = dia.pack_csr_as_dia(a, coverage=0.8, max_offsets=2)
+        params = pk.to_device(keep_widx=True)
+        op = comp.build_slab_mode(pk.meta, params, pk, k_cap=1,
+                                  interpret=True)
+        if op.tail_n == 0:
+            pytest.skip("no spill at this density")
+        n = a.shape[0]
+        rng = np.random.default_rng(3)
+        x32 = rng.standard_normal(n).astype(np.float32)
+        x_pad = np.zeros(pk.np_, np.float32)
+        x_pad[:n] = x32
+        y = np.asarray(comp.matvec_slab(op, op.params,
+                                        jnp.asarray(x_pad), pk.meta))
+        ref = a @ x32.astype(np.float64)
+        rel = np.abs(y[:n] - ref).max() / np.abs(ref).max()
+        assert rel < 1e-10, rel
