@@ -1205,6 +1205,35 @@ class DiaBorderedSolver:
             return r, dcorr64 + dv.astype(jnp.float64), jnp.sum(r * r)
 
         @jax.jit
+        def fused_pass(cp, xc, pinv_M, BXc64, BZ64, r64, rb64,
+                       dcorr64, j64, xr):
+            """One whole refinement pass on device: border products,
+            the small correction (via the host-prefactored pinv of the
+            constant Schur block — minimum-norm like the host lstsq),
+            and the compensated update.  The host pulls ONE scalar
+            (the new squared norm) for loop control."""
+            xr64 = xr.astype(jnp.float64)
+            Bxr = jax.ops.segment_sum(xr64[row_node_pos] * rv64,
+                                      row_idx_dev, num_segments=m)
+            Ztr = jax.ops.segment_sum(r64, comp_pad_dev,
+                                      num_segments=p + 1)[:p]
+            rhs_small = jnp.concatenate([rb64 + Bxr, Ztr])
+            sol = pinv_M @ rhs_small
+            dj, c = sol[:m], sol[m:]
+            c_full = jnp.concatenate(
+                [c, jnp.zeros(1, jnp.float64)]).astype(jnp.float32)
+            dj32 = dj.astype(jnp.float32)
+            dv = xc @ dj32 - xr + c_full[comp_pad_dev]
+            av = comp_mod.apply(cop, cp, dv, meta0)
+            cj = jnp.zeros(np0, jnp.float64).at[col_node_pos].add(
+                cv64 * dj32.astype(jnp.float64)[col_idx_dev])
+            r_new = r64 + av - cj
+            rb_new = rb64 - (BXc64 @ dj - Bxr + BZ64 @ c)
+            n2 = jnp.sum(r_new * r_new) + jnp.sum(rb_new * rb_new)
+            return (r_new, rb_new, dcorr64 + dv.astype(jnp.float64),
+                    j64 + dj, n2)
+
+        @jax.jit
         def rhs32(r64):
             return r64.astype(jnp.float32)
 
@@ -1250,7 +1279,7 @@ class DiaBorderedSolver:
             "op": cop, "residual0": residual0, "update": update,
             "rhs32": rhs32, "ztr64": ztr64, "final_v": final_v,
             "widen_rc": widen_rc, "pass_products": pass_products,
-            "final_v_split": final_v_split,
+            "final_v_split": final_v_split, "fused_pass": fused_pass,
         }
 
     def _comp_b64(self, rc, rc_pad):
@@ -1291,11 +1320,29 @@ class DiaBorderedSolver:
         j64 = jnp.asarray(j.astype(np.float64))
         r64, n2, bv = c["residual0"](c["op"].params, self._v1_pad,
                                      j64, b64)
-        rb = b.rhs - np.asarray(bv, np.float64)
-        res_norm = float(np.sqrt(float(n2) + (rb ** 2).sum()))
+        n2_h, bv_h = jax.device_get((n2, bv))
+        rb = b.rhs - np.asarray(bv_h, np.float64)
+        res_norm = float(np.sqrt(float(n2_h) + (rb ** 2).sum()))
         self._trace("comp residual (device)", t0)
         dcorr64 = jnp.zeros(self.np0, jnp.float64)
         refinements = 0
+        use_fused = p <= 256
+        if use_fused:
+            # Whole passes run on device: the constant Schur block is
+            # prefactored ONCE on host (pinv — minimum-norm semantics,
+            # like the host lstsq) and uploaded with the border pieces;
+            # each pass then costs one CG dispatch, one fused-pass
+            # dispatch, and a single scalar pull.
+            M = np.concatenate([
+                np.concatenate([self._BXc_host, self.BZ], axis=1),
+                np.concatenate([self.ZtC, np.zeros((p, p))], axis=1),
+            ], axis=0)
+            dev = jax.device_put({
+                "pinv": np.linalg.pinv(M),
+                "BXc": self._BXc_host, "BZ": self.BZ,
+                "rb": rb,
+            })
+            rb64 = dev["rb"]
         while (res_norm > target_residual
                and refinements < max_refinements):
             tol_pass = min(0.05, max(self.inner_tol,
@@ -1306,6 +1353,21 @@ class DiaBorderedSolver:
             self._trace("inner cg (comp pass)", t0)
             t0 = time.time()
             xr = x[:, 0]
+            if use_fused:
+                prev = (r64, rb64, dcorr64, j64, res_norm)
+                (r64n, rb64n, dcorr64n, j64n,
+                 n2_new) = c["fused_pass"](
+                    c["op"].params, self._Xc, dev["pinv"], dev["BXc"],
+                    dev["BZ"], r64, rb64, dcorr64, j64, xr)
+                new_norm = float(np.sqrt(float(n2_new)))
+                refinements += 1
+                self._trace("comp fused pass", t0)
+                if new_norm >= res_norm:
+                    r64, rb64, dcorr64, j64, res_norm = prev
+                    break
+                r64, rb64, dcorr64, j64 = r64n, rb64n, dcorr64n, j64n
+                res_norm = new_norm
+                continue
             bx_d, zt_d = c["pass_products"](xr, r64)
             Bxr = np.asarray(bx_d, dtype=np.float64)
             Ztr = np.asarray(zt_d, dtype=np.float64)[:p]
@@ -1328,6 +1390,8 @@ class DiaBorderedSolver:
                 r64, dcorr64, rb, j, res_norm = prev
                 break
             res_norm = new_norm
+        if use_fused:
+            j = np.asarray(j64, dtype=np.float64)
         t0 = time.time()
         if self._comp_verified and not os.environ.get(
                 "PADNE_TPU_HOST_CHECK"):
