@@ -375,15 +375,16 @@ def main():
         # real accelerator, so a tunnel outage at measurement time is
         # not mistaken for a solver regression.
         out["detail"]["last_tpu_measurement"] = {
-            "date": "2026-08-19",
+            "date": "2026-08-20",
             "device": "TPU v5 lite (1 chip via axon tunnel)",
             "dof": 1_087_535,
-            "solve_seconds": 3.625,
-            "dof_per_sec": 300_024,
-            "vs_baseline": 0.3,
-            "cg_iterations": 32,
+            "solve_seconds": 2.18,
+            "dof_per_sec": 498_869,
+            "vs_baseline": 0.499,
+            "cg_iterations": 30,
             "refinement_passes": 3,
-            "final_rel_residual": 8.9e-10,
+            "final_rel_residual": 1.28e-09,
+            "reference_scipy_seconds": 55.97,
         }
     print(json.dumps(out))
 
