@@ -307,9 +307,13 @@ def main():
     dof_per_sec = n / t_solve
 
     # Head-to-head + warm-start probes (subprocesses, time-boxed).
+    # Skipped when the run is already long (e.g. a 10-minute evening
+    # first-sync tax) so the core metric always lands within a driver
+    # timeout; the probes are additive detail, not the metric.
     probe_detail = {}
     _save_system(system, np.asarray(result.v))
-    if os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0":
+    if (os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0"
+            and t_wake < 240):
         _progress("scipy (SuperLU) head-to-head probe...")
         sp = _run_probe("--scipy-probe", SYSTEM_CACHE,
                         int(os.environ.get("PADNE_TPU_SCIPY_TIMEOUT",
