@@ -56,12 +56,30 @@ def _tpu_available(timeout_s: int = 150) -> bool:
         return False
 
 
-SYSTEM_CACHE = "/tmp/padne_bench_system.npz"
+SYSTEM_CACHE = None
 
 
-def _save_system(system, v, path=SYSTEM_CACHE):
+def _system_cache_path() -> str:
+    """Per-run unique probe-input path (the probe subprocesses take it
+    as argv[2]).  A fixed /tmp name would let concurrent bench runs
+    clobber each other and another user pre-create the file.  Lazy so
+    the probe subprocesses (which re-import this module) don't leak an
+    empty temp file each."""
+    global SYSTEM_CACHE
+    if SYSTEM_CACHE is None:
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="padne_bench_system_",
+                                    suffix=".npz")
+        os.close(fd)
+        SYSTEM_CACHE = path
+    return SYSTEM_CACHE
+
+
+def _save_system(system, v, path=None):
     """CoreSystem (+ our solution v) as flat arrays, for the scipy and
     warm-start probe subprocesses."""
+    path = path or _system_cache_path()
     b = system.border
     np.savez(
         path, n=system.n, cols=system.ell.cols, vals=system.ell.vals,
@@ -74,7 +92,7 @@ def _save_system(system, v, path=SYSTEM_CACHE):
     )
 
 
-def _load_system(path=SYSTEM_CACHE):
+def _load_system(path):
     from padne_tpu.ops import assembly, schur
 
     z = np.load(path)
@@ -315,7 +333,7 @@ def main():
     if (os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0"
             and t_wake < 240):
         _progress("scipy (SuperLU) head-to-head probe...")
-        sp = _run_probe("--scipy-probe", SYSTEM_CACHE,
+        sp = _run_probe("--scipy-probe", _system_cache_path(),
                         int(os.environ.get("PADNE_TPU_SCIPY_TIMEOUT",
                                            "900")))
         if sp:
@@ -328,7 +346,7 @@ def main():
             probe_detail["reference_scipy_seconds"] = None
         if on_tpu:
             _progress("warm-start probe (second process, hot cache)...")
-            wp = _run_probe("--warm-probe", SYSTEM_CACHE,
+            wp = _run_probe("--warm-probe", _system_cache_path(),
                             int(os.environ.get(
                                 "PADNE_TPU_WARM_TIMEOUT", "1500")))
             if wp:

@@ -583,7 +583,26 @@ def render_copper_primitives(pcb_tree, copper_names: list[str]
         # under-predicting the four plane readings ~4x.
         fat = sexp.find_child(zone, "filled_areas_thickness")
         stroke_outline = fat is None or str(fat[1]) != "no"
-        for fill in sexp.find_children(zone, "filled_polygon"):
+        fills = sexp.find_children(zone, "filled_polygon")
+        if not fills:
+            # A zone saved without refilling stores no filled_polygon:
+            # silently skipping it drops the copper and produces a
+            # confusing dead-network cascade downstream.  Surface it
+            # loudly, like the reference does for empty gerber plots
+            # (ref kicad.py:1354-1364).
+            zlayers = [l for l in (_item_layers(zone) or [])
+                       if l in prims]
+            if not zlayers:
+                continue  # not on a copper layer we analyze
+            net_node = sexp.find_child(zone, "net_name")
+            net = str(net_node[1]) if net_node else "?"
+            warnings.warn(
+                f"Zone on net {net!r} (layers {', '.join(zlayers)}) has "
+                f"no stored fill — the board was saved without refilling "
+                f"zones; its copper will be missing from the analysis. "
+                f"Refill zones in pcbnew (B) and save.")
+            continue
+        for fill in fills:
             lay_node = sexp.find_child(fill, "layer")
             layer = str(lay_node[1]) if lay_node else (_item_layers(zone) or [""])[0]
             pts_node = sexp.find_child(fill, "pts")

@@ -68,6 +68,19 @@ class CompOperator:
     params: dict            # device arrays, see build()
 
 
+def _require_x64(jax) -> None:
+    """The compensated operator stores f64 tails and (in ELL mode)
+    int64 slab gather indices; with jax_enable_x64 off JAX silently
+    downcasts both, corrupting indices for slabs >= 2^31 elements and
+    defeating the accuracy claim.  Fail fast for direct callers
+    (schur gates want_comp on x64 already)."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "comp.build()/build_slab_mode() require jax_enable_x64 "
+            "(f64 tails + int64 slab indices); enable x64 or use the "
+            "plain f32 operator")
+
+
 def _host_degrees(pack) -> np.ndarray:
     """Per-(padded-)row entry count of the exact operator, main slab +
     remainder, computed from the host pack arrays."""
@@ -108,6 +121,7 @@ def build(meta, op_params, pack, mode: str = "dekker",
 
     from . import dia
 
+    _require_x64(jax)
     np_, b, g, ng, offs = meta
     d = len(offs)
     hi_dev, lo_dev = op_params["_hi"], op_params["_lo"]
@@ -273,6 +287,18 @@ def _pallas_comp_slab(meta, w, w_lo, xt_pad, interpret: bool = False):
     d = len(offs)
     dmax = dia._dmax(offs)
     win = (g + 2 * dmax) * b
+    # The sublane two-sum tree below halves b rows down to 8; a
+    # non-power-of-two or sub-8 block would silently drop sublanes
+    # (b>last*2) or fail at trace time (b<8) — fail fast instead.
+    if b < 8 or (b & (b - 1)) != 0:
+        raise ValueError(
+            f"slab comp kernel needs a power-of-two block size >= 8, "
+            f"got b={b}")
+    halving = []
+    h = b // 2
+    while h >= 8:
+        halving.append(h)
+        h //= 2
 
     def kernel(x_hbm, w_ref, wlo_ref, hi_ref, lo_ref, xwin, sem):
         i = jnp.int32(pl.program_id(0))
@@ -308,7 +334,7 @@ def _pallas_comp_slab(meta, w, w_lo, xt_pad, interpret: bool = False):
                 e = e + wlo_ref[0, gg, di] * xt
                 # Two-sum tree over the sublane (l) axis down to 8 rows.
                 hi_t, lo_t = p, e
-                for half in (64, 32, 16, 8):
+                for half in halving:
                     a = hi_t[:half]
                     c = hi_t[half:2 * half]
                     s, err = _two_sum(a, c)
@@ -359,6 +385,7 @@ def build_slab_mode(meta, op_params, pack, k_cap: int = 6,
 
     from . import dia
 
+    _require_x64(jax)
     np_, b, g, ng, offs = meta
     w_dev = op_params["w"]
     if w_dev.dtype != jnp.float32:

@@ -679,16 +679,19 @@ class DiaBorderedSolver:
         self._meta0 = meta0
         self._backend = backend
         self._BXc_host = None
-        # Per-pass inner CG tolerance floor.  The refinement ladder
+        # Per-pass inner CG tolerance floors.  The refinement ladder
         # multiplies per-pass contractions, so chasing 1e-5 in EVERY
-        # pass buys accuracy the outer target does not need.  Default
-        # from the v5e A/B at the 1M bench (2026-08-20): 3e-4 solves in
-        # 2.89 s / 30 iters / 2 passes vs 3.26 s / 32 / 2 at 1e-5 and
-        # 3.77 s / 32 / 3 at 1e-3 (the knee: contraction per pass
-        # drops below the pass overhead).  PADNE_TPU_INNER_TOL
-        # overrides (trace-time capture, like the other solver knobs).
-        self.inner_tol = max(tol, float(
-            os.environ.get("PADNE_TPU_INNER_TOL", "3e-4")))
+        # pass buys accuracy the outer target does not need.  The
+        # loose 3e-4 knee was A/B'd ONLY on the comp ladder (v5e, 1M
+        # bench, 2026-08-20: 3e-4 -> 2.89 s / 30 iters / 2 passes vs
+        # 3.26 s at 1e-5 and 3.77 s / 3 passes at 1e-3), so it is
+        # scoped to comp_inner_tol; the host-anchored / f64-anchor /
+        # mop-up paths keep the conservative 1e-5 (their per-pass
+        # overhead is lower, so extra passes cost more there).
+        # PADNE_TPU_INNER_TOL overrides BOTH (trace-time capture).
+        _it = os.environ.get("PADNE_TPU_INNER_TOL")
+        self.inner_tol = max(tol, float(_it) if _it else 1e-5)
+        self.comp_inner_tol = max(tol, float(_it) if _it else 3e-4)
         # f32 CG gains stall after a few dozen V-cycles (noise floor);
         # the outer refinement multiplies per-pass gains, so cap the
         # inner solve instead of letting a floor-limited CG spin to
@@ -1345,7 +1348,7 @@ class DiaBorderedSolver:
             rb64 = dev["rb"]
         while (res_norm > target_residual
                and refinements < max_refinements):
-            tol_pass = min(0.05, max(self.inner_tol,
+            tol_pass = min(0.05, max(self.comp_inner_tol,
                                      0.2 * target_residual / res_norm))
             t0 = time.time()
             x = self._run_cg(c["rhs32"](r64)[:, None], tol=tol_pass)

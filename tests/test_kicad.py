@@ -752,3 +752,41 @@ class TestZoneFillSemantics:
             "(filled_areas_thickness no) " + self.FILL + ")"
         )
         assert polys == []
+
+    def test_unfilled_zone_warns_and_drops_copper(self):
+        """A zone saved without refilling (no filled_polygon stored)
+        must warn loudly (ref kicad.py:1354-1364 warns on the empty
+        gerber it produces) instead of silently dropping the copper."""
+        body = (
+            '(zone (net 1) (net_name "VDD") (layer "F.Cu") '
+            "(min_thickness 0.25) (filled_areas_thickness no) "
+            "(polygon (pts (xy 0 0) (xy 10 0) (xy 10 1) (xy 0 1))))"
+        )
+        with pytest.warns(UserWarning, match="no stored fill"):
+            polys = self._render(body)
+        assert polys == []  # the dead-copper outcome, surfaced not silent
+
+    def test_unfilled_zone_end_to_end_dead_network(self, tmp_path):
+        """Full-loader version: a generated project whose only plane
+        zone has no stored fill loads with the warning and yields no
+        copper on that layer."""
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        import boardgen
+
+        filled = boardgen.zone(
+            "F.Cu", [(0, 0), (20, 0), (20, 10), (0, 10)],
+            [(0, 0), (20, 0), (20, 10), (0, 10)])
+        # strip the stored fill line -> an unfilled zone
+        unfilled = "\n".join(
+            ln for ln in filled.splitlines()
+            if "filled_polygon" not in ln) + "\n"
+        body = unfilled + boardgen.gr_rect(-1, -1, 21, 11)
+        boardgen.write_project(tmp_path, "gen_unfilled_zone", body, [])
+        with pytest.warns(UserWarning, match="no stored fill"):
+            prob = kicad.load_kicad_project(
+                tmp_path / "gen_unfilled_zone"
+                / "gen_unfilled_zone.kicad_pro")
+        front = [l for l in prob.layers if l.name == "F.Cu"]
+        assert all(not layer.geoms for layer in front)
