@@ -200,6 +200,86 @@ def _run_probe(mode, path, timeout_s):
     return None
 
 
+def _kernel_accounting(dia_solver) -> dict:
+    """Isolated hot-kernel timings + achieved bandwidth (GB/s), so a
+    regression in any one kernel is attributable from BENCH detail
+    instead of showing up as unexplained solve_seconds drift.
+
+    Bytes counted are the dominant HBM streams each kernel must move
+    (weight slabs + the level-0-sized vector traffic); achieved GB/s is
+    therefore a lower bound on the kernel's real traffic rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from padne_tpu.ops import comp as comp_mod
+    from padne_tpu.ops import dia
+
+    meta = dia_solver._meta0
+    np_, b, g, ng, offs = meta
+    d = len(offs)
+    backend = dia_solver._backend
+    R = dia_solver.m + 1
+    out = {}
+
+    def timed(fn, *args, reps=5):
+        r = fn(*args)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.time() - t0) / reps
+
+    xt = jnp.ones((R, np_), jnp.float32)
+    op = dia_solver._op_exact
+    if op is not None:
+        f = jax.jit(lambda prm, xt: dia.dia_matvec_t(
+            meta, prm, xt, backend=backend))
+        dt = timed(f, op, xt)
+        slab_b = ng * g * d * b * b * op["w"].dtype.itemsize
+        io_b = slab_b + R * np_ * 4 * 2
+        out["l0_slab_matvec_ms"] = round(dt * 1e3, 3)
+        out["l0_slab_matvec_gbps"] = round(io_b / dt / 1e9, 1)
+
+    va, vp = getattr(dia_solver, "_vcycle_pair", (None, None))
+    if va is not None:
+        fv = jax.jit(lambda p, xt: va(p, xt))
+        dt = timed(fv, vp, xt)
+        # Dominant streams: 4 level-0 slab passes (bf16) + the
+        # level-0-sized vector traffic of the smoothing/transfer chain.
+        w0 = vp[0]["w"]
+        slab_b = ng * g * d * b * b * w0.dtype.itemsize
+        io_b = 4 * slab_b + 10 * R * np_ * 4
+        out["vcycle_ms"] = round(dt * 1e3, 3)
+        out["vcycle_gbps"] = round(io_b / dt / 1e9, 1)
+
+    c = getattr(dia_solver, "_comp", None)
+    if c is not None:
+        x = jnp.ones(np_, jnp.float32)
+        cop = c["op"]
+        fc = jax.jit(lambda prm, x: comp_mod.apply(cop, prm, x, meta))
+        dt = timed(fc, cop.params, x)
+        # hi + lo f32 slabs + the f64 result stream.
+        io_b = 2 * ng * g * d * b * b * 4 + np_ * (4 + 8)
+        out["comp_matvec_ms"] = round(dt * 1e3, 3)
+        out["comp_matvec_gbps"] = round(io_b / dt / 1e9, 1)
+
+    host_vec = np.ones(np_, np.float32)
+    t0 = time.time()
+    dev = jax.device_put(host_vec)
+    jax.block_until_ready(dev)
+    dt_up = time.time() - t0
+    out["rc_upload_ms"] = round(dt_up * 1e3, 1)
+    out["rc_upload_gbps"] = round(np_ * 4 / dt_up / 1e9, 3)
+    t0 = time.time()
+    _ = np.asarray(dev)
+    dt_dn = time.time() - t0
+    out["v_download_ms"] = round(dt_dn * 1e3, 1)
+    out["v_download_gbps"] = round(np_ * 4 / dt_dn / 1e9, 3)
+    return out
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scipy-probe":
         _scipy_probe(sys.argv[2])
@@ -363,6 +443,10 @@ def main():
             "level0_offsets": list(lv0.pack.offs),
             "level0_remainder": len(lv0.pack.rem_rows),
         }
+        try:
+            hierarchy_detail["kernels"] = _kernel_accounting(dia_solver)
+        except Exception as e:  # noqa: BLE001 — accounting is additive
+            _progress(f"kernel accounting failed: {e!r}")
     out = {
         "metric": "solve_dof_per_sec",
         "value": round(dof_per_sec, 1),

@@ -320,6 +320,10 @@ class AlignedLevel:
     child_len: int          # padded length of the child level's vectors
     child_perm: np.ndarray  # (nc,) child row -> child padded position
     shard: bool = False     # row-shardable over the tp axis (ops.dia_sharded)
+    # Upper bound on spec(D^-1 A) at this level (the 1.1-margin power-
+    # iteration estimate) — consumed by the Chebyshev smoother.  0.0
+    # means "derive from omega_s" (pre-knob hierarchies).
+    lam: float = 0.0
 
 
 @dataclass
@@ -716,7 +720,7 @@ def build_hierarchy_dia(
         levels.append(AlignedLevel(
             pack=pack, dinv=dinv_pad, omega_p=omega_p, omega_s=omega_s,
             cap=cap_l, child_len=0, child_perm=None,   # patched below
-            shard=shard_l,
+            shard=shard_l, lam=lam,
         ))
         A = Ac
         lvl_coords = coords_c
@@ -851,6 +855,13 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
             print(f"[solve-trace] {label}: {_time.time() - t0:.3f}s",
                   file=_sys.stderr, flush=True)
 
+    # Kick the on-device coarse-inverse build NOW on a worker thread:
+    # its distinct jitted program pays ~1-1.5 s of blocking executable
+    # load through the axon cache path, which overlaps the per-level
+    # parameter uploads below instead of serializing after them.
+    # _upload_coarse_inv joins the box; sync fallback if absent.
+    coarse_box = _start_coarse_inv_async(h, dtype)
+
     # All deep-level slabs in ONE jitted program: each per-shape jit
     # pays ~1 s of blocking executable load through the axon cache
     # path, which the separate per-level builds serialized.
@@ -867,12 +878,30 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
     import jax
 
     aux = None
+    aux_host = None
     if dtype is None or dtype == jnp.float32:
         aux_host = {}
         for i, lv in enumerate(h.levels):
             aux_host[f"cp{i}"] = np.asarray(lv.child_perm)
             aux_host[f"dinv{i}"] = np.asarray(lv.dinv).astype(
                 np.float32)
+
+    # Deep-level params + aux in ONE device_put: the first put of each
+    # novel shape set pays ~0.5 s of fixed transfer setup through the
+    # axon tunnel (measured), so one combined put replaces up to
+    # nlevels+1 of those.  Falls back to the per-level path for the
+    # lump_remainder variant (it rewrites the packs per level).
+    deep_params = None
+    if deep_ws is not None and not lump_remainder and len(h.levels) > 1:
+        _t0 = _time.time()
+        items = [(lv.pack, deep_ws[i - 1],
+                  dict(dtype=dtype, slab_dtype=slab_dtype, slots=0))
+                 for i, lv in enumerate(h.levels) if i > 0]
+        deep_params, aux_put = dia.to_device_many(items,
+                                                  extra_host=aux_host)
+        aux = aux_put if aux_host is not None else None
+        _tr(f"vcycle deep params (batched x{len(items)})", _t0)
+    elif aux_host is not None:
         aux = jax.device_put(aux_host)
 
     params = []
@@ -887,11 +916,13 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         # not), and deep remainders are a few ms total anyway.
         w_pre = (w0 if i == 0
                  else deep_ws[i - 1] if deep_ws is not None else None)
-        entry = lv.pack.to_device(dtype=dtype,
-                                  w=w_pre,
-                                  slab_dtype=(slab_dtype if i > 0
-                                              else None),
-                                  slots=dia.slots_env() if i == 0 else 0)
+        if i > 0 and deep_params is not None:
+            entry = deep_params[i - 1]
+        else:
+            entry = lv.pack.to_device(
+                dtype=dtype, w=w_pre,
+                slab_dtype=(slab_dtype if i > 0 else None),
+                slots=dia.slots_env() if i == 0 else 0)
         if slab_dtype is not None and entry["w"].dtype != slab_dtype:
             entry["w"] = entry["w"].astype(slab_dtype)
         entry["child_perm"] = (aux[f"cp{i}"] if aux is not None
@@ -941,7 +972,8 @@ def make_vcycle_dia(h: AlignedHierarchy, dtype=None,
         _tr(f"vcycle level {i} params (np={lv.pack.np_}, "
             f"d={len(lv.pack.offs)})", _t0)
     _t0 = _time.time()
-    params.append({"coarse_inv": _upload_coarse_inv(h, dtype)})
+    params.append({"coarse_inv": _upload_coarse_inv(
+        h, dtype, prebuilt=coarse_box)})
     _tr("vcycle coarse inverse", _t0)
     return _finish_vcycle_dia(h, params, backend), params
 
@@ -1062,7 +1094,63 @@ def _device_coarse_inv(h: AlignedHierarchy):
     return (inv * jnp.float32(1.0 / d_scale))
 
 
-def _upload_coarse_inv(h: AlignedHierarchy, dtype):
+def _want_device_coarse(h: AlignedHierarchy, dtype) -> bool:
+    """Whether _upload_coarse_inv would take the on-device build path."""
+    import os
+
+    import jax.numpy as jnp
+
+    from . import dia
+
+    target = dtype or jnp.float32
+    return (target == jnp.float32
+            and getattr(h, "coarse_sp", None) is not None
+            and not os.environ.get("PADNE_TPU_HOST_COARSE")
+            and (dia.default_backend() == "pallas"
+                 or os.environ.get("PADNE_TPU_DEVICE_COARSE")))
+
+
+def _start_coarse_inv_async(h: AlignedHierarchy, dtype):
+    """Kick the on-device coarse-inverse build on a worker thread;
+    returns a join() callable (or None when the device path does not
+    apply).  The build's distinct jitted program pays ~1-1.5 s of
+    blocking executable load through the axon tunnel — overlapped with
+    the level-parameter uploads it otherwise serializes behind."""
+    import os
+
+    if not _want_device_coarse(h, dtype) or os.environ.get(
+            "PADNE_TPU_SYNC_COARSE"):
+        return None
+    import threading
+
+    box: list = []
+
+    def worker():
+        try:
+            box.append(("ok", _device_coarse_inv(h)))
+        except BaseException as e:  # noqa: BLE001
+            box.append(("err", e))
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+
+    def join():
+        th.join()
+        kind, payload = box[0]
+        if kind == "err":
+            import logging
+
+            logging.getLogger(__name__).info(
+                "async device coarse inverse failed; host fallback",
+                exc_info=(type(payload), payload,
+                          payload.__traceback__))
+            return None
+        return payload
+
+    return join
+
+
+def _upload_coarse_inv(h: AlignedHierarchy, dtype, prebuilt=None):
     """Device coarse inverse, transfer-lean.
 
     f32 requests build the inverse ON DEVICE when a TPU backend is up
@@ -1082,18 +1170,17 @@ def _upload_coarse_inv(h: AlignedHierarchy, dtype):
     from . import dia
 
     target = dtype or jnp.float32
-    if (target == jnp.float32
-            and getattr(h, "coarse_sp", None) is not None
-            and not os.environ.get("PADNE_TPU_HOST_COARSE")
-            and (dia.default_backend() == "pallas"
-                 or os.environ.get("PADNE_TPU_DEVICE_COARSE"))):
-        try:
-            inv = _device_coarse_inv(h)
-        except Exception:
-            logging.getLogger(__name__).info(
-                "device coarse inverse failed; host fallback",
-                exc_info=True)
-            inv = None
+    if _want_device_coarse(h, dtype):
+        if prebuilt is not None:
+            inv = prebuilt()
+        else:
+            try:
+                inv = _device_coarse_inv(h)
+            except Exception:
+                logging.getLogger(__name__).info(
+                    "device coarse inverse failed; host fallback",
+                    exc_info=True)
+                inv = None
         if inv is not None:
             return inv
     ci = h.coarse_inv
@@ -1103,6 +1190,53 @@ def _upload_coarse_inv(h: AlignedHierarchy, dtype):
 
 
 _XLA_LEVEL_MAX_NP = 16384
+
+
+def _cheb_smooth(mv, dinv, lam, deg, b, x0=None, want_r=True):
+    """4th-kind Chebyshev smoother of degree `deg` (the Lottes
+    recurrence): error propagator a polynomial in D^-1 A with the
+    4th-kind Chebyshev roots on (0, lam].  A polynomial in D^-1 A is
+    A-self-adjoint, so using the SAME smoother pre and post keeps the
+    V-cycle a valid SPD preconditioner for CG.
+
+    Maintains r = b - A x alongside x (one matvec per degree); the
+    final residual is returned for free when want_r (the restriction
+    consumes it), skipped otherwise (post-smoothing).
+    """
+    r = b if x0 is None else b - mv(x0)
+    d = (4.0 / (3.0 * lam)) * (dinv * r)
+    x = d if x0 is None else x0 + d
+    for k in range(2, deg + 1):
+        r = r - mv(d)
+        d = ((2.0 * k - 3.0) / (2.0 * k + 1.0)) * d \
+            + ((8.0 * k - 4.0) / ((2.0 * k + 1.0) * lam)) * (dinv * r)
+        x = x + d
+    if want_r:
+        return x, r - mv(d)
+    return x, None
+
+
+def _cheb_env(var: str) -> int:
+    """Chebyshev degree knob: 0/1 = off (damped Jacobi), >=2 = degree."""
+    import os
+
+    try:
+        return int(os.environ.get(var, "0"))
+    except ValueError:
+        return 0
+
+
+def _wcycle_env() -> int:
+    """PADNE_TPU_WCYCLE=L: levels 1..L are visited twice per cycle
+    (W-shape on the top of the coarse hierarchy).  The second visit is
+    a stationary re-application of the same symmetric level
+    preconditioner (B -> 2B - BAB), so the cycle stays SPD.  0 = off."""
+    import os
+
+    try:
+        return int(os.environ.get("PADNE_TPU_WCYCLE", "0"))
+    except ValueError:
+        return 0
 
 
 def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
@@ -1124,6 +1258,9 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
     backends = [("xla" if backend == "pallas"
                  and lv.pack.np_ <= _XLA_LEVEL_MAX_NP else backend)
                 for lv in h.levels]
+    lams = [lv.lam if lv.lam else 1.6 / lv.omega_s for lv in h.levels]
+    cheb_deep = _cheb_env("PADNE_TPU_CHEB_DEEP")
+    w_levels = _wcycle_env()
 
     def cycle(level: int, p, b):
         if level == nlev:
@@ -1140,8 +1277,11 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
             return dia.dia_matvec(meta, e, x, backend=be)
 
         dinv = e["dinv"][:, None]
-        x = om_s * dinv * b
-        r1 = b - mv(x)
+        if cheb_deep >= 2:
+            x, r1 = _cheb_smooth(mv, dinv, lams[level], cheb_deep, b)
+        else:
+            x = om_s * dinv * b
+            r1 = b - mv(x)
         # restrict: P^T r1 (om_p == 0 -> plain aggregation, no SpMV)
         t = r1 - om_p * mv(dinv * r1) if om_p else r1
         rc = t.reshape(-1, cap, r_cols).sum(axis=1)
@@ -1149,6 +1289,11 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
             e["child_perm"]].set(rc[:nc], mode="drop",
                                  unique_indices=True)
         xc_pos = cycle(level + 1, p, bc)
+        if w_levels >= level + 1 and level + 1 < nlev:
+            # W: one extra visit of the coarse level on its residual.
+            r2 = bc - dia.dia_matvec(metas[level + 1], p[level + 1],
+                                     xc_pos, backend=backends[level + 1])
+            xc_pos = xc_pos + cycle(level + 1, p, r2)
         # prolong: child positions -> aggregate order -> broadcast
         xc = xc_pos[e["child_perm"]]
         pad = t.shape[0] // cap - nc
@@ -1159,7 +1304,11 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
             xc[:, None, :], (t.shape[0] // cap, cap, r_cols)
         ).reshape(-1, r_cols)
         x = x + (px - om_p * dinv * mv(px) if om_p else px)
-        x = x + om_s * dinv * (b - mv(x))
+        if cheb_deep >= 2:
+            x, _ = _cheb_smooth(mv, dinv, lams[level], cheb_deep, b,
+                                x0=x, want_r=False)
+        else:
+            x = x + om_s * dinv * (b - mv(x))
         return x
 
     def cycle_t(level: int, p, bt):
@@ -1193,14 +1342,22 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
             return dia.dia_matvec_t(meta, e, xt, backend=be)
 
         dinv = e["dinv"][None, :]
-        x = om_s * dinv * bt
-        r1 = bt - mv(x)
+        if cheb_deep >= 2:
+            x, r1 = _cheb_smooth(mv, dinv, lams[level], cheb_deep, bt)
+        else:
+            x = om_s * dinv * bt
+            r1 = bt - mv(x)
         t = r1 - om_p * mv(dinv * r1) if om_p else r1
         rc_t = t.reshape(r_cols, naggs, cap).sum(axis=2)   # (R, naggs)
         rc = rc_t.T[:nc]                                   # (nc, R)
         bc = jnp.zeros((clen, r_cols), rc.dtype).at[
             e["child_perm"]].set(rc, mode="drop", unique_indices=True)
         xc = cycle_t(level + 1, p, bc.T)                   # (R, clen)
+        if w_levels >= level + 1 and level + 1 < nlev:
+            r2 = bc.T - dia.dia_matvec_t(
+                metas[level + 1], p[level + 1], xc,
+                backend=backends[level + 1])
+            xc = xc + cycle_t(level + 1, p, r2)
         xct = xc.T[e["child_perm"]].T                      # (R, nc)
         pad = naggs - nc
         if pad:
@@ -1208,7 +1365,11 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
         px = jnp.broadcast_to(
             xct[:, :, None], (r_cols, naggs, cap)).reshape(r_cols, np_l)
         x = x + (px - om_p * dinv * mv(px) if om_p else px)
-        x = x + om_s * dinv * (bt - mv(x))
+        if cheb_deep >= 2:
+            x, _ = _cheb_smooth(mv, dinv, lams[level], cheb_deep, bt,
+                                x0=x, want_r=False)
+        else:
+            x = x + om_s * dinv * (bt - mv(x))
         return x
 
     def apply(p, r):
@@ -1317,6 +1478,13 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
     # symmetric; each costs one lumped L0 matvec per side.
     smooth_steps = max(
         1, int(os.environ.get("PADNE_TPU_SMOOTH_STEPS", "1")))
+    # Level-0 Chebyshev smoothing (PADNE_TPU_CHEB=K, K>=2): replaces
+    # the damped-Jacobi pre/post steps with a degree-K 4th-kind
+    # Chebyshev polynomial (see _cheb_smooth) — K matvecs per side
+    # instead of 1, buying much stronger damping of the upper half of
+    # the spectrum per cycle.
+    cheb0 = _cheb_env("PADNE_TPU_CHEB")
+    lam0 = lv0.lam if lv0.lam else 1.6 / om_s
 
     def apply_t(p, bt):
         e = p[0]
@@ -1336,10 +1504,13 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
         dinv_ex = e["dinv"][None, :]
         dinv_sm = e["sm"]["dinv"][None, :] if lump else dinv_ex
         dinv = dinv_sm if (cycle_lumped and lump) else dinv_ex
-        x = om_s * dinv * bt
-        for _ in range(smooth_steps - 1):
-            x = x + om_s * dinv * (bt - mv(x))
-        r1 = bt - mv(x)
+        if cheb0 >= 2:
+            x, r1 = _cheb_smooth(mv, dinv, lam0, cheb0, bt)
+        else:
+            x = om_s * dinv * bt
+            for _ in range(smooth_steps - 1):
+                x = x + om_s * dinv * (bt - mv(x))
+            r1 = bt - mv(x)
         t = r1 - om_p * mv_sm(dinv_sm * r1) if om_p else r1
         rc_t = t.reshape(r_cols, np0 // cap0, cap0).sum(axis=2)
         rc = rc_t.T[:nc0]                                # (nc, R)
@@ -1358,9 +1529,13 @@ def make_vcycle_dia_t(h: AlignedHierarchy, dtype=None,
             xct[:, :, None], (r_cols, np0 // cap0, cap0)
         ).reshape(r_cols, np0)
         x = x + (px - om_p * dinv_sm * mv_sm(px) if om_p else px)
-        x = x + om_s * dinv * (bt - mv(x))
-        for _ in range(smooth_steps - 1):
+        if cheb0 >= 2:
+            x, _ = _cheb_smooth(mv, dinv, lam0, cheb0, bt,
+                                x0=x, want_r=False)
+        else:
             x = x + om_s * dinv * (bt - mv(x))
+            for _ in range(smooth_steps - 1):
+                x = x + om_s * dinv * (bt - mv(x))
         return x
 
     return apply_t, params

@@ -284,6 +284,25 @@ class DiaPack:
         else:
             hi_dev = lo_dev = None
 
+        host, ex = self._host_params(dtype=dtype, slab_dtype=slab_dtype,
+                                     slots=slots)
+        params = self._finish_params(w, jax.device_put(host), ex,
+                                     dtype=dtype, slab_dtype=slab_dtype)
+        if keep_widx:
+            params["_hi"], params["_lo"] = hi_dev, lo_dev
+        return params
+
+    def _host_params(self, dtype=None, slab_dtype=None, slots: int = 0):
+        """Host-side small-array dict of to_device, pre-put (plus the
+        ExtraSlots pack when slots are requested).  Split out so
+        `to_device_many` can send MANY packs' dicts in ONE device_put:
+        the first put of a novel shape set costs ~0.5 s of fixed
+        per-shape transfer setup through the axon tunnel (measured;
+        repeats ~60 ms), so three per-level puts pay it three times."""
+        import jax.numpy as jnp
+
+        dtype = dtype or jnp.float32
+        slab_target = slab_dtype or dtype
         ex = None
         if slots and len(self.rem_rows):
             ex = pack_extra_slots(self, e_max=slots)
@@ -312,10 +331,6 @@ class DiaPack:
                 np.dtype(jnp.bfloat16).type
                 if dtype == jnp.bfloat16 else tgt)
 
-        # ONE batched device_put for all the small arrays: each
-        # separate host->device transfer through the axon tunnel costs
-        # ~40 ms of fixed round-trip regardless of size (measured), and
-        # this dict has ~13 of them per level.
         host = {
             "sp_rows": np.asarray(sp_r),
             "sp_cols": np.asarray(sp_c),
@@ -336,16 +351,6 @@ class DiaPack:
             host["_xs_vals"] = ex.vals.astype(wire)
             host["_xs_cls"] = np.asarray(ex.cls)
             host["xs_tgt"] = np.asarray(ex.tgt.reshape(-1))
-        params = {"w": w, **jax.device_put(host)}
-        if ex is not None:
-            # Slot tables are built ON DEVICE from the placed entries
-            # (9 B/entry on the wire vs 8 B/slot-cell dense); the tables
-            # themselves are (nb, E, b) — 20 MB-class at 1M rows.
-            wslot, cslot = _build_slot_tables(
-                params.pop("_xs_idx"), params.pop("_xs_vals"),
-                params.pop("_xs_cls"), nb=ex.nb, e=ex.e, b=ex.b)
-            params["xs_ci"] = cslot
-            params["xs_w"] = wslot.astype(st)
         bucket_rows = [buckets[d][0] for d in self.REM_BUCKETS
                        if len(buckets[d][0])]
         if rem_gather_enabled() and bucket_rows:
@@ -360,10 +365,52 @@ class DiaPack:
             rows_cat = np.concatenate(bucket_rows)
             rg_map = np.full(self.np_, len(rows_cat), np.int32)
             rg_map[rows_cat] = np.arange(len(rows_cat), dtype=np.int32)
-            params["rg_map"] = jnp.asarray(rg_map)
-        if keep_widx:
-            params["_hi"], params["_lo"] = hi_dev, lo_dev
+            host["rg_map"] = rg_map
+        return host, ex
+
+    def _finish_params(self, w, put, ex, dtype=None, slab_dtype=None):
+        """Assemble the device parameter dict from the put results of
+        _host_params (builds the on-device slot tables when present)."""
+        import jax.numpy as jnp
+
+        dtype = dtype or jnp.float32
+        slab_target = slab_dtype or dtype
+        params = {"w": w, **put}
+        if ex is not None:
+            f64 = dtype == jnp.float64
+            st = (jnp.bfloat16 if slab_target == jnp.bfloat16
+                  else (jnp.float64 if f64 else jnp.float32))
+            # Slot tables are built ON DEVICE from the placed entries
+            # (9 B/entry on the wire vs 8 B/slot-cell dense); the tables
+            # themselves are (nb, E, b) — 20 MB-class at 1M rows.
+            wslot, cslot = _build_slot_tables(
+                params.pop("_xs_idx"), params.pop("_xs_vals"),
+                params.pop("_xs_cls"), nb=ex.nb, e=ex.e, b=ex.b)
+            params["xs_ci"] = cslot
+            params["xs_w"] = wslot.astype(st)
         return params
+
+
+def to_device_many(items, extra_host=None):
+    """Batched to_device for packs whose weight slab already exists:
+    `items` is a list of (pack, w, kwargs) with kwargs accepting
+    dtype/slab_dtype/slots.  All packs' small host arrays (plus the
+    optional extra_host dict) ship in ONE jax.device_put — the first
+    put of a novel shape set costs ~0.5 s of fixed transfer setup
+    through the axon tunnel, which per-level puts would pay once per
+    level.  Returns (params_list, extra_put)."""
+    import jax
+
+    hosts, exs = [], []
+    for pack, w, kw in items:
+        host, ex = pack._host_params(**kw)
+        hosts.append(host)
+        exs.append(ex)
+    puts = jax.device_put((hosts, extra_host or {}))
+    params = [pack._finish_params(w, put, ex, dtype=kw.get("dtype"),
+                                  slab_dtype=kw.get("slab_dtype"))
+              for (pack, w, kw), put, ex in zip(items, puts[0], exs)]
+    return params, puts[1]
 
 
 def _bucket_rem(rr, rc, rv, rem_buckets=DiaPack.REM_BUCKETS):

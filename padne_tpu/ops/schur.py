@@ -537,8 +537,19 @@ class DiaBorderedSolver:
         knobs["max_offsets"] = int(l0_mo) if l0_mo else 4
         if l0_cov:
             knobs["coverage"] = float(l0_cov)
+        # Coarsening-shape A/B knobs (aggregation cap, strength
+        # threshold, prolongation-smoothing depth, dense-bottom size).
+        for env, kw, cast in (("PADNE_TPU_CAP", "cap", int),
+                              ("PADNE_TPU_THETA", "theta", float),
+                              ("PADNE_TPU_SMOOTH_LEVELS",
+                               "smooth_levels", int)):
+            val = os.environ.get(env)
+            if val:
+                knobs[kw] = cast(val)
+        coarse_size = int(os.environ.get("PADNE_TPU_COARSE_SIZE",
+                                         "3000"))
         hierarchy = amg.build_hierarchy_dia(
-            system.ell, system.coords, coarse_size=3000, tp=tp,
+            system.ell, system.coords, coarse_size=coarse_size, tp=tp,
             shard_min=shard_min, group=grp, a_csr=self.A_host, **knobs)
         if not hierarchy.levels:
             raise _NoDiaHierarchy()
@@ -668,6 +679,9 @@ class DiaBorderedSolver:
                 operator=(a_apply, op_params),
             )
         self.cg_solver = cg_solver
+        # Kernel-accounting handles (bench.py times the hot kernels in
+        # isolation and reports bytes-moved/GB-s in BENCH detail).
+        self._vcycle_pair = (vcycle_apply, vparams)
         # _op_exact: the plain-layout exact operator (single-device
         # only) — feeds the single-device refine step and the f64
         # anchor.  The sharded path refines on device too (its refine
@@ -875,30 +889,47 @@ class DiaBorderedSolver:
         # Compensated device-resident ladder setup (ops.comp) —
         # consumes the widx split like the anchor, then it is released.
         self._comp = None
+        self._comp_thread = None
         self._comp_verified = False
         self._b64_cache = None
         self._rc0_pad = None
         if (want_comp and self._op_exact is not None
                 and "_hi" in self._op_exact
                 and self._refine_step is not None):
-            try:
-                import time as _time3
+            # Deferred build (default): the comp operator is only
+            # consumed at refinement time, AFTER the first main CG
+            # pass, so its ~3-4 s of residue-slab builds and stream
+            # transfers run on a worker thread and overlap the first
+            # solve (the backend is initialized by now, and JAX
+            # dispatch is thread-safe; the axon tunnel serializes the
+            # transfers either way).  PADNE_TPU_SYNC_COMP=1 restores
+            # the synchronous build (A/B + hang fallback).
+            import threading as _threading
+            import time as _time3
 
-                _tc = _time3.time()
-                self._setup_comp(level0.pack, row_node_pos, row_idx_dev,
-                                 col_node_pos, col_idx_dev)
-                self._trace("setup: comp operator total", _tc)
-            except Exception:
-                log.info("compensated operator setup failed; keeping "
-                         "the host-anchored ladder", exc_info=True)
-                self._comp = None
-        if self._op_exact is not None:
-            # The widx split is consumed at anchor setup (the COO pairs
-            # and value residues are materialized); release the ~5 B/nnz
-            # device arrays either way so they don't ride along as
-            # unused CG-operator params.
-            self._op_exact.pop("_hi", None)
-            self._op_exact.pop("_lo", None)
+            _args = (level0.pack, row_node_pos, row_idx_dev,
+                     col_node_pos, col_idx_dev)
+
+            def _comp_worker():
+                try:
+                    _tc = _time3.time()
+                    self._setup_comp(*_args)
+                    self._trace("comp operator total (worker)", _tc)
+                except Exception:
+                    log.info("compensated operator setup failed; "
+                             "keeping the host-anchored ladder",
+                             exc_info=True)
+                    self._comp = None
+
+            if os.environ.get("PADNE_TPU_SYNC_COMP"):
+                _comp_worker()
+                self._release_widx()
+            else:
+                self._comp_thread = _threading.Thread(
+                    target=_comp_worker, daemon=True)
+                self._comp_thread.start()
+        else:
+            self._release_widx()
 
         # Host-side small dense pieces.
         self.BZ = np.zeros((m, p))
@@ -920,6 +951,29 @@ class DiaBorderedSolver:
         # columns (their recurrence target sits at the f32 floor), so
         # this removes most of the per-pass iteration cost.
         self._Xc = None
+
+    def _release_widx(self):
+        """Release the ~5 B/nnz device widx split once its consumers
+        (anchor / comp setup) are done with it, so it doesn't ride
+        along as unused CG-operator params."""
+        if self._op_exact is not None:
+            self._op_exact.pop("_hi", None)
+            self._op_exact.pop("_lo", None)
+
+    def _comp_active(self) -> bool:
+        """True when the comp ladder is built OR still building on the
+        worker thread (solve-path branches must commit to the ladder
+        before joining, so the build overlaps the main CG pass)."""
+        return self._comp is not None or self._comp_thread is not None
+
+    def _join_comp(self):
+        """Join the deferred comp build (no-op when sync/absent).
+        After this, self._comp is authoritative."""
+        th = self._comp_thread
+        if th is not None:
+            th.join()
+            self._comp_thread = None
+            self._release_widx()
 
     def _run_cg(self, rhs_dev, tol=None):
         tol = self.inner_tol if tol is None else tol
@@ -954,7 +1008,7 @@ class DiaBorderedSolver:
         m, p = self.m, self.p
         system = self.system
         t0 = time.time()
-        if self._Xc is None or self._comp is not None:
+        if self._Xc is None or self._comp_active():
             # Comp ladder: the pass-0 rc must stay exact f32 — it is
             # the hi half of the device-resident exact b64 (see
             # _comp_b64), so the f16 wire trick below would poison the
@@ -975,7 +1029,7 @@ class DiaBorderedSolver:
         rc_pad = jnp.zeros(self.np0, jnp.float32).at[self.posmap_dev].set(
             rc_dev)
         rc_pad.block_until_ready()
-        if self._comp is not None:
+        if self._comp_active():
             self._rc0_pad = rc_pad
         self._trace("upload rc", t0)
         t0 = time.time()
@@ -1346,10 +1400,16 @@ class DiaBorderedSolver:
                 "rb": rb,
             })
             rb64 = dev["rb"]
+        pending_v = None
         while (res_norm > target_residual
                and refinements < max_refinements):
             tol_pass = min(0.05, max(self.comp_inner_tol,
                                      0.2 * target_residual / res_norm))
+            # The inner-tol clamp not binding means this pass should
+            # contract all the way to the target — i.e. it is expected
+            # to be the LAST one.
+            expect_final = (0.2 * target_residual / res_norm
+                            >= self.comp_inner_tol)
             t0 = time.time()
             x = self._run_cg(c["rhs32"](r64)[:, None], tol=tol_pass)
             x.block_until_ready()
@@ -1362,6 +1422,20 @@ class DiaBorderedSolver:
                  n2_new) = c["fused_pass"](
                     c["op"].params, self._Xc, dev["pinv"], dev["BXc"],
                     dev["BZ"], r64, rb64, dcorr64, j64, xr)
+                if (expect_final and self._comp_verified
+                        and not os.environ.get("PADNE_TPU_HOST_CHECK")):
+                    # Optimistically dispatch the final split-precision
+                    # v AND start its device->host copy NOW, so the
+                    # 0.3-0.6 s download (tunnel-bound) overlaps the
+                    # fused pass + the norm scalar round trip below.
+                    # Wasted only when the expected-final pass stalls.
+                    pend = c["final_v_split"](self._v1_pad, dcorr64n)
+                    try:
+                        for a in pend:
+                            a.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 platform-optional
+                        pass
+                    pending_v = (dcorr64n,) + tuple(pend)
                 new_norm = float(np.sqrt(float(n2_new)))
                 refinements += 1
                 self._trace("comp fused pass", t0)
@@ -1398,7 +1472,10 @@ class DiaBorderedSolver:
         t0 = time.time()
         if self._comp_verified and not os.environ.get(
                 "PADNE_TPU_HOST_CHECK"):
-            hi, lo16, sc = c["final_v_split"](self._v1_pad, dcorr64)
+            if pending_v is not None and pending_v[0] is dcorr64:
+                hi, lo16, sc = pending_v[1:]   # copy already in flight
+            else:
+                hi, lo16, sc = c["final_v_split"](self._v1_pad, dcorr64)
             v = (np.asarray(hi).astype(np.float64)
                  + np.asarray(lo16).astype(np.float64)
                  * float(sc))[self.posmap]
@@ -1592,11 +1669,14 @@ class DiaBorderedSolver:
         # Keep-v-on-device applies to THIS pass only: later host-
         # fallback passes through _solve_once must return host arrays.
         self._want_v_dev = (self._anchor is not None
-                            or self._comp is not None)
+                            or self._comp_active())
         v, j = self._solve_once(system.r_core, b.rhs)
         self._want_v_dev = False
         refinements = 0
         anchored = False
+        # The deferred comp build has had the whole main CG pass to
+        # finish; join it now (fallbacks below handle a failed build).
+        self._join_comp()
         if v is None and self._comp is not None:
             # Compensated device-resident ladder (the default when x64
             # is on): exact residuals on device, no host anchor pass.
