@@ -152,6 +152,18 @@ def parse_args(argv=None) -> argparse.Namespace:
     p_val.add_argument("--json", action="store_true",
                        help="machine-readable JSON report")
 
+    p_srv = sub.add_parser(
+        "serve",
+        help="Run a resident solve server (keeps compiled TPU programs "
+             "hot; later `solve`/`gui` runs auto-dispatch to it)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p_srv.add_argument("--socket", type=Path, default=None,
+                       help="unix socket path (default: "
+                            "~/.cache/padne_tpu/serve.sock)")
+    p_srv.add_argument("--max-requests", type=int, default=None,
+                       help="exit after N requests (default: run forever)")
+
     return parser.parse_args(argv)
 
 
@@ -201,6 +213,17 @@ def do_solve(args) -> None:
     )
     solution_io.save_solution(sol, args.output_file)
     log.info("Solution saved to %s", args.output_file)
+
+
+@handle_errors
+def do_serve(args) -> None:
+    from . import serve as serve_mod
+
+    log = logging.getLogger(__name__)
+    sock = str(args.socket) if args.socket else None
+    log.info("Starting resident solve server (socket: %s)",
+             sock or serve_mod.default_socket_path())
+    serve_mod.serve(socket_path=sock, max_requests=args.max_requests)
 
 
 @handle_errors
@@ -306,6 +329,7 @@ def main(argv=None) -> None:
         "html": do_html,
         "info": do_info,
         "validate": do_validate,
+        "serve": do_serve,
     }[args.command](args)
     if isinstance(result, int):
         sys.exit(result)

@@ -691,18 +691,44 @@ def solve(
     )
 
     log.info("Solving the system (deflated PCG + Schur border)")
-    # On TPU backends f64 is emulated and slow: run the inner CG/AMG in
-    # f32 with f64 iterative refinement (same accuracy, hardware speed).
-    import jax
+    # Resident-server dispatch: when a `padne-tpu serve` daemon is
+    # reachable (and no multi-chip mesh was requested), ship the
+    # assembled system there — its compiled TPU programs are already
+    # loaded, skipping this process's ~30-40 MB executable-load tax
+    # through the accelerator tunnel.  PADNE_TPU_SERVER=0 disables;
+    # PADNE_TPU_SOCKET overrides the socket path.
+    result = None
+    import os as _os
 
-    device_dtype = None
-    if jax.default_backend() not in ("cpu",):
-        import jax.numpy as jnp
+    if device_mesh is None and _os.environ.get(
+            "PADNE_TPU_SERVER", "1") != "0":
+        import pathlib as _pathlib
 
-        device_dtype = jnp.float32
-    result = ops_schur.solve_bordered(
-        system, device_dtype=device_dtype, mesh=device_mesh
-    )
+        from . import serve as serve_mod
+
+        _spath = serve_mod.default_socket_path()
+        if _pathlib.Path(_spath).exists():
+            info = serve_mod.ping(_spath)
+            if info:
+                log.info("Resident solve server found (pid %d, %s); "
+                         "dispatching", info["pid"], info["backend"])
+                result = serve_mod.client_solve(
+                    system, target_residual=1e-10, max_refinements=8,
+                    socket_path=_spath)
+    if result is None:
+        # On TPU backends f64 is emulated and slow: run the inner
+        # CG/AMG in f32 with f64 iterative refinement (same accuracy,
+        # hardware speed).
+        import jax
+
+        device_dtype = None
+        if jax.default_backend() not in ("cpu",):
+            import jax.numpy as jnp
+
+            device_dtype = jnp.float32
+        result = ops_schur.solve_bordered(
+            system, device_dtype=device_dtype, mesh=device_mesh
+        )
 
     if check_against_scipy:
         import scipy.sparse.linalg
