@@ -127,54 +127,171 @@ class SolutionViewer:
         return (lo, hi if hi > lo else lo + 1e-12)
 
     # -- drawing ------------------------------------------------------------
-    # Display-side face budget: beyond it, triangles are strided for
-    # DRAWING only (probing/scaling always use the full data).  The
-    # reference keeps its GUI responsive on big solutions with VBOs +
-    # a 2-worker prep pool (ui.py:649-1142); matplotlib has no such
-    # path, so a 1M-triangle tripcolor would hang the figure for
-    # minutes — decimation is the equivalent interactivity guarantee.
+    # Display path budget: up to this many faces the figure draws
+    # direct matplotlib triangles; beyond it, the FULL field is
+    # rasterized into a viewport image by padne_tpu.raster (every
+    # triangle contributes — no decimation) on a 2-worker thread pool,
+    # mirroring the reference's VBO + prepare-pool design
+    # (ref ui.py:649-1142, 146-189).  Probing/scaling always use the
+    # full data in both paths.
     DECIMATE_FACES = 200_000
+    RASTER_SHAPE = (900, 1200)   # (H, W) render resolution
 
-    def _display_stride(self) -> int:
+    def _total_faces(self) -> int:
         ls = self.layer_solution
-        total = sum(m.num_faces for m in ls.meshes) + sum(
+        return sum(m.num_faces for m in ls.meshes) + sum(
             m.num_faces for m in ls.disconnected_meshes)
-        return max(1, -(-total // self.DECIMATE_FACES))
+
+    def _raster_items(self):
+        """(field items, disconnected items) for raster.rasterize_field
+        — display coords (y flipped)."""
+        ls = self.layer_solution
+        items = []
+        for mi, m in enumerate(ls.meshes):
+            vals, kind = self.mode.values_for(ls, mi)
+            v = np.column_stack([m.vertices[:, 0], -m.vertices[:, 1]])
+            items.append((v, m.triangles, np.asarray(vals), kind))
+        gray = []
+        for m in ls.disconnected_meshes:
+            v = np.column_stack([m.vertices[:, 0], -m.vertices[:, 1]])
+            gray.append((v, m.triangles,
+                         np.zeros(m.num_faces), "face"))
+        return items, gray
+
+    def _data_extent(self):
+        ls = self.layer_solution
+        xs, ys = [], []
+        for m in list(ls.meshes) + list(ls.disconnected_meshes):
+            if len(m.vertices):
+                xs.append((m.vertices[:, 0].min(), m.vertices[:, 0].max()))
+                ys.append(((-m.vertices[:, 1]).min(),
+                           (-m.vertices[:, 1]).max()))
+        if not xs:
+            return (0.0, 1.0, 0.0, 1.0)
+        x0 = min(a for a, _ in xs)
+        x1 = max(b for _, b in xs)
+        y0 = min(a for a, _ in ys)
+        y1 = max(b for _, b in ys)
+        mx = 0.02 * max(x1 - x0, 1e-9)
+        my = 0.02 * max(y1 - y0, 1e-9)
+        return (x0 - mx, x1 + mx, y0 - my, y1 + my)
+
+    def _compute_raster(self, extent):
+        """Worker-side: rasterize field + disconnected overlay."""
+        from . import raster as raster_mod
+
+        items, gray = self._raster_items()
+        field = raster_mod.rasterize_field(items, extent,
+                                           self.RASTER_SHAPE)
+        gmask = (raster_mod.rasterize_field(gray, extent,
+                                            self.RASTER_SHAPE)
+                 if gray else None)
+        return field, gmask
+
+    def _apply_raster(self, field, gmask, extent, vmin, vmax):
+        """GUI-thread side: blit the prepared rasters."""
+        for art in getattr(self, "_raster_artists", []):
+            try:
+                art.remove()
+            except ValueError:
+                pass   # axes were cleared by a redraw meanwhile
+        self._raster_artists = []
+        if gmask is not None:
+            g = np.where(np.isfinite(gmask), 0.35, np.nan)
+            self._raster_artists.append(self.ax.imshow(
+                g, origin="lower", extent=extent,
+                cmap="gray", vmin=0, vmax=1, alpha=0.6,
+                interpolation="nearest", zorder=1))
+        im = self.ax.imshow(
+            field, origin="lower", extent=extent,
+            cmap=self.mode.cmap_name, vmin=vmin, vmax=vmax,
+            interpolation="nearest", zorder=2)
+        self._raster_artists.append(im)
+        self.ax.set_xlim(extent[0], extent[1])
+        self.ax.set_ylim(extent[2], extent[3])
+        return im
+
+    def _raster_async(self, extent, vmin, vmax):
+        """Submit a full-data rasterization; a figure timer applies it
+        when ready (stale view stays up meanwhile — same
+        prepare-then-upload flow as the reference's DeferedDict)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_executor"):
+            self._executor = ThreadPoolExecutor(2)
+            self._raster_gen = 0
+        self._raster_gen += 1
+        gen = self._raster_gen
+        fut = self._executor.submit(self._compute_raster, extent)
+        self._pending_raster = (gen, fut, extent, vmin, vmax)
+        timer = getattr(self, "_raster_timer", None)
+        if timer is None:
+            timer = self.fig.canvas.new_timer(interval=100)
+            timer.add_callback(self._poll_raster)
+            self._raster_timer = timer
+        timer.start()
+
+    def _poll_raster(self):
+        pend = getattr(self, "_pending_raster", None)
+        if pend is None:
+            if getattr(self, "_raster_timer", None) is not None:
+                self._raster_timer.stop()
+            return
+        gen, fut, extent, vmin, vmax = pend
+        if not fut.done():
+            return
+        self._pending_raster = None
+        if gen != self._raster_gen:
+            return   # superseded by a newer request
+        field, gmask = fut.result()
+        self._apply_raster(field, gmask, extent, vmin, vmax)
+        self.fig.canvas.draw_idle()
 
     def redraw(self):
         self.ax.clear()
+        self._raster_artists = []   # clear() already removed them
         ls = self.layer_solution
         vmin, vmax = self.value_range()
-        stride = self._display_stride()
+        raster_mode = self._total_faces() > self.DECIMATE_FACES
         tp = None
-        for m in ls.disconnected_meshes:
-            tris = m.triangles[::stride]
-            self.ax.tripcolor(
-                m.vertices[:, 0], -m.vertices[:, 1], tris,
-                facecolors=np.zeros(len(tris)),
-                cmap="gray", vmin=-1, vmax=1, alpha=0.6,
-            )
-        for mi, m in enumerate(ls.meshes):
-            vals, kind = self.mode.values_for(ls, mi)
-            if kind == "vertex":
-                tp = self.ax.tripcolor(
-                    m.vertices[:, 0], -m.vertices[:, 1],
-                    m.triangles[::stride], vals,
-                    shading="gouraud", cmap=self.mode.cmap_name,
-                    vmin=vmin, vmax=vmax,
+        if raster_mode:
+            # Full-fidelity image path: show the data extent now,
+            # rasterize every triangle on the worker pool.
+            from matplotlib import cm as _cm
+
+            extent = self._data_extent()
+            tp = _cm.ScalarMappable(cmap=self.mode.cmap_name)
+            tp.set_clim(vmin, vmax)
+            self._raster_async(extent, vmin, vmax)
+        else:
+            for m in ls.disconnected_meshes:
+                tris = m.triangles
+                self.ax.tripcolor(
+                    m.vertices[:, 0], -m.vertices[:, 1], tris,
+                    facecolors=np.zeros(len(tris)),
+                    cmap="gray", vmin=-1, vmax=1, alpha=0.6,
                 )
-            else:
-                tp = self.ax.tripcolor(
-                    m.vertices[:, 0], -m.vertices[:, 1],
-                    m.triangles[::stride], facecolors=vals[::stride],
-                    cmap=self.mode.cmap_name,
-                    vmin=vmin, vmax=vmax,
-                )
-        if self.show_edges:
+            for mi, m in enumerate(ls.meshes):
+                vals, kind = self.mode.values_for(ls, mi)
+                if kind == "vertex":
+                    tp = self.ax.tripcolor(
+                        m.vertices[:, 0], -m.vertices[:, 1],
+                        m.triangles, vals,
+                        shading="gouraud", cmap=self.mode.cmap_name,
+                        vmin=vmin, vmax=vmax,
+                    )
+                else:
+                    tp = self.ax.tripcolor(
+                        m.vertices[:, 0], -m.vertices[:, 1],
+                        m.triangles, facecolors=vals,
+                        cmap=self.mode.cmap_name,
+                        vmin=vmin, vmax=vmax,
+                    )
+        if self.show_edges and not raster_mode:
             for m in ls.meshes:
                 self.ax.triplot(
                     m.vertices[:, 0], -m.vertices[:, 1],
-                    m.triangles[::stride],
+                    m.triangles,
                     color="black", linewidth=0.15, alpha=0.5,
                 )
         if self.show_connections:
@@ -189,8 +306,8 @@ class SolutionViewer:
                         markeredgewidth=0.3, zorder=5,
                     )
         layer_name = self.solution.problem.layers[self.layer_idx].name
-        if stride > 1:
-            layer_name += f" (display decimated 1/{stride})"
+        if raster_mode:
+            layer_name += " (full-data raster)"
         lo = units.Value(vmin, self.mode.unit).pretty_format()
         hi = units.Value(vmax, self.mode.unit).pretty_format()
         if getattr(self, "_box_lo", None) is not None:
@@ -293,15 +410,23 @@ class SolutionViewer:
 
     def on_scroll(self, event):
         """Zoom toward/away from the cursor (reference ui.py zoom-to-
-        cursor behavior)."""
+        cursor behavior).  In raster mode the zoomed view re-rasterizes
+        asynchronously at the new extent (the stale image scales
+        meanwhile)."""
         if event.xdata is None:
             return
         f = 1 / 1.25 if event.button == "up" else 1.25
         x0, x1 = self.ax.get_xlim()
         y0, y1 = self.ax.get_ylim()
         cx, cy = float(event.xdata), float(event.ydata)
-        self.ax.set_xlim(cx + (x0 - cx) * f, cx + (x1 - cx) * f)
-        self.ax.set_ylim(cy + (y0 - cy) * f, cy + (y1 - cy) * f)
+        nx = (cx + (x0 - cx) * f, cx + (x1 - cx) * f)
+        ny = (cy + (y0 - cy) * f, cy + (y1 - cy) * f)
+        self.ax.set_xlim(*nx)
+        self.ax.set_ylim(*ny)
+        if self._total_faces() > self.DECIMATE_FACES:
+            vmin, vmax = self.value_range()
+            self._raster_async((nx[0], nx[1], ny[0], ny[1]),
+                               vmin, vmax)
         self.fig.canvas.draw_idle()
 
 

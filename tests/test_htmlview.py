@@ -120,10 +120,10 @@ class TestHtmlViewer:
         total_meshes = 0
         for layer in data["layers"]:
             for mesh in layer["meshes"]:
-                verts = dec(mesh["vertices"], np.float32)
-                tris = dec(mesh["triangles"], np.uint32)
+                verts = dec(mesh["vq"], np.uint16)
+                tris = dec(mesh["triangles"], np.uint16)
                 pot = dec(mesh["potential"], np.float32)
-                assert np.isfinite(verts).all()
+                assert len(mesh["bbox"]) == 4
                 assert np.isfinite(pot).all()
                 assert len(pot) * 2 == len(verts)
                 if len(tris):
@@ -156,11 +156,22 @@ def _extract_data(html):
     def dec(b64, dt):
         return np.frombuffer(base64.b64decode(b64), dtype=dt)
 
+    def dequant(q, bbox):
+        # Python twin of the template's dequant() (formula guard):
+        # f32 result of bbox[0] + q * (bbox[2]-bbox[0])/65535.
+        q = q.reshape(-1, 2).astype(np.float64)
+        sx = (bbox[2] - bbox[0]) / 65535.0
+        sy = (bbox[3] - bbox[1]) / 65535.0
+        out = np.stack([bbox[0] + q[:, 0] * sx,
+                        bbox[1] + q[:, 1] * sy], axis=1)
+        return out.astype(np.float32)
+
     for layer in data["layers"]:
-        for mesh in layer["meshes"]:
-            mesh["v"] = dec(mesh["vertices"], np.float32).reshape(-1, 2)
-            mesh["t"] = dec(mesh["triangles"], np.uint32).reshape(-1, 3)
-            mesh["pot"] = dec(mesh["potential"], np.float32)
+        for mesh in layer["meshes"] + layer["disconnected"]:
+            mesh["v"] = dequant(dec(mesh["vq"], np.uint16), mesh["bbox"])
+            mesh["t"] = dec(mesh["triangles"], np.uint16).reshape(-1, 3)
+            if "potential" in mesh:
+                mesh["pot"] = dec(mesh["potential"], np.float32)
             mesh["pow"] = (dec(mesh["power"], np.float32)
                            if mesh.get("power") else None)
     return data
@@ -414,7 +425,7 @@ class TestHtmlViewerExecution:
             sum(len(m["t"]) for m in layer0["meshes"])
             + sum(
                 len(np.frombuffer(__import__("base64").b64decode(
-                    d["triangles"]), np.uint32)) // 3
+                    d["triangles"]), np.uint16)) // 3
                 for d in layer0["disconnected"]
             )
         )
@@ -653,7 +664,7 @@ class TestHtmlViewerExecution:
         expected = 3 * (
             sum(len(m["t"]) for m in data["layers"][1]["meshes"])
             + sum(len(np.frombuffer(_b64mod.b64decode(d["triangles"]),
-                                    np.uint32)) // 3
+                                    np.uint16)) // 3
                   for d in data["layers"][1]["disconnected"])
         )
         assert _last_draw(dom)["count"] == expected
@@ -725,14 +736,14 @@ class TestViewerOverlays:
         for group in ("meshes", "disconnected"):
             for m in layer[group]:
                 nb += len(np.frombuffer(b64mod.b64decode(m["boundary"]),
-                                        np.uint32)) // 2
+                                        np.uint16)) // 2
         lines = _last_draw(dom, mode=1.0)
         assert lines["count"] == 2 * nb
         # Boundary payload matches an independent recomputation.
         m0 = layer["meshes"][0]
         twin = htmlview._boundary_edges(m0["t"])
         got = np.frombuffer(b64mod.b64decode(m0["boundary"]),
-                            np.uint32).reshape(-1, 2)
+                            np.uint16).reshape(-1, 2)
         assert {tuple(sorted(e)) for e in got.tolist()} \
             == {tuple(sorted(e)) for e in twin.tolist()}
         # restore

@@ -240,3 +240,84 @@ class TestEditableScaleBoxes:
         v = ui.SolutionViewer(strip_solution)
         v.redraw()
         assert v.scale_override is None
+
+
+class TestRasterPath:
+    """Full-data raster path (ref ui.py:649-1142 renders every triangle
+    via VBOs; here every triangle contributes to a viewport raster —
+    no decimation — prepared on a worker pool like the reference's
+    DeferedDict flow, ref ui.py:146-189)."""
+
+    def _viewer(self, strip_solution):
+        from padne_tpu import ui
+
+        v = ui.SolutionViewer(strip_solution)
+        # Force the raster path regardless of board size.
+        v.DECIMATE_FACES = 1
+        return v
+
+    def test_raster_matches_field(self, strip_solution):
+        """The synchronous raster of the strip's linear potential
+        reproduces the analytic field at pixel centers."""
+        v = self._viewer(strip_solution)
+        extent = v._data_extent()
+        field, gmask = v._compute_raster(extent)
+        H, W = v.RASTER_SHAPE
+        assert np.isfinite(field).any()
+        # Sample a horizontal line through the strip: potential is
+        # linear in x, so the finite pixels along it must be monotone
+        # (up to raster noise at the edges).
+        ys = np.nonzero(np.isfinite(field).sum(axis=1)
+                        > 0.5 * np.isfinite(field).sum(axis=1).max())[0]
+        row = field[ys[len(ys) // 2]]
+        xs = np.nonzero(np.isfinite(row))[0]
+        vals = row[xs]
+        # The strip potential is linear in x away from the pads: a
+        # linear fit along the row must explain the data to within a
+        # few % of the range (raster pixels interpolate within real
+        # triangles, so gross decimation/indexing errors would blow
+        # this up by orders of magnitude).
+        coef = np.polyfit(xs, vals, 1)
+        resid = vals - np.polyval(coef, xs)
+        rng = vals.max() - vals.min()
+        assert rng > 0
+        assert np.abs(resid).max() < 0.05 * rng
+        lo, hi = v.value_range()
+        assert np.nanmin(field) >= lo - 1e-6
+        assert np.nanmax(field) <= hi + 1e-6
+
+    def test_redraw_uses_raster_and_applies_async(self, strip_solution):
+        v = self._viewer(strip_solution)
+        v.redraw()
+        assert v._pending_raster is not None
+        gen, fut, extent, vmin, vmax = v._pending_raster
+        fut.result(timeout=60)
+        v._poll_raster()
+        assert v._pending_raster is None
+        assert len(v._raster_artists) >= 1
+        assert "(full-data raster)" in v.ax.get_title()
+
+    def test_zoom_triggers_reraster(self, strip_solution):
+        v = self._viewer(strip_solution)
+        v.redraw()
+        v._pending_raster[1].result(timeout=60)
+        v._poll_raster()
+        gen0 = v._raster_gen
+        x0, x1 = v.ax.get_xlim()
+        y0, y1 = v.ax.get_ylim()
+        v.on_scroll(FakeScrollEvent((x0 + x1) / 2, (y0 + y1) / 2, "up"))
+        assert v._raster_gen == gen0 + 1
+        v._pending_raster[1].result(timeout=60)
+        v._poll_raster()
+        assert len(v._raster_artists) >= 1
+
+    def test_probe_still_full_data(self, strip_solution):
+        """Raster mode never decimates the probe path."""
+        v = self._viewer(strip_solution)
+        v.redraw()
+        ls = v.layer_solution
+        m = ls.meshes[0]
+        vx, vy = m.vertices[0]
+        val = v.probe_value(float(vx), float(vy))
+        assert val == pytest.approx(
+            float(ls.potentials[0].values[0]), abs=1e-9)

@@ -1,12 +1,12 @@
-"""Viewer at production scale (round-4 gate): a >= 500k-triangle
+"""Viewer at production scale (round-5 gate): a >= 1M-triangle
 solution must export to the WebGL HTML viewer within explicit wall-time
-and file-size budgets, its embedded payload must round-trip bit-exactly
-and pass a rasterized-pixel probe, and the matplotlib viewer must
-decimate its draw so a 1M-triangle-class solution stays interactive.
+and file-size budgets, its embedded quantized payload must round-trip
+(u16 vertex grid within quantization tolerance, indices and f32 values
+exactly), pass a rasterized-pixel probe, and the matplotlib viewer must
+render a FULL-DATA raster (no decimation) prepared asynchronously.
 
 Reference bar: the Qt/OpenGL GUI handles big solutions with VBO upload
-and a 2-worker prep pool (reference ui.py:649-1142); the round-3 suite
-only ever exercised the viewers on toy boards.
+and a 2-worker prep pool (reference ui.py:649-1142).
 """
 
 import base64
@@ -23,7 +23,7 @@ from padne_tpu import geom, problem, solver
 from padne_tpu import mesh as mesh_mod
 from padne_tpu.io import htmlview
 
-NX = NY = 502                      # 501*501*2 = 502,002 triangles
+NX = NY = 709                      # 708*708*2 = 1,002,528 triangles
 V_SCALE = 3.3
 
 
@@ -80,27 +80,56 @@ class TestExportAtScale:
     def test_export_budgets(self, big_solution, exported):
         out, seconds = exported
         n_tri = big_solution.layer_solutions[0].meshes[0].num_faces
-        assert n_tri >= 500_000, n_tri
-        # Budgets: a half-million-triangle export is a routine save,
-        # not a batch job.
-        assert seconds < 30.0, f"export took {seconds:.1f}s"
+        assert n_tri >= 1_000_000, n_tri
+        # Budgets: a million-triangle export is a routine save, not a
+        # batch job; the quantized wire format keeps it browser-sized.
+        assert seconds < 60.0, f"export took {seconds:.1f}s"
         size = out.stat().st_size
-        assert size < 60e6, f"export is {size/1e6:.1f} MB"
+        assert size < 100e6, f"export is {size/1e6:.1f} MB"
 
-    def test_payload_roundtrip_bit_exact(self, big_solution, exported):
+    def _reassemble(self, data, w, h):
+        """Map every chunk's dequantized vertices back to global grid
+        ids (vertices sit exactly on the structured grid, and the u16
+        quantization error is << the grid pitch) and reassemble the
+        global triangle/potential arrays."""
+        dx, dy = w / (NX - 1), h / (NY - 1)
+        tris_g = []
+        pot_g = np.full(NX * NY, np.nan)
+        for got in data["layers"][0]["meshes"]:
+            v = got["v"].astype(np.float64)
+            gi = np.round(v[:, 0] / dx).astype(np.int64)
+            gj = np.round(v[:, 1] / dy).astype(np.int64)
+            glob = gi * NY + gj
+            tris_g.append(glob[got["t"].astype(np.int64)])
+            pot_g[glob] = got["pot"]
+        return np.concatenate(tris_g), pot_g
+
+    def test_payload_roundtrip(self, big_solution, exported):
+        """Indices and f32 values round-trip exactly (through the
+        chunked u16 remap); vertices round-trip within the u16
+        quantization step (bbox/65535 ~ 1.5 um here)."""
         from tests.test_htmlview import _extract_data
 
         out, _ = exported
         data = _extract_data(out.read_text())
         m = big_solution.layer_solutions[0].meshes[0]
         pot = big_solution.layer_solutions[0].potentials[0].values
-        got = data["layers"][0]["meshes"][0]
+        w = m.vertices[:, 0].max()
+        h = m.vertices[:, 1].max()
+        # Quantization tolerance on raw coordinates.
+        step = max(w, h) / 65535.0
+        for got in data["layers"][0]["meshes"]:
+            assert len(got["v"]) <= 65536   # u16-indexable chunks
+        tris_g, pot_g = self._reassemble(data, w, h)
         np.testing.assert_array_equal(
-            got["v"].reshape(-1, 2), m.vertices.astype(np.float32))
-        np.testing.assert_array_equal(got["t"].reshape(-1, 3),
-                                      m.triangles.astype(np.uint32))
-        np.testing.assert_array_equal(got["pot"],
-                                      pot.astype(np.float32))
+            np.sort(tris_g, axis=0),
+            np.sort(np.asarray(m.triangles, np.int64), axis=0))
+        np.testing.assert_array_equal(pot_g, pot.astype(np.float32))
+        # Vertex positions: reconstruct from grid ids and compare.
+        got0 = data["layers"][0]["meshes"][0]
+        dx = w / (NX - 1)
+        gi = np.round(got0["v"][:, 0] / dx).astype(np.int64)
+        assert np.abs(got0["v"][:, 0] - gi * dx).max() < step + 1e-9
 
     def test_rasterized_probe_matches_analytic_field(self, exported):
         """Rasterize the decoded payload (barycentric interpolation of
@@ -110,11 +139,12 @@ class TestExportAtScale:
 
         out, _ = exported
         data = _extract_data(out.read_text())
-        got = data["layers"][0]["meshes"][0]
-        v = got["v"].reshape(-1, 2).astype(np.float64)
-        pot = got["pot"].astype(np.float64)
-        w = v[:, 0].max()
-        h = v[:, 1].max()
+        w = max(float(m["v"][:, 0].max())
+                for m in data["layers"][0]["meshes"])
+        h = max(float(m["v"][:, 1].max())
+                for m in data["layers"][0]["meshes"])
+        _, pot = TestExportAtScale._reassemble(self, data, w, h)
+        pot = pot.astype(np.float64)
         W = H = 256
         px = (np.arange(W) + 0.5) * (w / W)
         py = (np.arange(H) + 0.5) * (h / H)
@@ -143,22 +173,36 @@ class TestExportAtScale:
 
 
 class TestMatplotlibViewerAtScale:
-    def test_decimated_redraw_stays_interactive(self, big_solution):
+    def test_full_data_raster_redraw(self, big_solution):
+        """At 1M faces the viewer renders a FULL-DATA raster image
+        (every triangle contributes; the round-4 decimation is gone),
+        prepared asynchronously on the 2-worker pool (the reference's
+        DeferedDict flow, ref ui.py:146-189)."""
         from padne_tpu import ui
 
         t0 = time.time()
         viewer = ui.SolutionViewer(big_solution)
         first_draw = time.time() - t0
-        stride = viewer._display_stride()
-        assert stride >= 2, stride   # 502k faces over a 200k budget
-        # Interactivity budget: construction + first draw.  Without
-        # decimation a gouraud tripcolor at 502k faces takes minutes.
+        # The synchronous part (submit + placeholder) must stay
+        # interactive; the raster lands asynchronously.
         assert first_draw < 60.0, f"first draw took {first_draw:.1f}s"
-        # Probing uses the FULL data (no decimation error): the probe
-        # at an arbitrary point matches the analytic field.
+        assert "(full-data raster)" in viewer.ax.get_title()
+        pend = viewer._pending_raster
+        assert pend is not None
+        pend[1].result(timeout=120)
+        t0 = time.time()
+        viewer._poll_raster()
+        assert time.time() - t0 < 10.0       # apply is cheap
+        assert viewer._raster_artists
+        # The applied image reproduces the analytic linear field at a
+        # sample pixel (center of the board: v = V_SCALE/2).
+        img = viewer._raster_artists[-1].get_array()
+        H, W = img.shape
+        center = float(img[H // 2, W // 2])
+        assert center == pytest.approx(V_SCALE * 0.5, rel=0.02)
+        # Probing uses the FULL data: the probe at an arbitrary point
+        # matches the analytic field within one grid step.
         val = viewer.probe_value(33.3, 50.0)
-        # Nearest-vertex probe: within one grid step of the analytic
-        # field (pitch 100/(NX-1) mm -> V_SCALE * pitch / 100 volts).
         assert val == pytest.approx(V_SCALE * 33.3 / 100.0,
                                     abs=V_SCALE * (100.0 / (NX - 1)) / 100.0)
         import matplotlib.pyplot as plt
