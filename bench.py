@@ -179,13 +179,41 @@ def _warm_probe(path):
     }))
 
 
-def _run_probe(mode, path, timeout_s):
+def _serve_client_probe(path, socket_path):
+    """What a fresh `padne-tpu solve` pays when a resident serve
+    daemon (here: the bench process itself, hot) is running: load the
+    pre-assembled system, ship it over the socket, get the solution.
+    Prints one JSON line."""
+    sys.path.insert(0, "/root/repo")
+    from padne_tpu import serve
+
+    t0 = time.time()
+    system, _ = _load_system(path)
+    t_load = time.time() - t0
+    bnorm = float(np.sqrt((system.r_core**2).sum()
+                          + (system.border.rhs**2).sum()))
+    t0 = time.time()
+    res = serve.client_solve(system, target_residual=1e-8 * bnorm,
+                             max_refinements=12,
+                             socket_path=socket_path)
+    t_solve = time.time() - t0
+    if res is None:
+        print(json.dumps({"warm_serve_error": "no server"}))
+        return
+    print(json.dumps({
+        "warm_serve_load_seconds": round(t_load, 3),
+        "warm_serve_seconds": round(t_solve, 3),
+        "warm_serve_rel_residual": res.residual_norm / bnorm,
+    }))
+
+
+def _run_probe(mode, path, timeout_s, extra_args=()):
     """Run a probe in a subprocess; returns its parsed JSON or None."""
     import subprocess
 
     try:
         r = subprocess.run(
-            [sys.executable, __file__, mode, path],
+            [sys.executable, __file__, mode, path, *extra_args],
             capture_output=True, text=True, timeout=timeout_s,
         )
         for line in reversed(r.stdout.strip().splitlines()):
@@ -286,6 +314,9 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--warm-probe":
         _warm_probe(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve-probe":
+        _serve_client_probe(sys.argv[2], sys.argv[3])
         return
     target_dof = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 
@@ -425,14 +456,53 @@ def main():
         else:
             probe_detail["reference_scipy_seconds"] = None
         if on_tpu:
-            _progress("warm-start probe (second process, hot cache)...")
-            wp = _run_probe("--warm-probe", _system_cache_path(),
-                            int(os.environ.get(
-                                "PADNE_TPU_WARM_TIMEOUT", "1500")))
-            if wp:
-                probe_detail.update(wp)
-                _progress(f"warm start: setup {wp['warm_setup_seconds']}s"
-                          f" + first solve {wp['warm_start_seconds']}s")
+            # Serve-path warm start: the product answer to the
+            # per-process executable-load floor.  The bench process
+            # acts as the resident daemon (it is hot); a fresh client
+            # process ships the assembled system over the socket and
+            # gets the solution — the cost a user's SECOND
+            # `padne-tpu solve` pays when `padne-tpu serve` is running.
+            _progress("warm-start probe (client -> resident server)...")
+            import tempfile as _tf
+            import threading as _th
+
+            from padne_tpu import serve as _serve
+
+            _sock = _tf.mktemp(prefix="padne_bench_serve_",
+                               suffix=".sock")
+            _ready = _th.Event()
+            _srv = _th.Thread(
+                target=_serve.serve,
+                kwargs=dict(socket_path=_sock, max_requests=4,
+                            ready_event=_ready),
+                daemon=True)
+            _srv.start()
+            _ready.wait(30)
+            sp2 = _run_probe("--serve-probe", _system_cache_path(),
+                             int(os.environ.get(
+                                 "PADNE_TPU_WARM_TIMEOUT", "1500")),
+                             extra_args=(_sock,))
+            _serve.shutdown(_sock)
+            if sp2:
+                probe_detail.update(sp2)
+                _progress(
+                    "warm start via server: "
+                    f"{sp2.get('warm_serve_seconds')}s "
+                    f"(+ {sp2.get('warm_serve_load_seconds')}s load)")
+            # Legacy local warm start (no daemon running): the fresh
+            # process pays executable loading; kept for honesty +
+            # regression tracking.  PADNE_TPU_BENCH_LOCAL_WARM=0 skips.
+            if os.environ.get("PADNE_TPU_BENCH_LOCAL_WARM", "1") != "0":
+                _progress("warm-start probe (second process, no "
+                          "server)...")
+                wp = _run_probe("--warm-probe", _system_cache_path(),
+                                int(os.environ.get(
+                                    "PADNE_TPU_WARM_TIMEOUT", "1500")))
+                if wp:
+                    probe_detail.update(wp)
+                    _progress(
+                        f"warm start: setup {wp['warm_setup_seconds']}s"
+                        f" + first solve {wp['warm_start_seconds']}s")
 
     hierarchy_detail = {}
     if on_tpu:

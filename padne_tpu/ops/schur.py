@@ -975,6 +975,53 @@ class DiaBorderedSolver:
             self._comp_thread = None
             self._release_widx()
 
+    def _rhs_block(self) -> int:
+        """Column-block width for the border multi-RHS pass; 0 = solve
+        all m+1 columns in one CG.
+
+        CG columns are fully independent (per-column alpha/beta/active
+        masks in ops.cg), so blocking changes grouping, not math.  On
+        TPU, lane padding makes any R <= 128 cost the same per
+        iteration — one block is optimal there.  On CPU the cost is
+        linear in R, so a wide border (e.g. tht_component's m=64) pays
+        (m+1) x slowest-column iterations monolithically; 16-wide
+        blocks let fast blocks stop early (minutes -> default CI time).
+        PADNE_TPU_RHS_BLOCK overrides (0 disables)."""
+        import os
+
+        env = os.environ.get("PADNE_TPU_RHS_BLOCK")
+        if env is not None:
+            return max(0, int(env))
+        from . import dia
+
+        if dia.default_backend() == "pallas":
+            return 128 if self.m + 1 > 128 else 0
+        return 16
+
+    def _solve_border_block(self, rc_pad):
+        """The pass-1 multi-RHS solve [A^-1 C | A^-1 rc], optionally in
+        column blocks (see _rhs_block).  The residual column always
+        solves separately in blocked mode so its convergence is not
+        tied to the border columns' f32 stall floor."""
+        m = self.m
+        rhs = self._build_rhs(rc_pad)
+        blk = self._rhs_block()
+        if not blk or m + 1 <= blk + 1:
+            return self._run_cg(rhs)
+        parts = []
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            sub = rhs[:, s:e]
+            pad = blk - (e - s)
+            if pad:
+                # Zero-pad to the block width: one compiled shape, and
+                # a zero RHS column converges at iteration 0.
+                sub = jnp.pad(sub, ((0, 0), (0, pad)))
+            xs = self._run_cg(sub)
+            parts.append(xs[:, :e - s])
+        parts.append(self._run_cg(rhs[:, m:]))
+        return jnp.concatenate(parts, axis=1)
+
     def _run_cg(self, rhs_dev, tol=None):
         tol = self.inner_tol if tol is None else tol
         dispatch_cap, maxiter = self.dispatch_cap, self.maxiter
@@ -1034,7 +1081,7 @@ class DiaBorderedSolver:
         self._trace("upload rc", t0)
         t0 = time.time()
         if self._Xc is None:
-            X = self._run_cg(self._build_rhs(rc_pad))    # (np0, m+1) f32
+            X = self._solve_border_block(rc_pad)         # (np0, m+1) f32
             self._Xc = X[:, :m]
         else:
             x_rc = self._run_cg(rc_pad[:, None], tol=tol)  # (np0, 1) f32

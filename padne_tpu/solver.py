@@ -201,12 +201,25 @@ def generate_meshes_for_problem(
 
     if len(jobs) > 1:
         import os
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor, as_completed
 
         workers = min(len(jobs), os.cpu_count() or 1, 16)
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            meshes = list(pool.map(
-                lambda j: mesher.poly_to_mesh(j[1], j[2]), jobs))
+            futs = [pool.submit(mesher.poly_to_mesh, j[1], j[2])
+                    for j in jobs]
+            # Pipeline meshing with per-mesh FEM derivation (the "PP"
+            # slot, SURVEY §2): as each polygon finishes, its edge
+            # table + cotan weights (lazy cached_properties consumed by
+            # assembly) are derived HERE while the remaining polygons
+            # still run in the native CDT threads (ctypes releases the
+            # GIL).  On a multi-core host, assembly work rides inside
+            # the meshing wall-clock instead of after it; on a 1-core
+            # host the phases just interleave.
+            for f in as_completed(futs):
+                m = f.result()
+                m.edges
+                m.cotan_edge_weights
+            meshes = [f.result() for f in futs]
     else:
         meshes = [mesher.poly_to_mesh(g, s) for _, g, s in jobs]
     mesh_to_layer = [layer_i for layer_i, _, _ in jobs]
