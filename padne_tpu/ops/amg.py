@@ -1227,10 +1227,13 @@ def _cheb_env(var: str) -> int:
 
 
 def _wcycle_env() -> int:
-    """PADNE_TPU_WCYCLE=L: levels 1..L are visited twice per cycle
-    (W-shape on the top of the coarse hierarchy).  The second visit is
-    a stationary re-application of the same symmetric level
-    preconditioner (B -> 2B - BAB), so the cycle stays SPD.  0 = off."""
+    """PADNE_TPU_WCYCLE=L: coarse levels 2..L are visited twice per
+    cycle (W-shape on the top of the coarse hierarchy; level 1 — the
+    widened, largest coarse level — keeps one visit: doubling it costs
+    more per cycle than the iterations it saves, measured on the 1M
+    v5e bench).  The second visit is a stationary re-application of
+    the same symmetric level preconditioner (B -> 2B - BAB), so the
+    cycle stays SPD.  Values < 2 are no-ops."""
     import os
 
     try:
@@ -1289,7 +1292,7 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
             e["child_perm"]].set(rc[:nc], mode="drop",
                                  unique_indices=True)
         xc_pos = cycle(level + 1, p, bc)
-        if w_levels >= level + 1 and level + 1 < nlev:
+        if 2 <= level + 1 <= w_levels and level + 1 < nlev:
             # W: one extra visit of the coarse level on its residual.
             r2 = bc - dia.dia_matvec(metas[level + 1], p[level + 1],
                                      xc_pos, backend=backends[level + 1])
@@ -1353,7 +1356,7 @@ def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
         bc = jnp.zeros((clen, r_cols), rc.dtype).at[
             e["child_perm"]].set(rc, mode="drop", unique_indices=True)
         xc = cycle_t(level + 1, p, bc.T)                   # (R, clen)
-        if w_levels >= level + 1 and level + 1 < nlev:
+        if 2 <= level + 1 <= w_levels and level + 1 < nlev:
             r2 = bc.T - dia.dia_matvec_t(
                 metas[level + 1], p[level + 1], xc,
                 backend=backends[level + 1])
@@ -1608,6 +1611,9 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
 
     apply_n = _finish_vcycle_dia(h, params, backend)
     metas = [lv.pack.meta for lv in h.levels]
+    nlev = len(h.levels)
+    w_levels = _wcycle_env()   # same W-shape as the serial cycle, so
+    # sharded-vs-serial parity holds under any PADNE_TPU_WCYCLE value
 
     def cyc(level: int, p, bt):
         lv = h.levels[level]
@@ -1642,6 +1648,11 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
                 bc, (idx * clen_local, jnp.int32(0)),
                 (clen_local, r_cols))
             xc_l = cyc(level + 1, p, bc_l.T)
+            if 2 <= level + 1 <= w_levels and level + 1 < nlev:
+                r2_l = bc_l.T - dia_sharded.dia_matvec_t_local(
+                    metas[level + 1], plans[level + 1].meta_local,
+                    p[level + 1], xc_l, axis_name, backend)
+                xc_l = xc_l + cyc(level + 1, p, r2_l)
             xc = jax.lax.all_gather(
                 xc_l, axis_name, axis=1, tiled=True).T     # (clen, R)
         else:
@@ -1655,6 +1666,17 @@ def make_vcycle_dia_sharded(h: AlignedHierarchy, mesh, axis_name: str = "tp",
                 xc = apply_n.cycle_t(level + 1, p, bc.T).T
             else:
                 xc = apply_n.cycle(level + 1, p, bc)
+            if 2 <= level + 1 <= w_levels and level + 1 < nlev:
+                # Replicated second visit (matches the serial W shape).
+                be = ("xla" if backend == "pallas"
+                      and h.levels[level + 1].pack.np_
+                      <= _XLA_LEVEL_MAX_NP else backend)
+                r2 = bc - dia.dia_matvec(metas[level + 1], p[level + 1],
+                                         xc, backend=be)
+                if os.environ.get("PADNE_TPU_DEEP_T", "1") != "0":
+                    xc = xc + apply_n.cycle_t(level + 1, p, r2.T).T
+                else:
+                    xc = xc + apply_n.cycle(level + 1, p, r2)
         xcb = xc[e["child_perm"]]                          # (nc, R)
         pad = np_l // cap - nc
         if pad:
