@@ -1233,13 +1233,29 @@ def _wcycle_env() -> int:
     more per cycle than the iterations it saves, measured on the 1M
     v5e bench).  The second visit is a stationary re-application of
     the same symmetric level preconditioner (B -> 2B - BAB), so the
-    cycle stays SPD.  Values < 2 are no-ops."""
+    cycle stays SPD.  Values < 2 are no-ops.
+
+    Default: 3 (double levels 2 and 3) on the pallas/TPU backend, from
+    the v5e A/B at the 1M bench (2026-08-20): 26 CG iterations vs 31
+    for the plain V-cycle, warm solve 2.06 s best vs 2.41 s (doubling
+    only level 2 gave 27).  OFF elsewhere: on the tht_component board
+    the W-cycle measured >4x slower on CPU (the coarse-level
+    preconditioner appears over-relaxed there, and 2B - BAB loses
+    definiteness margin when BA's spectrum approaches 2), so the
+    conservative V-cycle stays the portable default.  The A/B'd
+    alternatives lost outright: level-0/deep Chebyshev smoothing
+    (34 / 31 iters — smoothing is not the bottleneck), cap=4
+    aggregation (34), and smooth_levels=3 (25 iters but denser deep
+    operators, no net time win)."""
     import os
 
+    from . import dia
+
+    default = "3" if dia.default_backend() == "pallas" else "0"
     try:
-        return int(os.environ.get("PADNE_TPU_WCYCLE", "0"))
+        return int(os.environ.get("PADNE_TPU_WCYCLE", default))
     except ValueError:
-        return 0
+        return int(default)
 
 
 def _finish_vcycle_dia(h: AlignedHierarchy, params, backend: str):
