@@ -91,6 +91,35 @@ class BorderedSolution:
     refinement_steps: int
 
 
+def _solve_bordered_direct(system: CoreSystem) -> BorderedSolution:
+    """Host sparse direct solve (SuperLU) of the full bordered system
+    in the reference layout [[-A, C], [B, 0]] — used only for small
+    cores with wide borders (see the dispatch comment in
+    solve_bordered).  Mirrors ref solver.py:767-780."""
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    n, m = system.n, system.border.m
+    b = system.border
+    A = system.ell.to_scipy()
+    C = scipy.sparse.coo_matrix(
+        (b.col_val, (b.col_node, b.col_idx)), shape=(n, m))
+    B = scipy.sparse.coo_matrix(
+        (b.row_val, (b.row_idx, b.row_node)), shape=(m, n))
+    L = scipy.sparse.bmat([[-A, C], [B, None]], format="csc")
+    r = np.concatenate([system.r_core, b.rhs])
+    z = scipy.sparse.linalg.spsolve(L, r)
+    v, j = z[:n], z[n:]
+    res_core = system.r_core + A @ v - C @ j
+    res_border = b.rhs - B @ v
+    res_norm = float(np.sqrt((res_core**2).sum()
+                             + (res_border**2).sum()))
+    gc = float(j[system.ground_var]) if m > 0 else 0.0
+    return BorderedSolution(
+        v=v, j=np.asarray(j), residual_norm=res_norm,
+        ground_current=gc, cg_iterations=0, refinement_steps=0)
+
+
 def _dense_border(system: CoreSystem):
     """Materialize B (m, n) rows / C (n, m) columns as dense jnp arrays.
     m is small (sources + ground), so dense is cheap and jit-friendly."""
@@ -161,6 +190,22 @@ def solve_bordered(
             "operator='dia' needs node coordinates (CoreSystem.coords) "
             "for the Hilbert ordering"
         )
+    # Small core + WIDE MNA border: the iterative path solves m+1 Schur
+    # columns whose CG work is out of all proportion to the system size
+    # (the reference-excluded tht_component at a coarse mesh: n ~ 2.5k,
+    # m = 64 — minutes of CPU multi-RHS for a system SuperLU factors in
+    # milliseconds).  Route those to a host sparse direct solve; large
+    # systems never take this path (its superlinear cost is exactly
+    # what the device pipeline replaces).  PADNE_TPU_DIRECT_SMALL=0
+    # disables (A/B / coverage runs).
+    import os as _os
+
+    if (operator == "auto"
+            and system.border.m > 16
+            and n <= 50_000
+            and _os.environ.get("PADNE_TPU_DIRECT_SMALL", "1") != "0"):
+        return _solve_bordered_direct(system)
+
     use_dia = operator == "dia" or (
         operator == "auto"
         and device_dtype is not None

@@ -713,8 +713,10 @@ def solve(
     result = None
     import os as _os
 
-    if device_mesh is None and _os.environ.get(
-            "PADNE_TPU_SERVER", "1") != "0":
+    if (device_mesh is None and system.n >= 200_000
+            and _os.environ.get("PADNE_TPU_SERVER", "1") != "0"):
+        # (small systems solve locally in milliseconds-to-seconds;
+        # shipping them to the daemon would cost more than it saves)
         import pathlib as _pathlib
 
         from . import serve as serve_mod

@@ -218,11 +218,13 @@ class TestBoardPhysics:
 class TestThtComponent:
     """tht_component: the reference EXCLUDES this board from every
     solve sweep without a documented reason (reference
-    test_solver.py:1117-1121).  Here the whole host pipeline handles
-    it, and the solve actually CONVERGES — it is excluded from the
-    default sweep only because its 64-variable MNA border (every THT
-    pad couples two layers through the pad stack) makes the multi-RHS
-    Schur pass a minutes-long CPU solve.  PADNE_TPU_SLOW=1 runs it."""
+    test_solver.py:1117-1121).  Here it solves IN THE DEFAULT SWEEP:
+    its 64-variable MNA border (every THT pad couples two layers
+    through the pad stack) over a small core routes to the wide-border
+    direct path (ops.schur._solve_bordered_direct — SuperLU in
+    milliseconds where the m+1-column iterative Schur pass took
+    minutes), and the blocked multi-RHS pass covers the iterative
+    route when forced."""
 
     def test_loads_meshes_and_assembles(self):
         prob = kicad.load_kicad_project(
@@ -234,10 +236,6 @@ class TestThtComponent:
         for m in meshes:
             m.validate()
 
-    @pytest.mark.skipif(
-        not os.environ.get("PADNE_TPU_SLOW"),
-        reason="m=64 border: minutes-long multi-RHS CPU solve",
-    )
     def test_solves_unlike_the_reference(self):
         prob = kicad.load_kicad_project(
             REF_BOARDS / "tht_component" / "tht_component.kicad_pro"
@@ -249,4 +247,22 @@ class TestThtComponent:
             np.isfinite(p.values).all()
             for ls in sol.layer_solutions for p in ls.potentials
         )
+        assert sol.solver_info.residual_norm < 1e-8
+
+    @pytest.mark.skipif(
+        not os.environ.get("PADNE_TPU_SLOW"),
+        reason="iterative wide-border route: minutes-long on CPU "
+               "(the blocked multi-RHS pass; direct path covers "
+               "default runs)",
+    )
+    def test_iterative_route_agrees_with_direct(self, monkeypatch):
+        """Force the blocked iterative Schur pass on the same system
+        and check it reproduces the direct solve."""
+        monkeypatch.setenv("PADNE_TPU_DIRECT_SMALL", "0")
+        prob = kicad.load_kicad_project(
+            REF_BOARDS / "tht_component" / "tht_component.kicad_pro"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sol = solver.solve(prob)
         assert sol.solver_info.residual_norm < 1e-8
