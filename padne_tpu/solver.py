@@ -203,22 +203,27 @@ def generate_meshes_for_problem(
         import os
         from concurrent.futures import ThreadPoolExecutor, as_completed
 
-        workers = min(len(jobs), os.cpu_count() or 1, 16)
+        ncpu = os.cpu_count() or 1
+        workers = min(len(jobs), ncpu, 16)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futs = [pool.submit(mesher.poly_to_mesh, j[1], j[2])
                     for j in jobs]
-            # Pipeline meshing with per-mesh FEM derivation (the "PP"
-            # slot, SURVEY §2): as each polygon finishes, its edge
-            # table + cotan weights (lazy cached_properties consumed by
-            # assembly) are derived HERE while the remaining polygons
-            # still run in the native CDT threads (ctypes releases the
-            # GIL).  On a multi-core host, assembly work rides inside
-            # the meshing wall-clock instead of after it; on a 1-core
-            # host the phases just interleave.
-            for f in as_completed(futs):
-                m = f.result()
-                m.edges
-                m.cotan_edge_weights
+            if ncpu > 1:
+                # Pipeline meshing with per-mesh FEM derivation (the
+                # "PP" slot, SURVEY §2): as each polygon finishes, its
+                # edge table + cotan weights (lazy cached_properties
+                # consumed by assembly) are derived HERE while the
+                # remaining polygons still run in the native CDT
+                # threads (ctypes releases the GIL) — assembly work
+                # rides inside the meshing wall-clock instead of after
+                # it.  On a 1-core host the main-thread numpy work
+                # only steals GIL slices from the lone CDT worker
+                # (measured 7 -> 20 s at the 1M bench), so the eager
+                # derivation is skipped there.
+                for f in as_completed(futs):
+                    m = f.result()
+                    m.edges
+                    m.cotan_edge_weights
             meshes = [f.result() for f in futs]
     else:
         meshes = [mesher.poly_to_mesh(g, s) for _, g, s in jobs]
