@@ -441,6 +441,27 @@ def main():
     # timeout; the probes are additive detail, not the metric.
     probe_detail = {}
     _save_system(system, np.asarray(result.v))
+    # Collect hierarchy + kernel detail NOW, then release the in-process
+    # solver: the serve probe's daemon (this process) builds a SECOND
+    # full 1M solver state on device, and two copies exhaust one chip's
+    # HBM (measured RESOURCE_EXHAUSTED).
+    hierarchy_detail = {}
+    if on_tpu:
+        lv0 = dia_solver.hierarchy.levels[0]
+        hierarchy_detail = {
+            "amg_levels": [lv.pack.np_
+                           for lv in dia_solver.hierarchy.levels],
+            "level0_offsets": list(lv0.pack.offs),
+            "level0_remainder": len(lv0.pack.rem_rows),
+        }
+        try:
+            hierarchy_detail["kernels"] = _kernel_accounting(dia_solver)
+        except Exception as e:  # noqa: BLE001 — accounting is additive
+            _progress(f"kernel accounting failed: {e!r}")
+        del run_solve, dia_solver
+        import gc
+
+        gc.collect()
     if (os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0"
             and t_wake < 240):
         _progress("scipy (SuperLU) head-to-head probe...")
@@ -504,19 +525,6 @@ def main():
                         f"warm start: setup {wp['warm_setup_seconds']}s"
                         f" + first solve {wp['warm_start_seconds']}s")
 
-    hierarchy_detail = {}
-    if on_tpu:
-        lv0 = dia_solver.hierarchy.levels[0]
-        hierarchy_detail = {
-            "amg_levels": [lv.pack.np_
-                           for lv in dia_solver.hierarchy.levels],
-            "level0_offsets": list(lv0.pack.offs),
-            "level0_remainder": len(lv0.pack.rem_rows),
-        }
-        try:
-            hierarchy_detail["kernels"] = _kernel_accounting(dia_solver)
-        except Exception as e:  # noqa: BLE001 — accounting is additive
-            _progress(f"kernel accounting failed: {e!r}")
     out = {
         "metric": "solve_dof_per_sec",
         "value": round(dof_per_sec, 1),

@@ -506,15 +506,25 @@ def build_hierarchy_dia(
     # layers share the same (x, y) footprint, and a layer-blind sweep
     # interleaves them — measured 475 vs ~75 CG iterations and ~50% vs
     # ~5% off-offset nonzeros on the 4-layer bench board.
+    import time as _time0
+
+    _tp0 = _time0.time()
     perm0 = bell.hilbert_order(coords, group=group)
     inv0 = np.empty(n0, dtype=np.int64)
     inv0[perm0] = np.arange(n0)
+    _tp1 = _time0.time()
     if A.nnz >= 200_000:
         from padne_tpu import native
 
         A = native.csr_permute(A, perm0)
     else:
         A = A[perm0][:, perm0].tocsr()
+    if os.environ.get("PADNE_TPU_SOLVE_TRACE"):
+        import sys as _sys0
+
+        print(f"[solve-trace] hier: hilbert {_tp1 - _tp0:.3f}s, "
+              f"permute {_time0.time() - _tp1:.3f}s",
+              file=_sys0.stderr, flush=True)
     lvl_group = (np.asarray(group)[perm0] if group is not None else None)
 
     # One downward pass.  Per level: capped aggregation (adaptive cap so
