@@ -458,12 +458,55 @@ def main():
             hierarchy_detail["kernels"] = _kernel_accounting(dia_solver)
         except Exception as e:  # noqa: BLE001 — accounting is additive
             _progress(f"kernel accounting failed: {e!r}")
+    probes_on = os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0"
+    if probes_on and on_tpu and t_wake < 600:
+        # Serve-path warm start FIRST, under a generous wake guard: the
+        # client never initializes a device (npz load + socket + the
+        # hot daemon = this process), so the probe costs ~20 s even on
+        # a slow-wake day.  The product answer to the per-process
+        # executable-load floor: the cost of a user's SECOND
+        # `padne-tpu solve` while `padne-tpu serve` is running.
+        _progress("warm-start probe (client -> resident server)...")
+        import tempfile as _tf
+        import threading as _th
+
+        from padne_tpu import serve as _serve
+
+        _sock = _tf.mktemp(prefix="padne_bench_serve_", suffix=".sock")
+        _ready = _th.Event()
+        # The daemon adopts the bench's OWN solver (preload): the warm
+        # path a user hits when the daemon has already served this
+        # board (the GUI-iteration loop).  A brand-new solver instance
+        # would re-trace + re-load every executable — the "new board,
+        # hot daemon" cost — which warm_start_seconds below tracks via
+        # the fresh-process probe.
+        _srv = _th.Thread(
+            target=_serve.serve,
+            kwargs=dict(socket_path=_sock, max_requests=4,
+                        ready_event=_ready,
+                        preload=[(system, dia_solver)]),
+            daemon=True)
+        _srv.start()
+        _ready.wait(30)
+        sp2 = _run_probe("--serve-probe", _system_cache_path(),
+                         int(os.environ.get(
+                             "PADNE_TPU_WARM_TIMEOUT", "1500")),
+                         extra_args=(_sock,))
+        _serve.shutdown(_sock)
+        if sp2:
+            probe_detail.update(sp2)
+            _progress("warm start via server: "
+                      f"{sp2.get('warm_serve_seconds')}s "
+                      f"(+ {sp2.get('warm_serve_load_seconds')}s load)")
+    if on_tpu:
+        # Release the solver before the fresh-process probe below — a
+        # second full 1M solver state alongside this one exhausts HBM
+        # (measured RESOURCE_EXHAUSTED).
         del run_solve, dia_solver
         import gc
 
         gc.collect()
-    if (os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0"
-            and t_wake < 240):
+    if probes_on and t_wake < 240:
         _progress("scipy (SuperLU) head-to-head probe...")
         sp = _run_probe("--scipy-probe", _system_cache_path(),
                         int(os.environ.get("PADNE_TPU_SCIPY_TIMEOUT",
@@ -477,39 +520,6 @@ def main():
         else:
             probe_detail["reference_scipy_seconds"] = None
         if on_tpu:
-            # Serve-path warm start: the product answer to the
-            # per-process executable-load floor.  The bench process
-            # acts as the resident daemon (it is hot); a fresh client
-            # process ships the assembled system over the socket and
-            # gets the solution — the cost a user's SECOND
-            # `padne-tpu solve` pays when `padne-tpu serve` is running.
-            _progress("warm-start probe (client -> resident server)...")
-            import tempfile as _tf
-            import threading as _th
-
-            from padne_tpu import serve as _serve
-
-            _sock = _tf.mktemp(prefix="padne_bench_serve_",
-                               suffix=".sock")
-            _ready = _th.Event()
-            _srv = _th.Thread(
-                target=_serve.serve,
-                kwargs=dict(socket_path=_sock, max_requests=4,
-                            ready_event=_ready),
-                daemon=True)
-            _srv.start()
-            _ready.wait(30)
-            sp2 = _run_probe("--serve-probe", _system_cache_path(),
-                             int(os.environ.get(
-                                 "PADNE_TPU_WARM_TIMEOUT", "1500")),
-                             extra_args=(_sock,))
-            _serve.shutdown(_sock)
-            if sp2:
-                probe_detail.update(sp2)
-                _progress(
-                    "warm start via server: "
-                    f"{sp2.get('warm_serve_seconds')}s "
-                    f"(+ {sp2.get('warm_serve_load_seconds')}s load)")
             # Legacy local warm start (no daemon running): the fresh
             # process pays executable loading; kept for honesty +
             # regression tracking.  PADNE_TPU_BENCH_LOCAL_WARM=0 skips.

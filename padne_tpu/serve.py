@@ -232,11 +232,16 @@ def _handle_solve(z: dict, cache: _SolverCache) -> bytes:
 
 
 def serve(socket_path: str | None = None, max_requests: int | None = None,
-          ready_event=None) -> None:
+          ready_event=None, preload=None) -> None:
     """Run the resident solve server (blocking accept loop).
 
     max_requests: exit after N requests (tests/probes); None = forever.
     ready_event: optional threading.Event set once listening.
+    preload: optional list of (system, solver) pairs seeded into the
+    solver cache (an embedding process hands over solvers it already
+    built, so clients hit the warm path immediately — e.g. bench.py's
+    serve probe, or a future `gui --serve` handing its solve to a
+    daemon).
     """
     path = pathlib.Path(socket_path or default_socket_path())
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -248,6 +253,9 @@ def serve(socket_path: str | None = None, max_requests: int | None = None,
     os.chmod(path, 0o600)
     srv.listen(4)
     cache = _SolverCache()
+    for system, solver in (preload or []):
+        cache.put(_structural_key(_system_to_npz(system)), solver,
+                  system)
     log.info("serve: listening on %s (pid %d)", path, os.getpid())
     if ready_event is not None:
         ready_event.set()
