@@ -30,6 +30,9 @@ import time
 import numpy as np
 
 
+_BENCH_T0 = time.time()
+
+
 def _progress(msg, _t0=[None]):
     if _t0[0] is None:
         _t0[0] = time.time()
@@ -459,7 +462,14 @@ def main():
         except Exception as e:  # noqa: BLE001 — accounting is additive
             _progress(f"kernel accounting failed: {e!r}")
     probes_on = os.environ.get("PADNE_TPU_BENCH_PROBES", "1") != "0"
-    if probes_on and on_tpu and t_wake < 600:
+    # Elapsed-budget guards: a slow-wake night (measured 234-880 s
+    # first-sync taxes) plus the full probe set can push past a
+    # driver's timeout, losing the WHOLE record.  Each probe checks
+    # the wall clock so the JSON line always lands.
+    def _elapsed():
+        return time.time() - _BENCH_T0
+
+    if probes_on and on_tpu and t_wake < 600 and _elapsed() < 650:
         # Serve-path warm start FIRST, under a generous wake guard: the
         # client never initializes a device (npz load + socket + the
         # hot daemon = this process), so the probe costs ~20 s even on
@@ -506,7 +516,7 @@ def main():
         import gc
 
         gc.collect()
-    if probes_on and t_wake < 240:
+    if probes_on and t_wake < 240 and _elapsed() < 420:
         _progress("scipy (SuperLU) head-to-head probe...")
         sp = _run_probe("--scipy-probe", _system_cache_path(),
                         int(os.environ.get("PADNE_TPU_SCIPY_TIMEOUT",
@@ -523,7 +533,8 @@ def main():
             # Legacy local warm start (no daemon running): the fresh
             # process pays executable loading; kept for honesty +
             # regression tracking.  PADNE_TPU_BENCH_LOCAL_WARM=0 skips.
-            if os.environ.get("PADNE_TPU_BENCH_LOCAL_WARM", "1") != "0":
+            if (os.environ.get("PADNE_TPU_BENCH_LOCAL_WARM", "1")
+                    != "0" and _elapsed() < 550):
                 _progress("warm-start probe (second process, no "
                           "server)...")
                 wp = _run_probe("--warm-probe", _system_cache_path(),
