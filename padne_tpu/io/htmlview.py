@@ -63,7 +63,10 @@ def _chunk_mesh(nv: int, tris: np.ndarray, limit: int = _CHUNK_VLIMIT):
     if nv <= limit:
         return None
     tris = np.asarray(tris)
-    batch = 16384                      # <= ~49k distinct vertices/batch
+    # A batch introduces at most 3*batch distinct vertices, so sizing
+    # it from the limit guarantees no single batch can overflow a
+    # chunk (an over-limit chunk would silently corrupt u16 indices).
+    batch = max(1, limit // 3)
     chunks = []
     g2l = np.full(nv, -1, np.int64)
     cur_v: list = []

@@ -782,3 +782,51 @@ class TestViewerOverlays:
         mode = dom.elements["mode"]
         mode.props["selectedIndex"] = 0.0
         mode.fire(interp, "change")
+
+
+class TestMeshChunking:
+    """u16-index chunking (htmlview._chunk_mesh): invariants that the
+    1M-scale gate exercises end-to-end, unit-tested fast here."""
+
+    def _grid(self, n):
+        xs, ys = np.meshgrid(np.arange(n, dtype=float),
+                             np.arange(n, dtype=float))
+        verts = np.stack([xs.ravel(), ys.ravel()], axis=1)
+        i0 = (np.arange(n * n).reshape(n, n))[:-1, :-1].ravel()
+        t1 = np.stack([i0, i0 + 1, i0 + n + 1], axis=1)
+        t2 = np.stack([i0, i0 + n + 1, i0 + n], axis=1)
+        tris = np.concatenate([t1, t2])
+        return verts, tris
+
+    def test_small_mesh_unchunked(self):
+        verts, tris = self._grid(20)
+        assert htmlview._chunk_mesh(len(verts), tris) is None
+
+    def test_chunks_cover_and_remap_exactly(self):
+        verts, tris = self._grid(120)          # 14,400 verts
+        chunks = htmlview._chunk_mesh(len(verts), tris, limit=4000)
+        assert chunks is not None and len(chunks) > 1
+        covered = 0
+        for vidx, tl, t0, t1 in chunks:
+            assert len(vidx) <= 4000
+            assert tl.dtype == np.uint16
+            assert int(tl.max()) < len(vidx)
+            # local -> global recovers the original triangles
+            np.testing.assert_array_equal(
+                vidx[tl.astype(np.int64)], tris[t0:t1])
+            covered += t1 - t0
+        # consecutive, disjoint, complete triangle ranges
+        assert covered == len(tris)
+        assert chunks[0][2] == 0 and chunks[-1][3] == len(tris)
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[3] == b[2]
+
+    def test_quantization_error_bound(self):
+        verts, _ = self._grid(50)
+        q, bbox = htmlview._quant16(verts)
+        sx = (bbox[2] - bbox[0]) / 65535.0
+        sy = (bbox[3] - bbox[1]) / 65535.0
+        back = np.stack([bbox[0] + q[:, 0] * sx,
+                         bbox[1] + q[:, 1] * sy], axis=1)
+        step = max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 65535.0
+        assert np.abs(back - verts).max() <= step

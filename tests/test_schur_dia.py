@@ -267,3 +267,64 @@ class TestCycleLumpedKnob:
         assert lum.residual_norm < 1e-10
         scale = max(np.abs(ref.v).max(), 1e-12)
         assert np.abs(lum.v - ref.v).max() < 1e-8 * scale
+
+
+class TestDirectWideBorderRoute:
+    """Small core + wide MNA border routes to the host direct solve
+    (ops.schur._solve_bordered_direct) — the case the reference
+    excludes outright (ref test_solver.py:1117-1121) used to pay
+    minutes of multi-RHS Schur CG for a system SuperLU factors in
+    milliseconds."""
+
+    def _wide_system(self, n=600, m=24):
+        rng = np.random.default_rng(3)
+        # 1-D chain Laplacian core.
+        edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+        ell = assembly.build_ell(n, edges.astype(np.int64),
+                                 np.ones(n - 1))
+        # m voltage-source-like border pairs at random nodes.
+        nodes = rng.choice(n, size=2 * m, replace=False)
+        row_idx = np.repeat(np.arange(m), 2)
+        row_val = np.tile([1.0, -1.0], m)
+        border = schur.BorderSpec(
+            m=m, row_idx=row_idx, row_node=nodes, row_val=row_val,
+            col_idx=row_idx.copy(), col_node=nodes.copy(),
+            col_val=row_val.copy(),
+            rhs=rng.standard_normal(m) * 0.1,
+        )
+        return schur.CoreSystem(
+            n=n, ell=ell, comp_id=np.zeros(n, dtype=np.int32),
+            num_components=1, border=border, r_core=np.zeros(n),
+            ground_var=0,
+        )
+
+    def test_route_taken_and_correct(self):
+        import scipy.sparse.linalg
+
+        system = self._wide_system()
+        res = schur.solve_bordered(system)
+        # The direct route reports zero CG iterations — proof it was
+        # taken (the iterative path would report hundreds here).
+        assert res.cg_iterations == 0
+        assert res.residual_norm < 1e-9
+        from padne_tpu import solver as solver_mod
+
+        L, r = solver_mod.system_to_scipy(system)
+        z = scipy.sparse.linalg.spsolve(L.tocsc(), r)
+        np.testing.assert_allclose(res.v, z[: system.n], atol=1e-9)
+        np.testing.assert_allclose(res.j, z[system.n:], atol=1e-9)
+
+    def test_route_skipped_for_narrow_border(self, monkeypatch):
+        """A narrow border keeps the iterative path (the direct route
+        is scoped to the wide-border tax)."""
+        system = self._wide_system(m=2)
+        res = schur.solve_bordered(system)
+        assert res.cg_iterations > 0
+        assert res.residual_norm < 1e-8
+
+    def test_env_disable(self, monkeypatch):
+        monkeypatch.setenv("PADNE_TPU_DIRECT_SMALL", "0")
+        system = self._wide_system()
+        res = schur.solve_bordered(system)
+        assert res.cg_iterations > 0
+        assert res.residual_norm < 1e-8
