@@ -91,13 +91,27 @@ class BorderedSolution:
     refinement_steps: int
 
 
-def _solve_bordered_direct(system: CoreSystem) -> BorderedSolution:
-    """Host sparse direct solve (SuperLU) of the full bordered system
-    in the reference layout [[-A, C], [B, 0]] — used only for small
-    cores with wide borders (see the dispatch comment in
-    solve_bordered).  Mirrors ref solver.py:767-780."""
+def _border_covers_components(system: CoreSystem) -> bool:
+    """True when every copper component is touched by at least one
+    border row or column — a necessary condition for the direct
+    bordered matrix to be nonsingular (an untouched floating component
+    makes it singular outright; those need the iterative path's
+    deflation).  Not sufficient in pathological topologies (e.g. a
+    V-source chain never anchored to ground), which the caller's
+    non-finite fallback catches after the factorization."""
+    touched = np.zeros(system.num_components, dtype=bool)
+    b = system.border
+    touched[system.comp_id[b.row_node]] = True
+    touched[system.comp_id[b.col_node]] = True
+    return bool(touched.all())
+
+
+def bordered_scipy_system(system: CoreSystem):
+    """(L, r, A, B, C): the full sparse system in the reference layout
+    [[-A, C], [B, 0]] z = [r_core, rhs] — the ONE place the bordered
+    sign/orientation conventions live (solver.system_to_scipy and the
+    direct route both delegate here)."""
     import scipy.sparse
-    import scipy.sparse.linalg
 
     n, m = system.n, system.border.m
     b = system.border
@@ -108,7 +122,33 @@ def _solve_bordered_direct(system: CoreSystem) -> BorderedSolution:
         (b.row_val, (b.row_idx, b.row_node)), shape=(m, n))
     L = scipy.sparse.bmat([[-A, C], [B, None]], format="csc")
     r = np.concatenate([system.r_core, b.rhs])
-    z = scipy.sparse.linalg.spsolve(L, r)
+    return L, r, A, B, C
+
+
+def _solve_bordered_direct(system: CoreSystem):
+    """Host sparse direct solve (SuperLU) of the full bordered system
+    in the reference layout [[-A, C], [B, 0]] — used only for small
+    border-covered cores with wide borders (see the dispatch comment
+    in solve_bordered).  Mirrors ref solver.py:767-780.  Returns None
+    when the factorization is singular (caller falls back to the
+    deflated iterative path)."""
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    n, m = system.n, system.border.m
+    b = system.border
+    L, r, A, B, C = bordered_scipy_system(system)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        # A singular factorization surfaces as MatrixRankWarning +
+        # inf/NaN; the finite check below turns that into a fallback
+        # to the iterative path instead of a NaN solution.
+        _warnings.simplefilter("ignore",
+                               scipy.sparse.linalg.MatrixRankWarning)
+        z = scipy.sparse.linalg.spsolve(L, r)
+    if not np.isfinite(z).all():
+        return None
     v, j = z[:n], z[n:]
     res_core = system.r_core + A @ v - C @ j
     res_border = b.rhs - B @ v
@@ -203,8 +243,16 @@ def solve_bordered(
     if (operator == "auto"
             and system.border.m > 16
             and n <= 50_000
-            and _os.environ.get("PADNE_TPU_DIRECT_SMALL", "1") != "0"):
-        return _solve_bordered_direct(system)
+            and _os.environ.get("PADNE_TPU_DIRECT_SMALL", "1") != "0"
+            and _border_covers_components(system)):
+        # Coverage guard: a copper component no border row touches
+        # leaves [[-A, C], [B, 0]] singular (the iterative path handles
+        # that via component deflation + minimum-norm lstsq), so such
+        # boards keep the iterative route.  A non-finite direct result
+        # (singular despite the guard) also falls back.
+        direct = _solve_bordered_direct(system)
+        if direct is not None:
+            return direct
 
     use_dia = operator == "dia" or (
         operator == "auto"

@@ -56,6 +56,11 @@ def _fill_chunk(raster, v_px, tris, tvals, kind, W, H, eps=1e-9):
         py = cy[:, None, :] + 0.5                     # (T, 1, K)
         d = ((a1[:, 0] - a0[:, 0]) * (a2[:, 1] - a0[:, 1])
              - (a2[:, 0] - a0[:, 0]) * (a1[:, 1] - a0[:, 1]))
+        # Degenerate (zero-area) slivers must paint NOTHING: with d
+        # replaced by inf the barycentric pair collapses to (1, 0, 0)
+        # and every candidate pixel would read as inside, splatting a
+        # KxK block of the sliver's vertex-0 value over neighbors.
+        nondegen = (np.abs(d) >= eps)[:, None, None]
         d = np.where(np.abs(d) < eps, np.inf, d)[:, None, None]
         l1 = (((px - a0[:, 0, None, None]) * (a2[:, 1] - a0[:, 1])[:, None, None]
                - (py - a0[:, 1, None, None]) * (a2[:, 0] - a0[:, 0])[:, None, None])
@@ -64,7 +69,8 @@ def _fill_chunk(raster, v_px, tris, tvals, kind, W, H, eps=1e-9):
                - (px - a0[:, 0, None, None]) * (a1[:, 1] - a0[:, 1])[:, None, None])
               / d)
         l0 = 1.0 - l1 - l2
-        inside = (l0 >= -1e-6) & (l1 >= -1e-6) & (l2 >= -1e-6)
+        inside = ((l0 >= -1e-6) & (l1 >= -1e-6) & (l2 >= -1e-6)
+                  & nondegen)
         ix = np.broadcast_to(cx[:, :, None], inside.shape)
         iy = np.broadcast_to(cy[:, None, :], inside.shape)
         inside = inside & (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)

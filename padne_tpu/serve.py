@@ -143,7 +143,8 @@ def _structural_key(z: dict) -> str:
 
     h = hashlib.sha256()
     for k in ("cols", "vals", "diag", "comp_id", "row_idx", "row_node",
-              "row_val", "col_idx", "col_node", "col_val"):
+              "row_val", "col_idx", "col_node", "col_val",
+              "ground_var"):
         a = np.ascontiguousarray(z[k])
         h.update(k.encode())
         h.update(str(a.shape).encode())
@@ -188,18 +189,32 @@ def _handle_solve(z: dict, cache: _SolverCache) -> bytes:
     t0 = time.time()
     key = _structural_key(z)
     cached = cache.get(key)
+    if cached is not None and getattr(cached[0], "_anchor", None) \
+            is not None:
+        # The opt-in f64 device anchor bakes r_core into device arrays
+        # at setup; an in-place RHS refresh would leave it evaluating
+        # residuals against the OLD excitation (wrong answer with a
+        # confidently small reported residual).  Rebuild instead.
+        cached = None
     setup_seconds = 0.0
     if cached is None:
         system = _system_from_npz(z)
         t1 = time.time()
         try:
             solver = schur.DiaBorderedSolver(system)
-        except Exception:
+        except schur._NoDiaHierarchy:
             # Small systems (below the AMG coarse floor) take the
-            # generic bordered path; report that cleanly instead of a
-            # server error.
+            # generic bordered path; report that cleanly.
             return _pack(ok=np.int8(0), err=np.frombuffer(
                 b"system too small for the DIA server path; solve "
+                b"locally", dtype=np.uint8))
+        except Exception:
+            # Real server faults (HBM exhaustion, setup bugs) must be
+            # visible server-side, not masked as "too small".
+            log.exception("serve: solver setup failed (n=%d)",
+                          int(z["n"]))
+            return _pack(ok=np.int8(0), err=np.frombuffer(
+                b"server solver setup failed (see server log); solve "
                 b"locally", dtype=np.uint8))
         setup_seconds = time.time() - t1
         cache.put(key, solver, system)
@@ -243,9 +258,16 @@ def serve(socket_path: str | None = None, max_requests: int | None = None,
     serve probe, or a future `gui --serve` handing its solve to a
     daemon).
     """
+    tighten_parent = socket_path is None
     path = pathlib.Path(socket_path or default_socket_path())
     path.parent.mkdir(parents=True, exist_ok=True)
-    os.chmod(path.parent, 0o700)
+    if tighten_parent:
+        # Restrict ONLY the default ~/.cache/padne_tpu dir this code
+        # itself creates.  A caller-supplied socket path may live in a
+        # shared directory (e.g. /tmp) whose mode is none of our
+        # business — chmod'ing /tmp to 0700 broke the whole machine
+        # once (review finding, 2026-08-21).
+        os.chmod(path.parent, 0o700)
     if path.exists():
         path.unlink()
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -264,6 +286,11 @@ def serve(socket_path: str | None = None, max_requests: int | None = None,
         while max_requests is None or served < max_requests:
             conn, _ = srv.accept()
             served += 1
+            # Bound every connection: a client stalled mid-frame (the
+            # system upload is hundreds of MB) must not wedge the
+            # single-threaded accept loop forever.
+            conn.settimeout(float(os.environ.get(
+                "PADNE_TPU_SERVE_CONN_TIMEOUT", "600")))
             try:
                 req = _unpack(_recv_frame(conn))
                 kind = bytes(req["kind"]).decode()
@@ -355,7 +382,13 @@ def client_solve(system, target_residual: float,
     payload["max_refinements"] = np.int64(max_refinements)
     try:
         resp = _request(_pack(**payload), socket_path)
-    except OSError:
+    except Exception:
+        # ANY transport/decode failure (refused socket, truncated or
+        # malformed response, oversized frame) falls back to the local
+        # solve — the contract is "server helps when healthy, never
+        # blocks a solve".
+        log.info("serve: dispatch failed; solving locally",
+                 exc_info=True)
         return None
     if not int(resp.get("ok", 0)):
         err = bytes(resp.get("err", b"")).decode(errors="replace")

@@ -583,20 +583,11 @@ def assemble_core_system(
 def system_to_scipy(system) -> tuple:
     """Full sparse system in reference layout [core | border] for
     cross-checking against a scipy direct solve: L z = r with
-    L = [[-A, C], [B, 0]]."""
-    import scipy.sparse
+    L = [[-A, C], [B, 0]].  Delegates to ops.schur so the layout
+    conventions live in one place."""
+    from .ops import schur as ops_schur
 
-    n, m = system.n, system.border.m
-    A = system.ell.to_scipy()
-    b = system.border
-    C = scipy.sparse.coo_matrix(
-        (b.col_val, (b.col_node, b.col_idx)), shape=(n, m)
-    )
-    B = scipy.sparse.coo_matrix(
-        (b.row_val, (b.row_idx, b.row_node)), shape=(m, n)
-    )
-    L = scipy.sparse.bmat([[-A, C], [B, None]], format="csc")
-    r = np.concatenate([system.r_core, b.rhs])
+    L, r, *_ = ops_schur.bordered_scipy_system(system)
     return L, r
 
 

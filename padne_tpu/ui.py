@@ -214,16 +214,26 @@ class SolutionViewer:
     def _raster_async(self, extent, vmin, vmax):
         """Submit a full-data rasterization; a figure timer applies it
         when ready (stale view stays up meanwhile — same
-        prepare-then-upload flow as the reference's DeferedDict)."""
+        prepare-then-upload flow as the reference's DeferedDict).
+
+        Debounced: while a rasterization is in flight, newer requests
+        only overwrite the "next wanted view" — ten quick scroll ticks
+        compute two rasters (the in-flight one and the latest), not
+        ten full-resolution frames queued behind each other."""
         from concurrent.futures import ThreadPoolExecutor
 
         if not hasattr(self, "_executor"):
             self._executor = ThreadPoolExecutor(2)
             self._raster_gen = 0
         self._raster_gen += 1
-        gen = self._raster_gen
-        fut = self._executor.submit(self._compute_raster, extent)
-        self._pending_raster = (gen, fut, extent, vmin, vmax)
+        pend = getattr(self, "_pending_raster", None)
+        if pend is not None and not pend[1].done():
+            self._want_raster = (extent, vmin, vmax)
+        else:
+            fut = self._executor.submit(self._compute_raster, extent)
+            self._pending_raster = (self._raster_gen, fut, extent,
+                                    vmin, vmax)
+            self._want_raster = None
         timer = getattr(self, "_raster_timer", None)
         if timer is None:
             timer = self.fig.canvas.new_timer(interval=100)
@@ -241,9 +251,24 @@ class SolutionViewer:
         if not fut.done():
             return
         self._pending_raster = None
+        want = getattr(self, "_want_raster", None)
+        if want is not None:
+            # A newer view was requested while this one computed:
+            # submit it now (the stale result below is skipped by the
+            # generation check).
+            self._want_raster = None
+            nfut = self._executor.submit(self._compute_raster, want[0])
+            self._pending_raster = (self._raster_gen, nfut) + want
         if gen != self._raster_gen:
             return   # superseded by a newer request
-        field, gmask = fut.result()
+        try:
+            field, gmask = fut.result()
+        except Exception:
+            # A failed worker (e.g. MemoryError on the raster buffer)
+            # must not kill the timer loop or leave the axes blank
+            # silently.
+            log.exception("raster worker failed; view not updated")
+            return
         self._apply_raster(field, gmask, extent, vmin, vmax)
         self.fig.canvas.draw_idle()
 
